@@ -1,0 +1,34 @@
+"""durablestreams_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of danthegoodman1/DurableStreams
+(durable append-only streams), plus the full relational / streaming /
+LLM-data-pipeline operator surface of SURVEY.md §2, re-expressed
+Spark-first (DataFrame/SQL + Catalyst + Structured Streaming).
+"""
+
+from .manifest import CommitConflict, FencingError, SegmentMeta, StreamState
+from .offsets import (
+    BEGINNING,
+    end_of_epoch,
+    next_epoch,
+    offset_for_time,
+    parse_offset,
+    serialize_offset,
+)
+from .stream import ProduceResult, Record, Stream, StreamCatalog
+
+__all__ = [
+    "BEGINNING",
+    "CommitConflict",
+    "FencingError",
+    "ProduceResult",
+    "Record",
+    "SegmentMeta",
+    "Stream",
+    "StreamCatalog",
+    "StreamState",
+    "end_of_epoch",
+    "next_epoch",
+    "offset_for_time",
+    "parse_offset",
+    "serialize_offset",
+]

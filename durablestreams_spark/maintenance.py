@@ -1,0 +1,170 @@
+"""Maintenance: compaction, tombstone GC, orphan purge.
+
+The reference drives these probabilistically off the flush alarm
+(compact p=1.0, tombstone-GC p=0.01, orphan-purge p=1e-4;
+``src/stream_manager.ts:18-20,384-391``) because everything shares one
+Durable Object.  Here they are deterministic callable jobs — at scale
+they run as scheduled Spark maintenance jobs decoupled from ingest
+(SURVEY.md §2.1 #20).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from .manifest import SegmentMeta
+from .stream import Stream
+
+# Reference thresholds, src/segment.ts:61-65.
+MAX_SEGMENTS = 10
+MAX_RECORDS = 5_000
+MAX_BYTES = 10_000_000
+
+TOMBSTONE_RETENTION_MS = 24 * 3600 * 1000  # src/stream_manager.ts:15-17
+
+
+def plan_compaction(
+    segments: list[SegmentMeta],
+    max_segments: int = MAX_SEGMENTS,
+    max_records: int = MAX_RECORDS,
+    max_bytes: int = MAX_BYTES,
+) -> list[SegmentMeta]:
+    """Pick the oldest window of segments to merge.
+
+    Behavioral spec from the reference planner
+    (``src/segment.ts:60-144``) and its seven unit cases
+    (``tests/index.test.ts:351-655``):
+
+    - walk oldest → newest accumulating a window;
+    - a segment *individually* over a threshold ends the window (it is
+      excluded) if ≥2 segments were collected, else it is skipped and
+      the window resets;
+    - a segment that merely *trips* a cumulative threshold is included
+      and ends the window;
+    - cap at ``max_segments``;
+    - fewer than 2 collected ⇒ no-op (empty plan).
+
+    Pure metadata planning — runs driver-side over the manifest; no
+    Catalyst involvement needed (SURVEY.md §2.1 #12).
+    """
+    window: list[SegmentMeta] = []
+    tot_records = 0
+    tot_bytes = 0
+    for seg in sorted(segments, key=lambda s: s.first_offset):
+        if seg.records > max_records or seg.bytes > max_bytes:
+            if len(window) >= 2:
+                return window
+            window, tot_records, tot_bytes = [], 0, 0
+            continue
+        window.append(seg)
+        tot_records += seg.records
+        tot_bytes += seg.bytes
+        if (
+            len(window) >= max_segments
+            or tot_records >= max_records
+            or tot_bytes >= max_bytes
+        ):
+            break
+    return window if len(window) >= 2 else []
+
+
+def compact(stream: Stream, **thresholds) -> SegmentMeta | None:
+    """Merge one planned window into a single segment, atomically.
+
+    Because segment offset ranges are disjoint and each file is sorted,
+    the merge is pure concatenation in first_offset order — no
+    comparisons, the same observation the reference exploits
+    (``src/stream_manager.ts:558-573``).  The swap is a single manifest
+    commit: remove actives → tombstones, add the compacted segment
+    (reference KV transaction, ``src/stream_manager.ts:592-598``).
+
+    At 100 TB this becomes a Spark job per window
+    (``spark.read.parquet(window).coalesce(1).write``) fanned out over
+    many streams/windows at once; the manifest commit stays the same.
+    """
+    state = stream.refresh()
+    window = plan_compaction(state.active_sorted(), **thresholds)
+    if not window:
+        return None
+    epoch = int(window[-1].last_offset[:16])
+    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted.parquet"
+    dst = os.path.join(stream.segments_dir, name)
+    tables = [
+        pq.read_table(os.path.join(stream.segments_dir, s.name)) for s in window
+    ]
+    import pyarrow as pa
+
+    merged = pa.concat_tables(tables)
+    pq.write_table(merged, dst, compression="zstd")
+    meta = SegmentMeta(
+        name=name,
+        first_offset=window[0].first_offset,
+        last_offset=window[-1].last_offset,
+        created_ms=int(time.time() * 1000),
+        records=sum(s.records for s in window),
+        bytes=os.path.getsize(dst),
+    )
+    stream._commit(
+        {
+            "add": [meta.to_json()],
+            "remove": [s.name for s in window],
+            "removed_ms": int(time.time() * 1000),
+        }
+    )
+    return meta
+
+
+def clean_tombstones(
+    stream: Stream,
+    max_age_ms: int = TOMBSTONE_RETENTION_MS,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Delete data files for tombstones older than the retention window
+    (reference ``cleanTombstones``, ``src/stream_manager.ts:611-636``).
+    The retention delay exists so in-flight reads planned against an
+    older manifest version can still finish — same role as Delta VACUUM
+    retention."""
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    state = stream.refresh()
+    purged = [
+        name
+        for name, (_meta, ts) in state.tombstones.items()
+        if now - ts > max_age_ms
+    ]
+    for name in purged:
+        path = os.path.join(stream.segments_dir, name)
+        if os.path.exists(path):
+            os.unlink(path)  # data first, then metadata — crash leaves a
+            # dangling tombstone entry, re-purged next run (idempotent)
+    if purged:
+        stream._commit({"purge_tombstones": purged})
+    return purged
+
+
+def purge_orphans(stream: Stream) -> list[str]:
+    """Delete segment files referenced by neither the active set nor a
+    tombstone (crash between data write and manifest commit leaves an
+    orphan; reference ``purgeOrphans``, ``src/stream_manager.ts:638-676``).
+
+    Semantically a left-anti join of the directory listing against the
+    manifest.  Driver-side set difference here; at object-store scale
+    the listing itself becomes a DataFrame and this is literally
+    ``files_df.join(manifest_df, "name", "left_anti")`` (SURVEY.md
+    §2.1 #16 — the reference's per-object double KV lookup was a 128 MB
+    memory workaround Spark doesn't need)."""
+    state = stream.refresh()
+    if not os.path.isdir(stream.segments_dir):
+        return []
+    referenced = set(state.active) | set(state.tombstones)
+    orphans = [
+        fn
+        for fn in os.listdir(stream.segments_dir)
+        if fn.endswith(".parquet") and fn not in referenced
+    ]
+    for fn in orphans:
+        os.unlink(os.path.join(stream.segments_dir, fn))
+    return orphans

@@ -1,0 +1,26 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from durablestreams_spark.session import get_spark
+
+    s = get_spark("durablestreams_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    from durablestreams_spark import StreamCatalog
+
+    return StreamCatalog(str(tmp_path / "streams"))
+
+
+def sf_dir(sf: str = "0.001") -> str:
+    return f"/root/testdata/sf{sf}"
