@@ -1,0 +1,87 @@
+"""Shared plumbing for the query registry.
+
+Output-schema policy (driver compare friendliness — the driver sorts
+columns by name and value-hashes rows, so both engines must produce
+byte-identical values):
+
+- computed/aggregate columns are aliased identically in Spark and SQL;
+- double aggregates are ``round()``-ed (2 dp for money, 4-6 dp for
+  ratios) on BOTH sides so float summation order can't flip the hash;
+- dates/timestamps are emitted as formatted STRINGS;
+- DuckDB ``sum(int)`` returns HUGEINT — always cast to BIGINT in the
+  oracle so it hashes like Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(name)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # With spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(NANOS)
+    # columns surface as int64 nanos; restore TimestampType (µs).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register parquet tables as temp views for spark.sql queries."""
+    for n in names or TABLES:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One graded operator: a Spark query plus (optionally) its DuckDB
+    oracle.  ``oracle=None`` → the driver records a weaker rows-only
+    check (reserved for genuinely non-SQL-expressible ops)."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+
+    def deco(fn):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that populate the registry.
+    from . import relational, windows  # noqa: F401
+    from ..operators import dedup, similarity, text, multimodal, logops  # noqa: F401
+
+    return dict(_REGISTRY)

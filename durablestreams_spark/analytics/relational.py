@@ -1,0 +1,668 @@
+"""Relational operator surface (SURVEY.md §2.2): scans, projection/
+filter, every join family, aggregation, rollup/cube/grouping sets,
+window functions, sort/limit/top-k, set ops, scalar functions, JSON.
+
+Each query is written DataFrame-first and declaratively so Catalyst
+owns the physical strategy: filters/projections push into the parquet
+scan, small dimensions broadcast, `orderBy().limit()` becomes
+TakeOrderedAndProject, partial aggregation happens map-side.  Scale
+notes are on each query where non-obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .core import query, register_views, table
+
+
+# --------------------------------------------------------------------------
+# Aggregation: hash agg with partial/final split, multiple agg functions.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filtered scan → hash aggregate. The filter and "
+    "2-column grouping push to the scan; partial agg is map-side so the "
+    "shuffle carries one row per (flag,status) per partition — O(groups), "
+    "not O(rows), at 100 TB.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join + agg + top-k (TPC-H Q3 shape).
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="Join(customer⋈orders⋈lineitem) → agg → top-k. customer is the "
+    "small side (broadcast hint); orderBy+limit compiles to "
+    "TakeOrderedAndProject so only 10 rows per partition survive the "
+    "final exchange. Deterministic tiebreak on l_orderkey.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Snowflake join through region/nation dims (TPC-H Q5 shape).
+# --------------------------------------------------------------------------
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Six-way snowflake join; region/nation/supplier/customer all "
+    "broadcast (dims are tiny even at 100 TB fact scale), so lineitem "
+    "never shuffles before the aggregate — the only exchange is the "
+    "final O(nations) one.",
+)
+def q5_region_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins.
+# --------------------------------------------------------------------------
+@query(
+    "join_semi_orders_with_big_items",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS → left-semi join: only the key column of lineitem crosses "
+    "the shuffle and duplicates collapse early.",
+)
+def join_semi(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    big = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="NOT EXISTS → left-anti join (the same plan shape our orphan "
+    "purge uses at object-store scale, SURVEY.md §2.1 #16).",
+)
+def join_anti(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-equi / range join.
+# --------------------------------------------------------------------------
+@query(
+    "join_range_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+               ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1e12)
+    )
+    SELECT band, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="Theta/range join against a tiny banding dim → "
+    "BroadcastNestedLoopJoin; the fact side streams through once with "
+    "no shuffle. At 100 TB prefer rewriting static bands as a CASE "
+    "expression (no join at all) — kept as a join here to exercise the "
+    "non-equi path.",
+)
+def join_range(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 50_000.0),
+            ("medium", 50_000.0, 150_000.0),
+            ("large", 150_000.0, 300_000.0),
+            ("jumbo", 300_000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (event-time point lookup).
+# --------------------------------------------------------------------------
+@query(
+    "join_asof_purchase_prior_click",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           c.event_id AS click_id,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    doc="As-of join: for each purchase, the latest strictly-earlier click "
+    "by the same user. Spark lacks a native batch as-of operator "
+    "(SURVEY.md §2.2), so it is composed as an equi-join on the "
+    "partition key + event-time inequality, then one row kept per left "
+    "row via row_number() — the join shuffles on user_id so both sides "
+    "co-locate; at 100 TB pre-bucketing both tables on user_id removes "
+    "the shuffle entirely. Oracle uses DuckDB's native ASOF JOIN.",
+)
+def join_asof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user) & (purchases.p_ts > clicks.c_ts),
+        "inner",
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.col("c_ts").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.round(
+                F.unix_micros("p_ts") / 1e6 - F.unix_micros("c_ts") / 1e6, 3
+            ).alias("gap_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: ranking, running aggregate, lag/lead.
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_top_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 2
+    """,
+    doc="Ranking window (row_number) partitioned by customer — one "
+    "shuffle on the partition key; rank filter applies before any "
+    "further operator.",
+)
+def window_rank(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", "rn", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+@query(
+    "window_running_value_per_user",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value
+    FROM events
+    """,
+    doc="Running-sum analytic frame (ROWS UNBOUNDED PRECEDING .. CURRENT); "
+    "deterministic tiebreak (ts, event_id) makes the prefix sums unique.",
+)
+def window_running(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "window_lag_gap_by_type",
+    """
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(avg(gap), 3) AS avg_gap_sec,
+           round(max(gap), 3) AS max_gap_sec
+    FROM (SELECT event_type,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS gap
+          FROM events)
+    WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="lag() analytic + aggregate over the derived column.",
+)
+def window_lag(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_micros("ts") / 1e6
+    gap = sec - F.lag(sec).over(w)
+    return (
+        ev.select("event_type", gap.alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 3).alias("avg_gap_sec"),
+            F.round(F.max("gap"), 3).alias("max_gap_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube / grouping sets.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS lvl,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP — Catalyst expands to one Expand + single hash agg "
+    "(not one pass per grouping set).",
+)
+def rollup_sales(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    lvl = F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        lvl.alias("lvl"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS lvl,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE over two dimensions (4 grouping sets in one Expand).",
+)
+def cube_sales(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    lvl = F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        lvl.alias("lvl"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "grouping_sets_mixed",
+    """
+    SELECT c_mktsegment, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via SQL (same Expand machinery).",
+)
+def grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation, top-k, set ops.
+# --------------------------------------------------------------------------
+@query(
+    "distinct_agg_per_flag",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multi-column distinct aggregation (Catalyst plans Expand + "
+    "two-phase agg so both distincts run in one pass).",
+)
+def distinct_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    doc="orderBy+limit → TakeOrderedAndProject (per-partition top-k heap, "
+    "no full sort, no full shuffle — the plan that survives 100 TB).",
+)
+def topk_orders(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(15)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "set_ops_customer_cohorts",
+    """
+    WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+         h2 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+    UNION ALL
+    SELECT 'only_1996', count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+    UNION ALL
+    SELECT 'either', count(*) FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
+    """,
+    doc="INTERSECT / EXCEPT / UNION over yearly customer cohorts.",
+)
+def set_ops(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+
+    def cohort(year):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    h1, h2 = cohort(1996), cohort(1997)
+    rows = [
+        h1.intersect(h2).agg(F.lit("both").alias("cohort"), F.count(F.lit(1)).alias("n")),
+        h1.exceptAll(h2).agg(F.lit("only_1996").alias("cohort"), F.count(F.lit(1)).alias("n")),
+        h1.union(h2).distinct().agg(F.lit("either").alias("cohort"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# JSON access + scalar functions + pivot.
+# --------------------------------------------------------------------------
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Schemaless JSON column → typed access at query time "
+    "(get_json_object), the pattern every stream payload uses here "
+    "(SURVEY.md §1.3).",
+)
+def json_extract(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "scalar_string_date_math",
+    """
+    SELECT upper(substr(p_type, 1, 8))                   AS type_prefix,
+           CAST(sum(p_size) AS BIGINT)                   AS sum_size,
+           round(avg(p_retailprice), 4)                  AS avg_price,
+           round(max(sqrt(p_retailprice)), 6)            AS max_sqrt_price,
+           min(concat(p_brand, ':', lpad(CAST(p_size AS VARCHAR), 4, '0'))) AS min_brand_size,
+           count(*) AS n
+    FROM part
+    GROUP BY type_prefix
+    """,
+    doc="Scalar function coverage: string (upper/substr/concat/lpad), "
+    "math (sqrt), all JVM-side codegen'd expressions.",
+)
+def scalar_funcs(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.upper(F.substring("p_type", 1, 8)).alias("type_prefix"))
+        .agg(
+            F.sum("p_size").alias("sum_size"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.max(F.sqrt("p_retailprice")), 6).alias("max_sqrt_price"),
+            F.min(
+                F.concat_ws(":", "p_brand", F.lpad(F.col("p_size").cast("string"), 4, "0"))
+            ).alias("min_brand_size"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "pivot_event_counts_by_day",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY day
+    """,
+    doc="Pivot: one shuffled agg with per-value conditional counts "
+    "(pivot values enumerated, so the plan is a plain hash agg).",
+)
+def pivot_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # Spark pivot leaves null for absent combos; the oracle's FILTER
+    # counts produce 0 — normalize.
+    return piv.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery.
+# --------------------------------------------------------------------------
+@query(
+    "subquery_above_avg_price",
+    """
+    SELECT p_brand, count(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+    doc="Scalar subquery: Catalyst computes the single-row aggregate once "
+    "and broadcasts it into the filter.",
+)
+def subquery_above_avg(spark, sf_dir):
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_above
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        GROUP BY p_brand
+        """
+    )

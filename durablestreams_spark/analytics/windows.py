@@ -1,0 +1,123 @@
+"""Event-time windowing (SURVEY.md §2.2 streaming rows): tumbling,
+sliding, and session windows over the ``events`` stream table.
+
+These use the exact operators a Structured Streaming job would
+(``F.window`` / ``F.session_window``) — in batch mode they produce the
+same groups a streaming query emits after the watermark closes, which
+is what makes them oracle-checkable: the DuckDB oracle recomputes the
+window arithmetic from epoch math.  The live-streaming path (watermarks
++ incremental emission over the durable log) is exercised in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import query, table
+
+_FMT_S = "yyyy-MM-dd HH:mm:ss"
+_FMT_D = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "window_tumbling_daily",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '{_FMT_D}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    doc="Tumbling 1-day window × event_type. In streaming this is the "
+    "canonical watermarked agg; state is O(open windows × types).",
+)
+def window_tumbling(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_S).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_12h",
+    f"""
+    SELECT strftime(make_timestamp(start_us), '{_FMT_D}') AS window_start,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT e.value,
+               ((CAST(floor(epoch(e.ts) / 43200) AS BIGINT) - u.i) * 43200) * 1000000
+                   AS start_us
+        FROM events e, (SELECT UNNEST([0, 1]) AS i) u
+    )
+    GROUP BY window_start
+    """,
+    doc="Sliding window: 1-day width, 12-hour slide — every event lands "
+    "in exactly width/slide = 2 windows. Spark's Expand node does this "
+    "replication; the oracle replicates via UNNEST over the same grid "
+    "arithmetic (epoch-aligned, like F.window).",
+)
+def window_sliding(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_S).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_session_30m",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT_D}') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Session window, 30-minute gap, per user. Spark: native "
+    "session_window (merging-state agg, the applyInPandasWithState-class "
+    "operator); oracle: gaps-and-islands. Events >30m apart start a new "
+    "session; a session's start is its first event. Note: Spark merges "
+    "sessions when gap < 30m *strictly* at the boundary — an event "
+    "exactly 1800s later starts a new session in both formulations.",
+)
+def window_session(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT_S).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

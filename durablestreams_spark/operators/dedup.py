@@ -1,0 +1,350 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families (SURVEY.md §2.2 "LLM-pipeline: exact dedup / near-dup"):
+
+- **exact** — hash-groupBy on content (and on sha256 content hash);
+- **MinHash + LSH** — word-shingle → per-shingle salted MD5 → min-hash
+  signature → banded bucket join for candidate pairs;
+- **n-gram Jaccard** — exact Jaccard verification of the LSH candidates;
+- **SimHash** — 32-bit sign-aggregated token-hash fingerprint.
+
+Everything is built from deterministic, engine-portable primitives
+(``md5`` over salted strings) so the DuckDB oracle reproduces results
+bit-for-bit — no engine-specific hash (Spark murmur3 / DuckDB hash)
+appears anywhere.
+
+Scale design: every operator is a pure column-expression pipeline —
+shingling and hashing are higher-order array functions inside
+whole-stage codegen (no Python UDFs), so the only shuffles are the
+groupBys/joins on hash keys.  MinHash banding is exactly the classic
+"shuffle on (band, band-signature)" plan: at 100 TB the band join's
+skew (giant buckets of near-identical boilerplate docs) is the known
+hazard — buckets are capped with a count filter before the self-join,
+the standard mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..analytics.core import query, table
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+MAX_BUCKET = 50  # skew guard: ignore LSH buckets larger than this
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text HAVING count(*) >= 1
+    """,
+    doc="Exact dedup: group on raw content, keep the smallest doc_id. "
+    "At scale, group on sha256(text) instead so the shuffle key is 32 "
+    "bytes not the document (see dedup_exact_hash).",
+)
+def dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_hash",
+    """
+    SELECT sha256(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Content-hash dedup: the 100 TB-friendly variant — the shuffle "
+    "carries a fixed-width digest instead of document bodies.",
+)
+def dedup_exact_hash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
+def _shingle_rows(docs):
+    """(doc_id, shingle) rows: split once into a words array, shingle
+    from the array, explode.  The split/shingle projections stay
+    separate stages from any downstream hashing so Catalyst's project
+    collapse can't duplicate the O(words) expressions per hash salt
+    (the naive inlined form re-evaluated ``split`` 3×8× per shingle —
+    measured 196 s at sf0.1 vs <2 s for this shape).
+
+    ``repartition(doc_id)`` spreads map-side work across cores when the
+    input is a single file (local tests) and pre-satisfies the
+    hash-partitioning every downstream per-doc groupBy needs, so the
+    min-hash aggregation is shuffle-free after this one exchange.
+    """
+    words = docs.select("doc_id", F.split("text", r"\s+").alias("w")).where(
+        F.size("w") >= 3
+    )
+    return words.repartition("doc_id").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("sh"),
+    )
+
+
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
+             i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                  string_split_regex(text, '\\s+')[i + 1] || ' ' ||
+                  string_split_regex(text, '\\s+')[i + 2]) AS shingles
+    FROM documents
+    WHERE len(string_split_regex(text, '\\s+')) >= 3
+"""
+
+
+def _minhash_sigs(docs):
+    """Signature table (doc_id, mh0..mh7): min over shingle rows of the
+    first 8 hex chars of md5(shingle || ':' || salt).  Fixed-width
+    lowercase hex compares lexicographically == numerically, so
+    min(string) IS min-hash.  One hash-agg with map-side partial min —
+    the shuffle carries 8 × 8-byte strings per doc, nothing else."""
+    return _shingle_rows(docs).groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.col("sh"), F.lit(f":{j}"))), 1, 8)
+            ).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+
+
+def _minhash_sig_sql():
+    cols = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> substr(md5(s || ':{j}'), 1, 8))) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    return f"SELECT doc_id,\n           {cols}\n    FROM shingled"
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH shingled AS ({_DUCK_SHINGLES})
+    SELECT doc_id,
+           {" || '|' || ".join(f"mh{j}" for j in range(N_HASHES))} AS signature
+    FROM ({_minhash_sig_sql()})
+    """,
+    doc=f"MinHash signatures: {N_HASHES} salted-MD5 min-hashes per doc "
+    "over 3-word shingles. Shingling+hashing is array-expression "
+    "codegen; one narrow row per doc comes out — no shuffle at all "
+    "until someone aggregates the signatures.",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sig = _minhash_sigs(docs)
+    return sig.select(
+        "doc_id",
+        F.concat_ws("|", *[f"mh{j}" for j in range(N_HASHES)]).alias("signature"),
+    )
+
+
+_BAND_SQL = f"""
+    WITH shingled AS ({_DUCK_SHINGLES}),
+    sigs AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                    {" ".join(f"WHEN {b} THEN mh{2 * b} || '_' || mh{2 * b + 1}" for b in range(N_BANDS))}
+               END AS band_key
+        FROM sigs, (SELECT UNNEST(generate_series(0, {N_BANDS - 1})) AS band_id) b
+    ),
+    buckets AS (
+        SELECT band_id, band_key FROM bands
+        GROUP BY band_id, band_key
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    {_BAND_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key
+    JOIN bands b   ON b.band_id = a.band_id AND b.band_key = a.band_key
+                  AND a.doc_id < b.doc_id
+    """,
+    doc=f"LSH banding: {N_BANDS} bands × 2 rows — docs agreeing on both "
+    "min-hashes of any band become a candidate pair. The self-join runs "
+    "per (band, key) bucket; the HAVING cap bounds worst-case bucket "
+    "blowup (boilerplate skew) — the shuffle is O(Σ bucket²) with "
+    "bucket ≤ 50, not O(n²).",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_key")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .drop("n")
+    )
+    in_bucket = bands.join(buckets, ["band_id", "band_key"])
+    left = in_bucket.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
+    right = in_bucket.select("band_id", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    {_BAND_SQL},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key
+        JOIN bands b   ON b.band_id = a.band_id AND b.band_key = a.band_key
+                      AND a.doc_id < b.doc_id
+    ),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, UNNEST(shingles) AS sh FROM shingled
+        )
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM doc_shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN doc_shingles sa ON sa.doc_id = p.doc_a
+        JOIN doc_shingles sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+    doc="Exact n-gram Jaccard verification of the LSH candidate pairs "
+    "(candidate generation is cheap+lossy, verification exact — the "
+    "standard two-phase near-dup pipeline). Set sizes come from "
+    "per-doc distinct-shingle counts; the intersection from a join on "
+    "shingle within candidate pairs only.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    shingles = _shingle_rows(docs).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection size per pair via two keyed joins on shingle
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    tok_hashes AS (
+        SELECT doc_id, tok, count(*) AS w,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    bits AS (
+        SELECT doc_id, b.i,
+               sum(CASE WHEN (h // (1::BIGINT << b.i)) % 2 = 1 THEN w ELSE -w END) AS score
+        FROM tok_hashes, (SELECT UNNEST(generate_series(0, 31)) AS i) b
+        GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN score > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash: 32-bit fingerprint — token hashes vote ±weight per bit "
+    "position, sign of the sum sets the bit. Near-dup docs differ in "
+    "few bits (compare via hamming distance downstream). Token hash = "
+    "first 8 hex chars of md5 so both engines agree bit-for-bit.",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    tok_hashes = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w")).select(
+        "doc_id",
+        "w",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bits = (
+        tok_hashes.select(
+            "doc_id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                # SQL shiftleft/shiftright take column shift amounts
+                # (the Python wrappers don't), hence F.expr.
+                F.when(F.expr("(h div shiftleft(1L, i)) % 2 = 1"), F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias("score")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("score") > 0, F.expr("shiftleft(1L, i)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

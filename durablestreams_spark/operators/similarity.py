@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table
+(``embedding: array<float>``, dim 64).
+
+Two paths (SURVEY.md §2.2 "similarity search"):
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  query set, stream the corpus through one codegen'd dot-product
+  expression, per-query top-k via window rank.  At 100 TB the corpus
+  scan is embarrassingly parallel and shuffle-free until the final
+  O(queries × k) exchange;
+- **SRP-LSH (signed random projection)** — the scale path: 16 fixed
+  ±1 hyperplanes → 16-bit bucket signature; near-duplicate search then
+  joins only within buckets.  Planes are derived deterministically
+  from md5 in Python and inlined as literals into BOTH the Spark plan
+  and the DuckDB oracle, so the two engines agree exactly.
+
+All vector math uses built-in higher-order functions
+(``zip_with`` + ``aggregate``) over doubles — JVM-side, no Python UDF
+in the hot path.  (A Pandas-UDF variant exists in
+``tests/test_operators.py`` to document the alternative; it is ~the
+same speed at this dim and loses whole-stage codegen, so the
+expression form is the default.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..analytics.core import query, table
+
+N_PLANES = 16
+DIM = 64
+TOP_K = 5
+
+
+def _srp_planes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign from one md5 bit per (i, j)."""
+    planes = []
+    for i in range(N_PLANES):
+        row = []
+        for j in range(DIM):
+            h = hashlib.md5(f"srp:{i}:{j}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _srp_planes()
+
+
+def _dot(vec_col: str, other: str) -> F.Column:
+    """Sequential-fold dot product (same accumulation order as the
+    oracle's list_reduce/list_cosine path)."""
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {other}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "similarity_knn_brute",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.label,
+               list_cosine_similarity(q.qemb, v.emb) AS sim
+        FROM q, v
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, label AS neighbor_label, rank,
+           round(sim, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for every 100th vector as query. "
+    "Query side broadcasts; corpus side scans once; per-query heap via "
+    "window rank. The exact baseline an ANN index is validated against.",
+)
+def similarity_knn_brute(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = F.sqrt(_dot("emb", "emb"))
+    v = emb.withColumn("norm", norm)
+    q = v.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round("sim", 4).alias("cosine"),
+        )
+    )
+
+
+def _bucket_sql() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_PLANES[i]} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        for i in range(N_PLANES)
+    )
+    return bits
+
+
+def _bucket_spark():
+    bits = [
+        F.when(
+            _dot("emb", f"array({', '.join(f'CAST({w} AS DOUBLE)' for w in _PLANES[i])})") >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for i in range(N_PLANES)
+    ]
+    return F.concat(*bits)
+
+
+@query(
+    "similarity_srp_buckets",
+    f"""
+    SELECT {_bucket_sql()} AS bucket,
+           count(*) AS n_vectors,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings
+    GROUP BY bucket
+    """,
+    doc=f"SRP-LSH bucketing: {N_PLANES} fixed ±1 hyperplanes → 16-bit "
+    "signature. Bucket histogram + label purity (labels are cluster "
+    "ground truth, so low n_labels per bucket = the hash is doing its "
+    "job). The bucketing expression is the shuffle key for ANN joins "
+    "at scale.",
+)
+def similarity_srp_buckets(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        emb.select("vec_id", "label", _bucket_spark().alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "similarity_bucketed_pairs",
+    f"""
+    WITH b AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           CAST((a.label = c.label) AS BIGINT) AS same_label,
+           round(list_cosine_similarity(a.emb, c.emb), 4) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.emb, c.emb) >= 0.8
+    """,
+    doc="Embedding near-duplicate pairs: join within SRP buckets only "
+    "(the candidate set), verify with exact cosine ≥ 0.8. This is "
+    "embedding-cosine near-dup for dedup pipelines: O(Σ bucket²) "
+    "instead of O(n²) comparisons.",
+)
+def similarity_bucketed_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    b = emb.withColumn("bucket", _bucket_spark()).withColumn(
+        "norm", F.sqrt(_dot("emb", "emb"))
+    )
+    a = b.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    c = b.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(c, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .where(F.col("cosine_raw") >= 0.8)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("label_a") == F.col("label_b")).cast("long").alias("same_label"),
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,241 @@
+"""Text analysis over ``documents`` (SURVEY.md §2.2 "LLM-pipeline:
+text analysis"): token statistics, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure column expressions (split / higher-order array functions /
+regexp counts) — whole-stage codegen end to end, no Python in the hot
+path, so a 100 TB corpus scan is I/O-bound.  Tokenization = regex
+whitespace split (the BPE-ish variant adds a punctuation-splitting
+regex — see ``token_count_bpeish``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..analytics.core import query, table
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+#: Tiny per-language marker lexicons for the heuristic language-ID.
+#: Deterministic rule shared verbatim by engine and oracle; tie-break =
+#: alphabetical language code, fallback 'und'.
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "is", "of", "to", "it"),
+    "es": ("el", "la", "los", "que", "es", "de"),
+    "fr": ("le", "la", "les", "est", "une", "de"),
+}
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 4)
+               AS avg_token_len
+    FROM documents
+    """,
+    doc="Whitespace token count + char stats per document (the "
+    "token-counting primitive every quota/quality pipeline needs).",
+)
+def text_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_token_count_bpeish",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(
+               string_split_regex(
+                   regexp_replace(text, '([.,!?;:])', ' \\1 ', 'g'), '\\s+'),
+               t -> t <> ''))
+             AS BIGINT) AS n_subtokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+    FROM documents
+    """,
+    doc="BPE-ish token estimate: punctuation isolated via capture-group "
+    "replace, then whitespace split (lookahead-free so RE2-based "
+    "engines agree), plus the chars/4 heuristic — the cheap "
+    "pre-tokenizer estimate used for budget planning.",
+)
+def text_token_count_bpeish(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    spaced = F.regexp_replace("text", r"([.,!?;:])", r" $1 ")
+    sub = F.filter(F.split(spaced, r"\s+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(sub).cast("long").alias("n_subtokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_est"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio,
+           round(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+                 / len(toks), 4) AS short_tok_ratio,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000
+                 AND CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                     / len(toks) BETWEEN 0.01 AND 0.6
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM t
+    """,
+    doc="Quality scoring: stopword ratio + short-token ratio + "
+    "length-window gate → keep/drop bucket (Gopher-rules-style filter, "
+    "expressed as pure column predicates).",
+)
+def text_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    stop_ratio = F.expr(
+        f"CAST(size(filter({toks}, x -> x IN ({sw}))) AS DOUBLE) / size({toks})"
+    )
+    short_ratio = F.expr(
+        f"CAST(size(filter({toks}, x -> length(x) <= 2)) AS DOUBLE) / size({toks})"
+    )
+    n_toks = F.expr(f"size({toks})")
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(short_ratio, 4).alias("short_tok_ratio"),
+        F.when(
+            n_toks.between(20, 1000) & stop_ratio.between(0.01, 0.6),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("quality_bucket"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, x -> x IN {markers!r}))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    # argmax with alphabetical tie-break: compare each lang's hits
+    # against all others (strictly-greater beats later alphabetical).
+    langs = sorted(hits)
+    case = "CASE\n"
+    for i, lang in enumerate(langs):
+        conds = [
+            f"{hits[lang]} >= {hits[o]}" if o > lang else f"{hits[lang]} > {hits[o]}"
+            for o in langs
+            if o != lang
+        ]
+        conds.append(f"{hits[lang]} > 0")
+        case += f"  WHEN {' AND '.join(conds)} THEN '{lang}'\n"
+    case += "  ELSE 'und' END"
+    return case
+
+
+def _langid_spark() -> str:
+    hits = {
+        lang: "size(filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{m}'" for m in markers)
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(hits)
+    case = "CASE\n"
+    for lang in langs:
+        conds = [
+            f"{hits[lang]} >= {hits[o]}" if o > lang else f"{hits[lang]} > {hits[o]}"
+            for o in langs
+            if o != lang
+        ]
+        conds.append(f"{hits[lang]} > 0")
+        case += f"  WHEN {' AND '.join(conds)} THEN '{lang}'\n"
+    case += "  ELSE 'und' END"
+    return case
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, {_langid_sql()} AS pred_lang
+    FROM t
+    """,
+    doc="Heuristic language-ID: marker-lexicon hit counts with "
+    "deterministic alphabetical tie-break ('und' when no marker hits). "
+    "An n-gram/lexicon LM would slot into the same argmax shape.",
+)
+def text_langid(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "toks", F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        )
+        .withColumn("pred_lang", F.expr(_langid_spark()))
+        .select("doc_id", F.col("lang").alias("labeled_lang"), "pred_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               list_sort(list_transform(
+                   generate_series(1, length(text) - 3),
+                   i -> substr(md5(substr(text, CAST(i AS INTEGER), 4)), 1, 8))) AS hs
+        FROM documents
+        WHERE length(text) >= 4
+    )
+    SELECT doc_id, hs[1] || '|' || hs[2] || '|' || hs[3] AS fingerprint
+    FROM grams
+    """,
+    doc="Winnowing-style fingerprint: md5 over every char 4-gram, keep "
+    "the 3 smallest hashes — a rolling-hash document sketch robust to "
+    "local edits; equal fingerprints ⇒ near-identical documents.",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.length("text") >= 4)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_sort(transform(sequence(1, length(text) - 3), "
+                "i -> substring(md5(substring(text, i, 4)), 1, 8)))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "|", F.col("hs")[0], F.col("hs")[1], F.col("hs")[2]
+            ).alias("fingerprint"),
+        )
+    )

@@ -24,6 +24,10 @@ def get_spark(app_name: str = "durablestreams_spark", shuffle_partitions: int | 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Test parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as raw int64 nanos and convert in
+        # analytics.core.table (no precision loss — data is µs-grained).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
