@@ -5,6 +5,7 @@ LLM-data-pipeline operator surface of SURVEY.md §2, re-expressed
 Spark-first (DataFrame/SQL + Catalyst + Structured Streaming).
 """
 
+from .ingest import assign_offsets, produce_bulk
 from .manifest import CommitConflict, FencingError, SegmentMeta, StreamState
 from .offsets import (
     BEGINNING,
@@ -26,7 +27,9 @@ __all__ = [
     "Stream",
     "StreamCatalog",
     "StreamState",
+    "assign_offsets",
     "end_of_epoch",
+    "produce_bulk",
     "next_epoch",
     "offset_for_time",
     "parse_offset",

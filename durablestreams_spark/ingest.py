@@ -1,0 +1,182 @@
+"""Bulk, Spark-native produce: assign offsets to a whole DataFrame and
+write it into a stream as batched segments — one distributed job.
+
+The reference's produce path is a point operation (buffer → 200 ms
+flush → one segment, ``src/stream_manager.ts:384-500``); backfilling a
+large table through it would serialize everything through the driver.
+This module is the scale path: the same offset semantics (epoch ‖
+counter, 16+16 zero-padded digits, monotonic epochs —
+``src/stream_manager.ts:76-85,401-427``) computed as column
+expressions, with the global total order established WITHOUT a
+single-partition sort:
+
+1. ``repartitionByRange(order_by)`` — range shuffle, each partition
+   holds a contiguous key range;
+2. per-partition ``row_number`` over ``Window.partitionBy(pid)`` —
+   parallel, no skew beyond the range partitioner's;
+3. partition row-counts (a tiny agg) → driver-side prefix sums →
+   broadcast-joined back to turn local row numbers into global ones.
+
+That is the textbook distributed zip-with-index; the only global
+barrier is the O(partitions) count collect.  Records land in segment
+files of ``batch_records`` rows each; every file is then registered in
+ONE manifest commit (group commit taken to its logical extreme).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .manifest import SegmentMeta
+from .stream import Stream, _now_ms
+
+
+def assign_offsets(
+    df: DataFrame,
+    order_by: list[str],
+    batch_records: int = 1000,
+    base_epoch: int = 1,
+) -> DataFrame:
+    """Add ``offset``/``ts``/``batch`` columns: rows sorted by
+    ``order_by`` get offsets ``(base_epoch + rn // batch_records,
+    rn % batch_records)`` — batch *i* behaves like the *i*-th flush of
+    a producer with a logical clock, exactly reproducible by SQL
+    arithmetic (which is what the duckdb oracle does)."""
+    ranged = df.repartitionByRange(*order_by)
+    pid = F.spark_partition_id()
+    local = (
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(*order_by)
+        )
+        - 1
+    )
+    # Persist so the count job and the write job see the SAME range
+    # partitioning (the partitioner samples; recomputation could shift
+    # boundary rows between partitions and corrupt the prefix sums).
+    with_local = (
+        ranged.withColumn("__pid", pid).withColumn("__local", local).persist()
+    )
+    counts = (
+        with_local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    sizes = {r["__pid"]: r["__n"] for r in counts}
+    prefix: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):
+        prefix[p] = acc
+        acc += sizes[p]
+    pref_df = df.sparkSession.createDataFrame(
+        [(p, n) for p, n in prefix.items()], "__pid int, __prefix long"
+    )
+    rn = (F.col("__prefix") + F.col("__local")).alias("__rn")
+    epoch = (F.lit(base_epoch) + (F.col("__rn") / batch_records).cast("long")).alias(
+        "__epoch"
+    )
+    counter = (F.col("__rn") % batch_records).alias("__counter")
+    out = (
+        with_local.join(F.broadcast(pref_df), "__pid")
+        .select("*", rn)
+        .select("*", epoch, counter)
+        .withColumn(
+            "offset",
+            F.concat(
+                F.lpad(F.col("__epoch").cast("string"), 16, "0"),
+                F.lpad(F.col("__counter").cast("string"), 16, "0"),
+            ),
+        )
+        .withColumn("ts", F.timestamp_millis(F.col("__epoch")))
+        .withColumn("batch", F.col("__epoch"))
+        .drop("__pid", "__local", "__rn", "__epoch", "__counter", "__prefix")
+    )
+    # Hand the persisted intermediate to the caller for unpersist-after-write.
+    out._ds_persisted = with_local  # type: ignore[attr-defined]
+    return out
+
+
+def produce_bulk(
+    stream: Stream,
+    df: DataFrame,
+    order_by: list[str],
+    batch_records: int = 1000,
+    payload_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Write a whole DataFrame into ``stream`` as offset-assigned
+    segments; returns the number of segment files committed.
+
+    ``df`` columns are JSON-encoded into the schemaless ``data`` payload
+    (reference record shape ``{offset, data}``,
+    ``src/stream_manager.ts:56-59``).  Epochs continue after the
+    stream's current clock, so bulk loads interleave correctly with
+    point produces.  Durability order matches the reference: all data
+    files first, then one metadata commit = the ack point
+    (``src/stream_manager.ts:498,516``).
+    """
+    state = stream.refresh()
+    base_epoch = state.last_epoch_ms + 1
+    payload = F.to_json(
+        F.struct(*[F.col(c) for c in (payload_cols or df.columns)])
+    ).alias("data")
+    with_offsets = assign_offsets(df, order_by, batch_records, base_epoch)
+    assigned = with_offsets.select("offset", "ts", payload, "batch")
+
+    run_dir = f"bulk-{uuid.uuid4().hex}"
+    out = os.path.join(stream.segments_dir, run_dir)
+    try:
+        (
+            assigned.repartition("batch")
+            .sortWithinPartitions("offset")
+            .write.mode("error")
+            .partitionBy("batch")
+            .parquet(out)
+        )
+    finally:
+        with_offsets._ds_persisted.unpersist()  # type: ignore[attr-defined]
+
+    metas = []
+    now = _now_ms()
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            md = pq.read_metadata(path)
+            first, last = None, None
+            n = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                st = col.statistics
+                lo, hi = st.min, st.max
+                lo = lo.decode() if isinstance(lo, bytes) else lo
+                hi = hi.decode() if isinstance(hi, bytes) else hi
+                first = lo if first is None or lo < first else first
+                last = hi if last is None or hi > last else last
+                n += md.row_group(rg).num_rows
+            rel = os.path.relpath(path, stream.segments_dir)
+            metas.append(
+                SegmentMeta(
+                    name=rel,
+                    first_offset=first,
+                    last_offset=last,
+                    created_ms=now,
+                    records=n,
+                    bytes=os.path.getsize(path),
+                )
+            )
+    metas.sort(key=lambda m: m.first_offset)
+    last_epoch = int(metas[-1].last_offset[:16]) if metas else state.last_epoch_ms
+    actions = {
+        "add": [m.to_json() for m in metas],
+        "set": {"last_epoch_ms": last_epoch},
+    }
+    if txn is not None:
+        actions["txn"] = {"app": txn[0], "batch": txn[1]}
+    stream._commit(actions)
+    return len(metas)

@@ -92,6 +92,10 @@ class StreamState:
     last_epoch_ms: int = 0
     active: dict[str, SegmentMeta] = field(default_factory=dict)
     tombstones: dict[str, tuple[SegmentMeta, int]] = field(default_factory=dict)
+    # Streaming idempotence: app_id -> highest committed micro-batch id
+    # (Delta txnAppId/txnVersion analog; generalizes the reference's
+    # producer fencing token to exactly-once foreachBatch replay).
+    txns: dict[str, int] = field(default_factory=dict)
 
     def active_sorted(self) -> list[SegmentMeta]:
         """Active segments in offset order (ranges are disjoint, so
@@ -114,6 +118,7 @@ class StreamState:
                 {"meta": m.to_json(), "tombstoned_ms": t}
                 for (m, t) in self.tombstones.values()
             ],
+            "txns": dict(self.txns),
         }
 
     @staticmethod
@@ -127,6 +132,7 @@ class StreamState:
         for t in d.get("tombstones", []):
             m = SegmentMeta.from_json(t["meta"])
             st.tombstones[m.name] = (m, int(t["tombstoned_ms"]))
+        st.txns = {k: int(v) for k, v in d.get("txns", {}).items()}
         return st
 
 
@@ -192,6 +198,9 @@ class Manifest:
             st.producer_version = int(meta["producer_version"])
         if "last_epoch_ms" in meta:
             st.last_epoch_ms = max(st.last_epoch_ms, int(meta["last_epoch_ms"]))
+        txn = actions.get("txn")
+        if txn:
+            st.txns[str(txn["app"])] = int(txn["batch"])
 
     # -- committing ----------------------------------------------------
 
@@ -222,6 +231,7 @@ class Manifest:
             last_epoch_ms=base.last_epoch_ms,
             active=dict(base.active),
             tombstones=dict(base.tombstones),
+            txns=dict(base.txns),
         )
         self._apply(new, actions)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:

@@ -18,6 +18,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, table
+from ..ingest import produce_bulk
 from ..maintenance import compact
 from ..stream import StreamCatalog
 
@@ -36,10 +37,11 @@ _ORACLE_OFFSETS = f"""
 def _ingest_events(spark, sf_dir: str):
     """Deterministically (re)build a stream from the events table.
 
-    Batch i is produced with logical clock epoch_ms=i+1 (the monotonic
-    guard makes epochs exactly 1, 2, 3, ...), so offsets are a pure
-    function of the (ts, event_id) sort order and BATCH — which is what
-    the SQL oracle recomputes.
+    Bulk ingest assigns batch i the logical epoch i+1 (fresh stream ⇒
+    base epoch 1), so offsets are a pure function of the
+    (ts, event_id) sort order and BATCH — which is what the SQL oracle
+    recomputes.  This is one distributed job (``ingest.produce_bulk``),
+    not len(events)/BATCH driver round-trips.
     """
     root = os.path.join(
         "/tmp/durablestreams_logops", os.path.basename(os.path.normpath(sf_dir))
@@ -52,18 +54,13 @@ def _ingest_events(spark, sf_dir: str):
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
     stream = cat.stream("events_log")
-    rows = (
-        table(spark, sf_dir, "events")
-        .select("event_id", "ts")
-        .orderBy("ts", "event_id")
-        .collect()
+    produce_bulk(
+        stream,
+        table(spark, sf_dir, "events").select("event_id", "ts"),
+        order_by=["ts", "event_id"],
+        batch_records=BATCH,
+        payload_cols=["event_id"],
     )
-    for start in range(0, len(rows), BATCH):
-        batch = rows[start : start + BATCH]
-        stream.produce(
-            [{"event_id": r.event_id} for r in batch],
-            epoch_ms=start // BATCH + 1,
-        )
     # Compact the oldest window (5 batches trip MaxRecords=5000) so the
     # read path spans compacted + raw segments.
     compact(stream)

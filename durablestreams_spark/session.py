@@ -28,6 +28,9 @@ def get_spark(app_name: str = "durablestreams_spark", shuffle_partitions: int | 
         # reader rejects; read as raw int64 nanos and convert in
         # analytics.core.table (no precision loss — data is µs-grained).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Segment files are read by both Spark and pyarrow (compaction
+        # concatenates across writers) — pin µs int64 so schemas agree.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -132,6 +132,7 @@ class Stream:
         records: list,
         version: int | None = None,
         epoch_ms: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> ProduceResult:
         """Append a batch; returns one offset per record.
 
@@ -143,6 +144,9 @@ class Stream:
         ``epoch_ms`` overrides the wall clock for deterministic replay
         and tests; the monotonic guard still applies, so offsets are
         always strictly increasing.
+
+        ``txn=(app_id, batch_id)`` stamps the commit for streaming
+        exactly-once replay detection (see ``streaming.ingest``).
         """
         if version is not None and not isinstance(version, int):
             raise ValueError(f"producer version must be an int, got {version!r}")
@@ -178,7 +182,10 @@ class Stream:
             )
             # Durability order matches the reference: data object first,
             # then metadata commit = the ack point (src/stream_manager.ts:498,516).
-            self._commit({"add": [meta.to_json()], "set": set_meta})
+            actions = {"add": [meta.to_json()], "set": set_meta}
+            if txn is not None:
+                actions["txn"] = {"app": txn[0], "batch": txn[1]}
+            self._commit(actions)
         with self._data_cond:
             self._data_cond.notify_all()
         return ProduceResult(offsets=offsets, version=version)

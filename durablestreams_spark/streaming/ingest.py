@@ -1,0 +1,98 @@
+"""Micro-batch group-commit ingest: any streaming DataFrame → a
+durable stream, exactly once.
+
+The reference buffers producer requests and flushes them as ONE
+segment per 200 ms alarm (``src/stream_manager.ts:270-281,384-500``);
+a Structured Streaming micro-batch IS that group commit (SURVEY.md
+§2.1 #5) — ``trigger(processingTime="200ms")`` reproduces the cadence,
+``foreachBatch`` is the flush function, and one manifest commit per
+batch is the durability/ack point.
+
+Exactly-once across failures: Structured Streaming replays an
+unacknowledged micro-batch after restart, so the flush must be
+idempotent.  Each commit records ``(app_id → batch_id)`` in the
+manifest (the Delta ``txnAppId``/``txnVersion`` pattern); a replayed
+batch with ``batch_id <= committed`` is skipped before writing
+anything.  This generalizes the reference's producer fencing token
+(``src/stream_manager.ts:240-267``) from "reject stale producers" to
+"reject stale micro-batches".
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from ..ingest import produce_bulk
+from ..stream import Stream
+
+#: Below this row count the flush is a driver-side point produce (one
+#: small file, no Spark job) — the same observation as SURVEY.md §2.1
+#: #7: launching a distributed write for a 200 ms trickle batch is the
+#: wrong physical plan.  Above it, the distributed bulk path takes over.
+SMALL_BATCH_ROWS = 10_000
+
+
+def flush_batch(
+    stream: Stream,
+    batch_df: DataFrame,
+    batch_id: int,
+    app_id: str,
+    order_by: list[str] | None = None,
+) -> bool:
+    """Commit one micro-batch; returns False if it was a replay (skip).
+
+    Small batches collect to the driver and go through the point
+    ``produce`` (one segment per flush, like the reference's alarm);
+    large batches go through the distributed ``produce_bulk``.
+    """
+    state = stream.refresh()
+    if state.txns.get(app_id, -1) >= batch_id:
+        return False  # replayed batch — already durable, ack and move on
+    if order_by:
+        batch_df = batch_df.orderBy(*order_by)
+    # A cheap driver-side peek decides the flush strategy; toJSON keeps
+    # payload serialization on the Spark side (timestamps, nesting).
+    head = batch_df.limit(SMALL_BATCH_ROWS + 1).toJSON().collect()
+    if not head:
+        stream._commit({"txn": {"app": app_id, "batch": batch_id}})
+        return True
+    if len(head) <= SMALL_BATCH_ROWS:
+        stream.produce(
+            [json.loads(s) for s in head],
+            txn=(app_id, batch_id),
+        )
+    else:
+        produce_bulk(
+            stream,
+            batch_df,
+            order_by=order_by or batch_df.columns[:1],
+            txn=(app_id, batch_id),
+        )
+    return True
+
+
+def start_ingest(
+    stream: Stream,
+    source_df: DataFrame,
+    checkpoint_dir: str,
+    app_id: str,
+    trigger_ms: int = 200,
+    order_by: list[str] | None = None,
+    available_now: bool = False,
+):
+    """Start the group-commit ingest query; returns the StreamingQuery.
+
+    ``trigger_ms=200`` matches the reference's flush interval
+    (``src/stream_manager.ts:14``).  ``available_now=True`` drains the
+    source and stops — the backfill/test mode.
+    """
+    writer = source_df.writeStream.foreachBatch(
+        lambda df, bid: flush_batch(stream, df, bid, app_id, order_by)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()

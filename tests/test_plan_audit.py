@@ -1,0 +1,83 @@
+"""Physical-plan audits: the properties that decide 100 TB behavior,
+asserted on the actual graded queries.  A regression here is a scale
+bug even when results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from durablestreams_spark.analytics.core import all_queries, table
+from durablestreams_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_python_eval,
+    pushed_filters,
+    scan_read_columns,
+    shuffle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q5_broadcasts_small_dims(spark):
+    """q5 joins lineitem against customer/supplier/nation/region — the
+    dims must broadcast, never shuffle the fact table extra times."""
+    df = all_queries()["q5_region_revenue"].fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A predicate on a scanned column must appear in PushedFilters."""
+    ev = table(spark, SF_DIR, "events").where(F.col("event_type") == "click")
+    pf = pushed_filters(ev)
+    assert any("event_type" in f for f in pf), pf
+
+
+def test_column_pruning_on_projection(spark):
+    """A 2-column projection must scan 2 columns, not the full table."""
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    cols = scan_read_columns(li)
+    assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """Text/dedup pipelines are pure column expressions — any Python
+    eval node in them is the 10-100x slow path."""
+    for name in ("text_quality", "text_langid", "dedup_minhash_lsh_pairs",
+                 "dedup_simhash", "similarity_knn_brute"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        assert not has_python_eval(df), f"{name} fell off the JVM path"
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    """The one intentional Python stage must be mapInPandas (Arrow),
+    never row-at-a-time BatchEvalPython."""
+    df = all_queries()["multimodal_decode_stats"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q1_single_shuffle(spark):
+    """q1 is one groupBy — exactly one exchange (plus AQE reads),
+    with partial aggregation before it."""
+    df = all_queries()["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 2, plan  # agg exchange (+ optional sort)
+    assert "HashAggregate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-
+    partition top-k + merge), not a global sort."""
+    df = all_queries()["topk_orders"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_exact_dedup_partial_agg(spark):
+    """Exact dedup's groupBy must map-side combine (two HashAggregate
+    phases around one exchange) so the shuffle carries digests, not
+    documents."""
+    df = all_queries()["dedup_exact_hash"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert shuffle_count(df) == 1, plan

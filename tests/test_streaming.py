@@ -1,0 +1,208 @@
+"""Structured Streaming tests: group-commit ingest (incl. exactly-once
+replay), tail-follow, watermarked windowed aggs, and the
+applyInPandasWithState stateful operator.
+
+Strategy: every streaming result is checked against the equivalent
+batch computation over the same inputs — streaming and batch must
+agree once the stream is drained (availableNow)."""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_json_files(path, n_files=3, rows_per_file=5):
+    os.makedirs(path, exist_ok=True)
+    eid = 0
+    for i in range(n_files):
+        with open(os.path.join(path, f"f{i}.json"), "w") as f:
+            for _ in range(rows_per_file):
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "user_id": eid % 3, "value": eid * 0.5}
+                    )
+                    + "\n"
+                )
+                eid += 1
+    return eid
+
+
+def test_ingest_group_commit_availablenow(spark, catalog, tmp_path):
+    """File source → foreachBatch group commit; all records land with
+    strictly increasing offsets, one micro-batch per file."""
+    from durablestreams_spark.streaming import start_ingest
+
+    src = str(tmp_path / "src")
+    total = _write_json_files(src)
+    source = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    stream = catalog.stream("ingested")
+    q = start_ingest(
+        stream,
+        source,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        app_id="test-ingest",
+        order_by=["event_id"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    recs = stream.consume("-", limit=1000)
+    assert len(recs) == total
+    offsets = [r.offset for r in recs]
+    assert offsets == sorted(offsets) and len(set(offsets)) == total
+    assert [r.data["event_id"] for r in recs] == list(range(total))
+    # one segment per micro-batch = per file (group commit)
+    assert len(stream.refresh().active) == 3
+
+
+def test_ingest_exactly_once_replay(spark, catalog, tmp_path):
+    """A replayed micro-batch (same app_id + batch_id) is a no-op."""
+    from durablestreams_spark.streaming.ingest import flush_batch
+
+    stream = catalog.stream("replay")
+    batch = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 2, 2.0)], "event_id long, user_id long, value double"
+    )
+    assert flush_batch(stream, batch, 0, "app-a") is True
+    assert flush_batch(stream, batch, 0, "app-a") is False  # replay
+    assert flush_batch(stream, batch, 1, "app-a") is True  # next batch
+    assert flush_batch(stream, batch, 0, "app-b") is True  # other app
+    assert len(stream.consume("-", limit=100)) == 6
+
+
+def test_tail_receives_concurrent_produce(spark, catalog, tmp_path):
+    """Streaming tail delivers records produced after it starts
+    (reference long-poll e2e, tests/index.test.ts:130-163)."""
+    from durablestreams_spark.streaming import tail_query
+
+    stream = catalog.stream("tailed")
+    stream.produce([{"v": "old"}])
+    cursor = stream.consume("-", limit=10)[-1].offset
+
+    q = tail_query(
+        spark,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        after_offset=cursor,
+        sink_table="tail_t1",
+    )
+    try:
+
+        def later():
+            time.sleep(1.0)
+            stream.produce([{"v": "new1"}, {"v": "new2"}])
+
+        t = threading.Thread(target=later)
+        t.start()
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = [
+                json.loads(r.data)["v"]
+                for r in spark.sql("SELECT data FROM tail_t1").collect()
+            ]
+            if len(got) >= 2:
+                break
+            time.sleep(0.3)
+        t.join()
+        assert sorted(got) == ["new1", "new2"]  # strictly after cursor
+    finally:
+        q.stop()
+
+
+def _events_stream(spark):
+    """The sf0.001 events table replayed as a stream (nanos → µs ts,
+    same normalization as analytics.core.table)."""
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
+    """Watermarked tumbling window over the replayed events stream ==
+    the batch window_tumbling_daily query."""
+    from durablestreams_spark.analytics.windows import window_tumbling
+
+    agg = (
+        _events_stream(spark)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"].isoformat(), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_t").collect()
+    }
+    expect = {
+        (r["window_start"].replace(" ", "T"), r["event_type"]): r["n"]
+        for r in window_tumbling(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining the stream
+    in multiple micro-batches, the last emitted row per user equals the
+    batch aggregate."""
+    from durablestreams_spark.streaming import running_user_stats
+
+    src = _events_stream(spark).select("user_id", "ts", "value")
+    q = (
+        running_user_stats(src)
+        .writeStream.format("memory")
+        .queryName("stateful_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM stateful_t").collect()
+    last = {}
+    for r in emitted:  # memory sink appends in emit order per batch
+        last[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert last == batch
