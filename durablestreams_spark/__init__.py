@@ -7,6 +7,7 @@ Spark-first (DataFrame/SQL + Catalyst + Structured Streaming).
 
 from .ingest import assign_offsets, produce_bulk
 from .manifest import CommitConflict, FencingError, SegmentMeta, StreamState
+from .partitioned import PartitionedStream
 from .offsets import (
     BEGINNING,
     end_of_epoch,
@@ -21,6 +22,7 @@ __all__ = [
     "BEGINNING",
     "CommitConflict",
     "FencingError",
+    "PartitionedStream",
     "ProduceResult",
     "Record",
     "SegmentMeta",

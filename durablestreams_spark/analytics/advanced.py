@@ -1,0 +1,130 @@
+"""Advanced relational surface: exact percentiles, correlated EXISTS,
+lateral explode, deterministic hash sampling, approximate sketches.
+
+Each rides a Catalyst built-in (SURVEY.md §2.2); the sampling pattern
+is the 100 TB-relevant one — reproducible subsetting must hash the
+data, never ``TABLESAMPLE``/``rand()`` (those are partition-layout- and
+seed-dependent, so no oracle could ever agree with them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import query, table
+
+
+@query(
+    "agg_percentiles_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB `quantile_cont`). Exact percentile is a full sort per "
+    "group; at 100 TB prefer approx_percentile (t-digest) — kept exact "
+    "here because the oracle must agree bit-for-bit.",
+)
+def agg_percentiles_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "exists_customers_with_urgent",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Correlated EXISTS — decorrelates to a left-semi join; the "
+    "orders side is filtered before the shuffle so the join carries "
+    "only urgent keys.",
+)
+def exists_customers_with_urgent(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "lateral_top_tokens",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Lateral explode: tokenize → UNNEST/explode → global top-20 "
+    "token histogram. Explode output never materializes as a table — "
+    "it streams straight into the partial aggregation.",
+)
+def lateral_top_tokens(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    """
+    SELECT count(*) AS n_sampled,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+    """,
+    doc="Deterministic ~10% sample (26/256 of the md5 keyspace) by "
+    "hashing the row key — reproducible across engines, runs, and "
+    "repartitions, unlike TABLESAMPLE/rand(). The filter is a pure "
+    "row-local predicate: no shuffle, prunes before the agg.",
+)
+def sample_hash_deterministic(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.where(F.substring(F.md5(key), 1, 2) < "1a").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@query(
+    "sketch_distinct_users",
+    None,  # approx sketches are engine-specific: rows-only check
+    doc="HyperLogLog++ distinct-user sketch per event_type "
+    "(approx_count_distinct, rsd=2%). Sketches are THE 100 TB distinct "
+    "path — mergeable partial state, no giant shuffle of raw keys. No "
+    "SQL oracle: DuckDB's approx_count_distinct uses a different "
+    "estimator, so only the weaker rows-check applies (exactness is "
+    "covered by distinct_agg_per_flag).",
+)
+def sketch_distinct_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

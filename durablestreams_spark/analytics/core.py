@@ -81,7 +81,14 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import relational, windows  # noqa: F401
-    from ..operators import dedup, similarity, text, multimodal, logops  # noqa: F401
+    from . import advanced, relational, windows  # noqa: F401
+    from ..operators import (  # noqa: F401
+        dedup,
+        logops,
+        multimodal,
+        python_api,
+        similarity,
+        text,
+    )
 
     return dict(_REGISTRY)

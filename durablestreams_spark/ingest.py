@@ -95,8 +95,10 @@ def assign_offsets(
         .withColumn("batch", F.col("__epoch"))
         .drop("__pid", "__local", "__rn", "__epoch", "__counter", "__prefix")
     )
-    # Hand the persisted intermediate to the caller for unpersist-after-write.
+    # Hand the persisted intermediate + total row count to the caller
+    # (unpersist-after-write; file-count planning without a second scan).
     out._ds_persisted = with_local  # type: ignore[attr-defined]
+    out._ds_total = acc  # type: ignore[attr-defined]
     return out
 
 
@@ -107,6 +109,7 @@ def produce_bulk(
     batch_records: int = 1000,
     payload_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    segment_rows: int | None = None,
 ) -> int:
     """Write a whole DataFrame into ``stream`` as offset-assigned
     segments; returns the number of segment files committed.
@@ -118,6 +121,16 @@ def produce_bulk(
     point produces.  Durability order matches the reference: all data
     files first, then one metadata commit = the ack point
     (``src/stream_manager.ts:498,516``).
+
+    ``batch_records`` sets the offset arithmetic (records per logical
+    epoch); ``segment_rows`` (default: same) sets the physical file
+    size.  The two are independent: the manifest invariant is only
+    that segment offset ranges are DISJOINT, which a range
+    repartition on ``offset`` guarantees by construction — so the
+    write is a plain one-file-per-task parquet write, never a dynamic
+    ``partitionBy`` (measured 3-10× slower and high-variance for many
+    small partitions).  At scale, size ``segment_rows`` so one segment
+    ≈ a comfortable scan split (e.g. ~1 GB).
     """
     state = stream.refresh()
     base_epoch = state.last_epoch_ms + 1
@@ -125,16 +138,17 @@ def produce_bulk(
         F.struct(*[F.col(c) for c in (payload_cols or df.columns)])
     ).alias("data")
     with_offsets = assign_offsets(df, order_by, batch_records, base_epoch)
-    assigned = with_offsets.select("offset", "ts", payload, "batch")
+    assigned = with_offsets.select("offset", "ts", payload)
+    total = with_offsets._ds_total  # type: ignore[attr-defined]
+    n_files = max(1, -(-total // (segment_rows or batch_records)))
 
     run_dir = f"bulk-{uuid.uuid4().hex}"
     out = os.path.join(stream.segments_dir, run_dir)
     try:
         (
-            assigned.repartition("batch")
+            assigned.repartitionByRange(n_files, "offset")
             .sortWithinPartitions("offset")
             .write.mode("error")
-            .partitionBy("batch")
             .parquet(out)
         )
     finally:

@@ -35,6 +35,12 @@ N_PLANES = 16
 DIM = 64
 TOP_K = 5
 
+#: IVF coarse quantizer: every vector whose id ≡ 7 (mod 50) is a
+#: centroid (deterministic stand-in for k-means — the index structure,
+#: assignment, and probe-limited search are identical either way).
+IVF_CENTROID_MOD = 50
+IVF_CENTROID_REM = 7
+
 
 def _srp_planes() -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign from one md5 bit per (i, j)."""
@@ -221,4 +227,84 @@ def similarity_bucketed_pairs(spark, sf_dir):
             (F.col("label_a") == F.col("label_b")).cast("long").alias("same_label"),
             F.round("cosine_raw", 4).alias("cosine"),
         )
+    )
+
+
+@query(
+    "similarity_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id % {IVF_CENTROID_MOD} = {IVF_CENTROID_REM}),
+    assigned AS (
+        SELECT vec_id, label, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cent
+    ),
+    cells AS (SELECT vec_id, label, emb, cent_id FROM assigned WHERE cr = 1),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, cent_id AS qcell
+          FROM cells WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qemb, c.emb) AS sim
+        FROM q JOIN cells c ON c.cent_id = q.qcell AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc=f"IVF-style ANN: vectors are assigned to their nearest centroid "
+    "(coarse quantizer = a deterministic centroid subset; swap in "
+    "k-means without changing the plan), then each query searches ONLY "
+    f"its own cell — top-{TOP_K} by exact cosine within the probe set. "
+    "The scan is O(n/cells) per query instead of O(n): the scale path "
+    "when brute force stops fitting. Assignment is one broadcast join "
+    "against the (small) centroid set; search shuffles on cent_id, so "
+    "cells are the unit of parallelism.",
+)
+def similarity_ivf_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = emb.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    cent = v.where(
+        F.col("vec_id") % IVF_CENTROID_MOD == IVF_CENTROID_REM
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    sim_to_cent = _dot("emb", "cemb") / (F.col("norm") * F.col("cnorm"))
+    wc = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
+    cells = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_to_cent)
+        .withColumn("cr", F.row_number().over(wc))
+        .where(F.col("cr") == 1)
+        .select("vec_id", "emb", "norm", "cent_id")
+    )
+    q = cells.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("cent_id").alias("qcell"),
+    )
+    scored = (
+        cells.join(q, (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
