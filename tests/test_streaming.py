@@ -206,3 +206,67 @@ def test_stateful_running_user_stats(spark, tmp_path):
         .collect()
     }
     assert last == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchase ⟕ clicks within
+    30 min before, same user) == the identical batch join."""
+    from durablestreams_spark.streaming.joins import interval_join
+
+    ev = _events_stream(spark)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        max_lag="30 minutes",
+        watermark="1 hour",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_t").collect()
+    }
+
+    from durablestreams_spark.analytics.core import table
+
+    bev = table(spark, SF_DIR, "events")
+    bp = bev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    bc = bev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in bp.join(
+            bc,
+            (F.col("user_id") == F.col("cuser"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
