@@ -39,6 +39,59 @@ HEADLINE = [
 ]
 
 
+def bench_log_ops() -> dict[str, float]:
+    """The reference's own latency surface (BASELINE.md derived targets):
+    produce→durable-ack, offset-addressed consume, tail delivery after a
+    concurrent produce, and one full compaction window."""
+    import shutil
+    import tempfile
+    import threading
+
+    from durablestreams_spark.maintenance import compact
+    from durablestreams_spark.stream import StreamCatalog
+
+    root = tempfile.mkdtemp(prefix="bench_log_")
+    out: dict[str, float] = {}
+    try:
+        s = StreamCatalog(root).stream("bench")
+        # produce ack: batch of 100 records, ack = durable (target <=0.4s)
+        t0 = time.perf_counter()
+        s.produce([{"i": i, "v": f"msg-{i}"} for i in range(100)])
+        out["op_produce_ack_100"] = round(time.perf_counter() - t0, 4)
+        # build 10 segments x 500 records => one full compaction window
+        for b in range(10):
+            s.produce([{"i": b * 500 + i} for i in range(500)])
+        cursor = s.consume("-", limit=37)[-1].offset
+        t0 = time.perf_counter()
+        page = s.consume(cursor, limit=10)
+        out["op_consume_10"] = round(time.perf_counter() - t0, 4)
+        assert len(page) == 10
+        # tail delivery after a concurrent produce (target <=2 triggers)
+        def _later():
+            time.sleep(0.05)
+            s.produce([{"late": True}])
+
+        th = threading.Thread(target=_later)
+        t0 = time.perf_counter()
+        th.start()
+        got = s.tail(limit=10, timeout_sec=5)
+        out["op_tail_delivery"] = round(time.perf_counter() - t0, 4)
+        th.join()
+        assert got, "tail missed the concurrent produce"
+        # compaction of a ~10-segment window + read-back check
+        n_before = len(s.refresh().active)
+        t0 = time.perf_counter()
+        meta = compact(s)
+        out["op_compact_window"] = round(time.perf_counter() - t0, 4)
+        assert meta is not None and len(s.refresh().active) < n_before
+        recs = s.consume("-", limit=10_000)
+        offs = [r.offset for r in recs]
+        assert offs == sorted(offs) and len(recs) == 5101
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -46,6 +99,9 @@ def main() -> None:
     specs = all_queries()
 
     timings: dict[str, float] = {}
+    for name, val in bench_log_ops().items():
+        timings[name] = val
+        print(f"# {name}: {val}s", file=sys.stderr)
     for name in HEADLINE:
         fn = specs[name].fn
         t0 = time.perf_counter()

@@ -26,6 +26,8 @@ ONE manifest commit (group commit taken to its logical extreme).
 from __future__ import annotations
 
 import os
+import sys
+import time
 import uuid
 
 import pyarrow.parquet as pq
@@ -132,12 +134,22 @@ def produce_bulk(
     small partitions).  At scale, size ``segment_rows`` so one segment
     ≈ a comfortable scan split (e.g. ~1 GB).
     """
+    trace = os.environ.get("DS_TIMING")
+
+    def _t(label: str, t0: float) -> float:
+        t1 = time.perf_counter()
+        if trace:
+            print(f"## produce_bulk {label}: {t1 - t0:.2f}s", file=sys.stderr)
+        return t1
+
+    t0 = time.perf_counter()
     state = stream.refresh()
     base_epoch = state.last_epoch_ms + 1
     payload = F.to_json(
         F.struct(*[F.col(c) for c in (payload_cols or df.columns)])
     ).alias("data")
     with_offsets = assign_offsets(df, order_by, batch_records, base_epoch)
+    t0 = _t("assign", t0)
     assigned = with_offsets.select("offset", "ts", payload)
     total = with_offsets._ds_total  # type: ignore[attr-defined]
     n_files = max(1, -(-total // (segment_rows or batch_records)))
@@ -151,6 +163,7 @@ def produce_bulk(
             .write.mode("error")
             .parquet(out)
         )
+        t0 = _t("write", t0)
     finally:
         with_offsets._ds_persisted.unpersist()  # type: ignore[attr-defined]
 
