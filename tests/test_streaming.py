@@ -270,3 +270,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window (merging-state agg) over the replayed
+    stream == the batch window_session_30m groups."""
+    agg = (
+        _events_stream(spark)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        # truncate to seconds: the batch query formats session_start
+        # with a seconds-precision pattern
+        (r["user_id"], r["w"]["start"].strftime("%Y-%m-%dT%H:%M:%S")): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    from durablestreams_spark.analytics.windows import window_session
+
+    expect = {
+        (r["user_id"], r["session_start"].replace(" ", "T")): r["n_events"]
+        for r in window_session(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
