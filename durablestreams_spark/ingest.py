@@ -205,5 +205,8 @@ def produce_bulk(
     }
     if txn is not None:
         actions["txn"] = {"app": txn[0], "batch": txn[1]}
-    stream._commit(actions)
+    # Offsets derive from base_epoch: if a point producer claimed an
+    # epoch >= ours mid-job, committing would interleave ranges — abort
+    # loudly instead (bulk loads re-run; they don't silently corrupt).
+    stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
     return len(metas)

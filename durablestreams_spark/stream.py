@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import threading
 import time
@@ -114,15 +115,28 @@ class Stream:
         self._state = self.manifest.load()
         return self._state
 
-    def _commit(self, actions: dict) -> StreamState:
-        """Optimistic commit with reload-retry on conflict."""
-        for _ in range(16):
+    def _commit(self, actions: dict, guard=None) -> StreamState:
+        """Optimistic commit with reload-retry, backoff and jitter.
+
+        ``guard(state)`` — if given — revalidates the freshly folded
+        state before each attempt; returning False aborts with
+        CommitConflict so the CALLER can recompute whatever it derived
+        from the stale state (offsets!) instead of committing garbage.
+        """
+        delay = 0.001
+        for _ in range(64):
             base = self._load()
+            if guard is not None and not guard(base):
+                raise CommitConflict(
+                    f"stream {self.name}: state changed under a derived commit"
+                )
             try:
                 self._state = self.manifest.commit(actions, base)
                 return self._state
             except CommitConflict:
                 self._state = None  # lost the race: refold and retry
+                time.sleep(delay * (0.5 + random.random()))
+                delay = min(delay * 2, 0.05)
         raise CommitConflict(f"manifest contention on stream {self.name}")
 
     # -- produce ----------------------------------------------------------
@@ -151,6 +165,23 @@ class Stream:
         if version is not None and not isinstance(version, int):
             raise ValueError(f"producer version must be an int, got {version!r}")
         with self._lock:
+            offsets = self._produce_locked(records, version, epoch_ms, txn)
+        with self._data_cond:
+            self._data_cond.notify_all()
+        return ProduceResult(offsets=offsets, version=version)
+
+    def _produce_locked(self, records, version, epoch_ms, txn) -> list[str]:
+        """Optimistic produce: offsets derive from the loaded state, so
+        a lost manifest race invalidates them — everything (epoch,
+        offsets, segment file) is recomputed from the fresh fold and
+        the stale segment unlinked (a crash mid-retry leaves at most an
+        orphan file, reaped by purge_orphans — same failure envelope as
+        the reference, SURVEY.md §3.1)."""
+        last_exc: Exception | None = None
+        for attempt in range(32):
+            if attempt:  # jittered backoff breaks producer livelock
+                time.sleep(random.uniform(0, 0.002 * attempt))
+                self._state = None  # refold — our fold is known-stale
             state = self._load()
             set_meta: dict = {}
             if version is not None:
@@ -163,10 +194,11 @@ class Stream:
             if not records:
                 if set_meta:
                     self._commit({"set": set_meta})
-                cur = self._load().producer_version
-                return ProduceResult(offsets=[], version=cur if version is not None else None)
+                return []
 
-            epoch = next_epoch(state.last_epoch_ms, epoch_ms if epoch_ms is not None else _now_ms())
+            epoch = next_epoch(
+                state.last_epoch_ms, epoch_ms if epoch_ms is not None else _now_ms()
+            )
             offsets = [serialize_offset(epoch, i) for i in range(len(records))]
             payloads = [json.dumps(r, separators=(",", ":")) for r in records]
             name = f"{epoch:016d}-{uuid.uuid4().hex}.parquet"
@@ -185,10 +217,26 @@ class Stream:
             actions = {"add": [meta.to_json()], "set": set_meta}
             if txn is not None:
                 actions["txn"] = {"app": txn[0], "batch": txn[1]}
-            self._commit(actions)
-        with self._data_cond:
-            self._data_cond.notify_all()
-        return ProduceResult(offsets=offsets, version=version)
+
+            def fresh_enough(st, _epoch=epoch):
+                # another writer claimed our epoch (or later) ⇒ our
+                # offsets would collide/regress: recompute, don't commit
+                return st.last_epoch_ms < _epoch and not (
+                    version is not None and version < st.producer_version
+                )
+
+            try:
+                self._commit(actions, guard=fresh_enough)
+                return offsets
+            except CommitConflict as exc:
+                last_exc = exc
+                try:
+                    os.unlink(os.path.join(self.segments_dir, name))
+                except OSError:
+                    pass
+        raise CommitConflict(
+            f"produce on stream {self.name} kept losing offset races"
+        ) from last_exc
 
     def _write_segment(self, name: str, offsets: list[str], epoch: int, payloads: list[str]) -> int:
         os.makedirs(self.segments_dir, exist_ok=True)
