@@ -304,3 +304,47 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in window_session(spark, SF_DIR).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (SURVEY §2.2 'content-hash + window-dedup
+    for streaming'): duplicate payloads across micro-batches collapse;
+    the drained result equals batch dropDuplicates."""
+    src_dir = str(tmp_path / "dupsrc")
+    os.makedirs(src_dir)
+    base = "2024-01-01 00:{m:02d}:00"
+    rows = [  # content c1 appears in both files, c2 twice in one file
+        (0, base.format(m=1), "c1"),
+        (1, base.format(m=2), "c2"),
+        (2, base.format(m=2), "c2"),
+        (3, base.format(m=3), "c3"),
+        (4, base.format(m=4), "c1"),
+    ]
+    for fi, chunk in enumerate((rows[:3], rows[3:])):
+        with open(os.path.join(src_dir, f"f{fi}.json"), "w") as f:
+            for rid, ts, content in chunk:
+                f.write(json.dumps({"rid": rid, "ts": ts, "content": content}) + "\n")
+
+    src = (
+        spark.readStream.schema("rid long, ts timestamp, content string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    deduped = (
+        src.withColumn("content_hash", F.sha2("content", 256))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.content for r in spark.sql("SELECT content FROM dedup_t").collect()
+    )
+    assert got == ["c1", "c2", "c3"]
