@@ -98,6 +98,11 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
+    # Warm the JVM (codegen, parquet reader, shuffle paths) so query
+    # timings measure the engine, not first-call JIT.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name, val in bench_log_ops().items():
         timings[name] = val

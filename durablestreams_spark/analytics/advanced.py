@@ -128,3 +128,35 @@ def sketch_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "map_explode_props",
+    """
+    WITH kv AS (
+        SELECT UNNEST(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS sum_val,
+           CAST(max(CAST(json_extract(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS max_val
+    FROM kv
+    GROUP BY prop_key
+    """,
+    doc="Map functions over the schemaless payload: from_json into "
+    "map<string,long>, explode the entries, aggregate per key — the "
+    "generic shape for property bags whose keys aren't known at write "
+    "time (the oracle walks the same JSON with json_each).",
+)
+def map_explode_props(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.max("val").alias("max_val"),
+        )
+    )

@@ -60,9 +60,14 @@ def _ingest_events(spark, sf_dir: str):
         order_by=["ts", "event_id"],
         batch_records=BATCH,
         payload_cols=["event_id"],
+        # physical segments are 2.5 logical batches each: offsets are
+        # identical (they derive from batch_records alone) but the
+        # write produces 2.5x fewer files, and two segments still trip
+        # the 5000-record compaction window below.
+        segment_rows=2500,
     )
-    # Compact the oldest window (5 batches trip MaxRecords=5000) so the
-    # read path spans compacted + raw segments.
+    # Compact the oldest window (2 segments trip MaxRecords=5000) so
+    # the read path spans compacted + raw segments.
     compact(stream)
     with open(marker, "w") as f:
         f.write("ok")

@@ -1,0 +1,111 @@
+"""Structured Streaming operators inside the graded oracle gate.
+
+Each query here runs a REAL streaming query (readStream → stateful op
+→ memory sink, drained with availableNow) and returns the sink as a
+DataFrame; the DuckDB oracle recomputes the drained result relationally.
+This puts watermarked aggregation and applyInPandasWithState under the
+same value-hash check as the batch surface, not just under pytest.
+
+Determinism note: the source is one parquet file ⇒ availableNow drains
+it in a single micro-batch, so update-mode emissions equal the final
+state.  (With multiple batches the LAST emission per key still equals
+the oracle; single-batch just means no superseded rows in the sink.)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..analytics.core import query
+
+_FMT_S = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark, sf_dir: str):
+    """The events table replayed as a stream (same nanos→µs
+    normalization as ``analytics.core.table``)."""
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _drain(df, output_mode: str):
+    """Run a streaming DF to a memory sink until drained; return the
+    sink table as a batch DataFrame."""
+    sink = f"graded_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ds_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return df.sparkSession.sql(f"SELECT * FROM {sink}")
+
+
+@query(
+    "streaming_tumbling_daily",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="LIVE watermarked tumbling window (readStream → withWatermark → "
+    "window agg → complete-mode sink, drained): the streaming twin of "
+    "window_tumbling_daily, value-hash-checked against the same oracle.",
+)
+def streaming_tumbling_daily(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.date_format("w.start", _FMT_S).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    doc="LIVE applyInPandasWithState running totals, drained: the final "
+    "emission per user must equal the batch aggregate — custom "
+    "stateful streaming under the oracle gate.",
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    from ..streaming.stateful import running_user_stats
+
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = _drain(running_user_stats(src), "update")
+    # keep the final (highest n_events) emission per user — a no-op for
+    # the single-batch drain, correctness armor for multi-batch drains
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
