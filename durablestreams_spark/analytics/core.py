@@ -88,6 +88,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         python_api,
         similarity,
+        skew,
         streaming_queries,
         text,
     )

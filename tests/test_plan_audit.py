@@ -81,3 +81,47 @@ def test_exact_dedup_partial_agg(spark):
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
     assert shuffle_count(df) == 1, plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides of a recurring join on the join key
+    removes the per-query exchanges entirely — THE pattern for repeated
+    100 TB fact-fact joins (SURVEY.md §2.2 'bucketing for co-located
+    joins'). Both tables bucketed by orderkey: the sort-merge join must
+    read buckets directly, zero Exchange nodes."""
+    orders = table(spark, SF_DIR, "orders")
+    li = table(spark, SF_DIR, "lineitem")
+    for df, name, key in ((orders, "b_orders", "o_orderkey"), (li, "b_lineitem", "l_orderkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        # force the SMJ path: at sf0.001 both sides fit the broadcast
+        # threshold, which would hide the bucket co-location being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # the join reads buckets directly: the ONLY exchange in the whole
+        # plan is the final tiny aggregation one (unbucketed, this plan
+        # has three — one per join side plus the agg)
+        assert shuffle_count(j) == 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

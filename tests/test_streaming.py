@@ -348,3 +348,52 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
         r.content for r in spark.sql("SELECT content FROM dedup_t").collect()
     )
     assert got == ["c1", "c2", "c3"]
+
+
+def test_stream_as_streaming_source_end_to_end(spark, catalog, tmp_path):
+    """Full pipeline over the durable log itself: produce JSON records
+    into a stream, read it back with read_stream, project the payload
+    through a typed view, run a watermarked windowed agg — result equals
+    the same query run batch-side over the same stream."""
+    from durablestreams_spark.functions.payload import typed_view
+
+    s = catalog.stream("pipeline")
+    base = 1_700_000_000_000  # epoch-ms of the synthetic event times
+    for b in range(3):
+        s.produce(
+            [
+                {"sensor": f"s{i % 2}", "at_ms": base + (b * 10 + i) * 60_000, "v": b * 10 + i}
+                for i in range(10)
+            ]
+        )
+
+    schema = "sensor STRING, at_ms BIGINT, v DOUBLE"
+
+    def pipeline(df):
+        typed = typed_view(df, schema)
+        return (
+            typed.withColumn("evt", F.timestamp_millis("at_ms"))
+            .withWatermark("evt", "10 minutes")
+            .groupBy(F.window("evt", "1 hour").alias("w"), "sensor")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+
+    q = (
+        pipeline(s.read_stream(spark))
+        .writeStream.format("memory")
+        .queryName("pipe_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"].isoformat(), r["sensor"]): (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM pipe_t").collect()
+    }
+    expect = {
+        (r["w"]["start"].isoformat(), r["sensor"]): (r["n"], r["sv"])
+        for r in pipeline(s.to_df(spark)).collect()
+    }
+    assert got == expect and len(got) > 0
