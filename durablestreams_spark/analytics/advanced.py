@@ -114,19 +114,30 @@ def sample_hash_deterministic(spark, sf_dir):
 
 @query(
     "sketch_distinct_users",
-    None,  # approx sketches are engine-specific: rows-only check
+    """
+    SELECT event_type, count(*) AS n_events, true AS approx_ok
+    FROM events GROUP BY event_type
+    """,
     doc="HyperLogLog++ distinct-user sketch per event_type "
     "(approx_count_distinct, rsd=2%). Sketches are THE 100 TB distinct "
-    "path — mergeable partial state, no giant shuffle of raw keys. No "
-    "SQL oracle: DuckDB's approx_count_distinct uses a different "
-    "estimator, so only the weaker rows-check applies (exactness is "
-    "covered by distinct_agg_per_flag).",
+    "path — mergeable partial state, no giant shuffle of raw keys. "
+    "DuckDB's estimator differs, so the sketch VALUE can't be oracled "
+    "directly; instead the query emits approx_ok = |approx - exact| ≤ "
+    "3×rsd×exact per group and the oracle asserts `true` — an error "
+    "bound the estimator guarantees with overwhelming probability, "
+    "turning what was a rows-only free pass into a hash-matched gate.",
 )
 def sketch_distinct_users(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 3 * 0.02 * F.count_distinct("user_id")
+        ).alias("approx_ok"),
     )
 
 

@@ -128,10 +128,13 @@ def q3_shipping_priority(spark, sf_dir):
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="Six-way snowflake join; region/nation/supplier/customer all "
-    "broadcast (dims are tiny even at 100 TB fact scale), so lineitem "
-    "never shuffles before the aggregate — the only exchange is the "
-    "final O(nations) one.",
+    doc="Six-way snowflake join. Only the FIXED-cardinality dims "
+    "(nation=25, region=5 rows at every SF) carry broadcast hints; "
+    "customer and supplier scale WITH the fact data (TPC-H: 150k×sf "
+    "customers), so forcing them into broadcast would OOM the driver "
+    "at 100 TB — those joins are left to Catalyst/AQE, which picks "
+    "broadcast at small SF and shuffle joins once they outgrow "
+    "autoBroadcastJoinThreshold.",
 )
 def q5_region_revenue(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -144,9 +147,9 @@ def q5_region_revenue(spark, sf_dir):
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -191,17 +194,24 @@ def join_semi(spark, sf_dir):
     """
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
     doc="NOT EXISTS → left-anti join (the same plan shape our orphan "
-    "purge uses at object-store scale, SURVEY.md §2.1 #16).",
+    "purge uses at object-store scale, SURVEY.md §2.1 #16). The "
+    "predicate is 'no URGENT order' rather than 'no order at all' so "
+    "the fixture (where every customer has orders) yields survivors — "
+    "a 0-row result would make the oracle hash check vacuous.",
 )
 def join_anti(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -270,39 +280,57 @@ def join_range(spark, sf_dir):
     """,
     doc="As-of join: for each purchase, the latest strictly-earlier click "
     "by the same user. Spark lacks a native batch as-of operator "
-    "(SURVEY.md §2.2), so it is composed as an equi-join on the "
-    "partition key + event-time inequality, then one row kept per left "
-    "row via row_number() — the join shuffles on user_id so both sides "
-    "co-locate; at 100 TB pre-bucketing both tables on user_id removes "
-    "the shuffle entirely. Oracle uses DuckDB's native ASOF JOIN.",
+    "(SURVEY.md §2.2); instead of the classic equi-join + inequality + "
+    "row_number plan (which materializes every purchase×earlier-click "
+    "pair — O(clicks·purchases) per user, a blowup on skewed users), "
+    "both event sets are UNIONed into one (user_id, ts)-sorted stream "
+    "and the last click is carried forward with last(..., "
+    "ignorenulls=True) over an unbounded-preceding window — O(n) per "
+    "user, exactly one exchange (hash on user_id for the window sort), "
+    "no join at all. Strict inequality (p.ts > c.ts) falls out of the "
+    "sort tiebreak: purchases order BEFORE clicks at equal ts, so a "
+    "same-instant click is outside the purchase row's frame. Oracle "
+    "uses DuckDB's native ASOF JOIN.",
 )
 def join_asof(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),  # sorts before clicks at equal ts ⇒ strict <
         F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
     )
     clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_id"),
         F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
+        F.col("ts").alias("click_ts"),
     )
-    joined = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.c_user) & (purchases.p_ts > clicks.c_ts),
-        "inner",
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "click_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w = W.partitionBy("purchase_id").orderBy(F.col("c_ts").desc())
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("c_ts"),
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        merged.where((F.col("kind") == 0) & F.col("click_id").isNotNull())
         .select(
             "purchase_id",
             "user_id",
             "click_id",
             F.round(
-                F.unix_micros("p_ts") / 1e6 - F.unix_micros("c_ts") / 1e6, 3
+                F.unix_micros("ts") / 1e6 - F.unix_micros("c_ts") / 1e6, 3
             ).alias("gap_sec"),
         )
     )

@@ -187,10 +187,13 @@ def similarity_srp_buckets(spark, sf_dir):
            CAST((a.label = c.label) AS BIGINT) AS same_label,
            round(list_cosine_similarity(a.emb, c.emb), 4) AS cosine
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE list_cosine_similarity(a.emb, c.emb) >= 0.8
+    WHERE list_cosine_similarity(a.emb, c.emb) >= 0.05
     """,
     doc="Embedding near-duplicate pairs: join within SRP buckets only "
-    "(the candidate set), verify with exact cosine ≥ 0.8. This is "
+    "(the candidate set), verify with exact cosine ≥ 0.05 — the "
+    "threshold is tuned to the synthetic fixture (near-orthogonal "
+    "random vectors, in-bucket cosine ≤ ~0.3) so the oracle check "
+    "compares NON-empty sets; real corpora would use ≥ 0.8. This is "
     "embedding-cosine near-dup for dedup pipelines: O(Σ bucket²) "
     "instead of O(n²) comparisons.",
 )
@@ -220,7 +223,7 @@ def similarity_bucketed_pairs(spark, sf_dir):
         a.join(c, ["bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cos)
-        .where(F.col("cosine_raw") >= 0.8)
+        .where(F.col("cosine_raw") >= 0.05)
         .select(
             "vec_a",
             "vec_b",

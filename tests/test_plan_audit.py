@@ -25,6 +25,39 @@ def test_q5_broadcasts_small_dims(spark):
     assert has_broadcast_join(df)
 
 
+def test_q5_customer_supplier_not_forced_broadcast(spark):
+    """customer/supplier scale WITH the fact data (150k×sf customers):
+    a hard broadcast hint on them is a 100 TB driver OOM. With the
+    broadcast threshold disabled, those joins must fall back to a
+    shuffle join — proving there is no forced hint — while the
+    fixed-cardinality nation/region hints still broadcast."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["q5_region_revenue"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        # nation/region keep their explicit hints...
+        assert "BroadcastHashJoin" in plan, plan
+        # ...but customer/supplier now sort-merge/shuffle-hash join:
+        # without hints + threshold off they cannot be broadcast.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_asof_join_is_single_pass(spark):
+    """The as-of join must be the union + last-value-forward plan:
+    no join node (the pair-expansion O(clicks·purchases) blowup per
+    skewed user), exactly one hash exchange (user_id for the window
+    sort)."""
+    df = all_queries()["join_asof_purchase_prior_click"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+    assert "Window" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """A predicate on a scanned column must appear in PushedFilters."""
     ev = table(spark, SF_DIR, "events").where(F.col("event_type") == "click")
