@@ -91,6 +91,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         logops,
         multimodal,
+        partitioned_ops,
         python_api,
         similarity,
         skew,

@@ -119,3 +119,35 @@ def log_consume_page(spark, sf_dir):
         [(int(r.data["event_id"]), r.offset) for r in page],
         "event_id bigint, offset string",
     )
+
+
+@query(
+    "log_time_travel_consume",
+    f"""
+    SELECT event_id,
+           lpad(CAST(((rn - 1) // {BATCH}) + 1 AS VARCHAR), 16, '0') ||
+           lpad(CAST((rn - 1) % {BATCH} AS VARCHAR), 16, '0') AS offset
+    FROM (SELECT event_id,
+                 row_number() OVER (ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn > 250
+    """,
+    doc="Time-travel consume via a SYNTHETIC offset (the reference's "
+    "'now-30d' story, README.md:105-108 and offsets.offset_for_time): "
+    "the cursor serialize_offset(1, 249) was never returned by any "
+    "produce — it is constructed purely from a point in (logical) "
+    "time — yet exclusive-start scanning from it must return exactly "
+    "the records after that instant, across every later epoch and "
+    "through the compacted/raw segment mix, with manifest pruning "
+    "dropping wholly-earlier segments before the scan.",
+)
+def log_time_travel_consume(spark, sf_dir):
+    from ..offsets import serialize_offset
+
+    stream = _ingest_events(spark, sf_dir)
+    cursor = serialize_offset(1, 249)  # mid-epoch-1 point in time
+    df = stream.to_df(spark, after_offset=cursor)  # manifest file pruning
+    return df.where(F.col("offset") > cursor).select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id"),
+        "offset",
+    )
