@@ -16,7 +16,7 @@ import uuid
 
 import pyarrow.parquet as pq
 
-from .manifest import SegmentMeta
+from .manifest import CommitConflict, SegmentMeta
 from .stream import Stream
 
 # Reference thresholds, src/segment.ts:61-65.
@@ -72,7 +72,11 @@ def plan_compaction(
     return window if len(window) >= 2 else []
 
 
-def compact(stream: Stream, **thresholds) -> SegmentMeta | None:
+def compact(
+    stream: Stream,
+    window: list[SegmentMeta] | None = None,
+    **thresholds,
+) -> SegmentMeta | None:
     """Merge one planned window into a single segment, atomically.
 
     Because segment offset ranges are disjoint and each file is sorted,
@@ -82,12 +86,24 @@ def compact(stream: Stream, **thresholds) -> SegmentMeta | None:
     commit: remove actives → tombstones, add the compacted segment
     (reference KV transaction, ``src/stream_manager.ts:592-598``).
 
+    Concurrent compactors are safe: the commit is guarded on every
+    window segment still being active at commit time (the reference
+    gets this for free from the Durable Object's single-threadedness).
+    A compactor that loses the race deletes its output file and
+    returns None — without the guard, both swaps would "succeed" and
+    the manifest would hold two compacted segments with OVERLAPPING
+    offset ranges, i.e. duplicated rows on every read.
+
+    ``window`` is an injection seam for tests racing two compactors;
+    normal callers let the planner pick it from fresh state.
+
     At 100 TB this becomes a Spark job per window
     (``spark.read.parquet(window).coalesce(1).write``) fanned out over
     many streams/windows at once; the manifest commit stays the same.
     """
-    state = stream.refresh()
-    window = plan_compaction(state.active_sorted(), **thresholds)
+    if window is None:
+        state = stream.refresh()
+        window = plan_compaction(state.active_sorted(), **thresholds)
     if not window:
         return None
     epoch = int(window[-1].last_offset[:16])
@@ -108,13 +124,24 @@ def compact(stream: Stream, **thresholds) -> SegmentMeta | None:
         records=sum(s.records for s in window),
         bytes=os.path.getsize(dst),
     )
-    stream._commit(
-        {
-            "add": [meta.to_json()],
-            "remove": [s.name for s in window],
-            "removed_ms": int(time.time() * 1000),
-        }
-    )
+    try:
+        stream._commit(
+            {
+                "add": [meta.to_json()],
+                "remove": [s.name for s in window],
+                "removed_ms": int(time.time() * 1000),
+            },
+            guard=lambda st: all(s.name in st.active for s in window),
+        )
+    except CommitConflict:
+        # Another compactor swapped (part of) this window first; our
+        # merged file must not enter the manifest. Best-effort unlink —
+        # a crash right here leaves an orphan for purge_orphans.
+        try:
+            os.unlink(dst)
+        except OSError:
+            pass
+        return None
     return meta
 
 
@@ -145,10 +172,29 @@ def clean_tombstones(
     return purged
 
 
-def purge_orphans(stream: Stream) -> list[str]:
+#: An unreferenced segment younger than this is assumed to belong to an
+#: in-flight produce (written, not yet committed) and is left alone.
+ORPHAN_GRACE_MS = 60_000
+
+
+def purge_orphans(
+    stream: Stream,
+    grace_ms: int = ORPHAN_GRACE_MS,
+    now_ms: int | None = None,
+) -> list[str]:
     """Delete segment files referenced by neither the active set nor a
     tombstone (crash between data write and manifest commit leaves an
     orphan; reference ``purgeOrphans``, ``src/stream_manager.ts:638-676``).
+
+    Race safety: the reference's purge is only safe because the Durable
+    Object serializes it with produce; here a producer that has written
+    its segment but not yet committed the manifest would lose the file
+    (and its subsequent commit would then reference deleted data).  Two
+    defenses: ``stream._lock`` serializes against same-process
+    producers (produce holds it across write+commit), and the grace
+    period spares any unreferenced file young enough to be another
+    process's in-flight write — its commit either lands (file becomes
+    referenced) or never will (purged after the grace).
 
     Semantically a left-anti join of the directory listing against the
     manifest.  Driver-side set difference here; at object-store scale
@@ -156,15 +202,23 @@ def purge_orphans(stream: Stream) -> list[str]:
     ``files_df.join(manifest_df, "name", "left_anti")`` (SURVEY.md
     §2.1 #16 — the reference's per-object double KV lookup was a 128 MB
     memory workaround Spark doesn't need)."""
-    state = stream.refresh()
-    if not os.path.isdir(stream.segments_dir):
-        return []
-    referenced = set(state.active) | set(state.tombstones)
-    orphans = [
-        fn
-        for fn in os.listdir(stream.segments_dir)
-        if fn.endswith(".parquet") and fn not in referenced
-    ]
-    for fn in orphans:
-        os.unlink(os.path.join(stream.segments_dir, fn))
-    return orphans
+    with stream._lock:
+        state = stream.refresh()
+        if not os.path.isdir(stream.segments_dir):
+            return []
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        referenced = set(state.active) | set(state.tombstones)
+        purged = []
+        for fn in os.listdir(stream.segments_dir):
+            if not fn.endswith(".parquet") or fn in referenced:
+                continue
+            path = os.path.join(stream.segments_dir, fn)
+            try:
+                age_ms = now - int(os.path.getmtime(path) * 1000)
+            except OSError:
+                continue  # vanished underneath us — not ours to purge
+            if age_ms <= grace_ms:
+                continue
+            os.unlink(path)
+            purged.append(fn)
+        return purged

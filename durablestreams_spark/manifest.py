@@ -223,6 +223,9 @@ class Manifest:
                 os.link(tmp, dst)  # put-if-absent: the commit point
             except FileExistsError:
                 raise CommitConflict(f"manifest version {version} already committed")
+            # Make the directory entry durable: without this a power
+            # loss can lose the link while the producer already acked.
+            self._fsync_dir()
         finally:
             os.unlink(tmp)
         new = StreamState(
@@ -238,14 +241,24 @@ class Manifest:
             self._write_checkpoint(new)
         return new
 
+    def _fsync_dir(self) -> None:
+        dfd = os.open(self.dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def _write_checkpoint(self, st: StreamState) -> None:
         path = os.path.join(self.dir, f"{st.version:0{VERSION_DIGITS}d}.checkpoint.json")
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(st.to_json(), f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
             try:
                 os.link(tmp, path)
+                self._fsync_dir()
             except FileExistsError:
                 pass  # another writer checkpointed the same version — identical content
         finally:

@@ -247,6 +247,21 @@ class Stream:
         )
         path = os.path.join(self.segments_dir, name)
         pq.write_table(table, path, compression="zstd")
+        # The ack contract is "segment AND metadata durable"
+        # (src/stream_manager.ts:278-281,498): fsync the bytes and the
+        # directory entry BEFORE the manifest commit can reference them,
+        # or a power loss could leave the manifest pointing at a file
+        # whose contents never hit disk.
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dfd = os.open(self.segments_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return os.path.getsize(path)
 
     # -- consume ----------------------------------------------------------
@@ -296,8 +311,13 @@ class Stream:
             if remaining <= 0:
                 return []
             with self._data_cond:
-                self._data_cond.wait(timeout=min(remaining, 0.05))
-            state = self._load()
+                notified = self._data_cond.wait(timeout=min(remaining, 0.05))
+            # A same-process produce notifies the condition AND updates
+            # the cached state, so _load() suffices; on a timeout the
+            # new data (if any) came from ANOTHER process, which only
+            # the manifest knows about — refold it, or cross-process
+            # produces would never wake this poll.
+            state = self._load() if notified else self.refresh()
             cur = state.max_offset()
             if cur is not None and (snapshot == BEGINNING or cur > snapshot):
                 return self.consume(snapshot, limit)

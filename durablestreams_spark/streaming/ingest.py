@@ -52,24 +52,32 @@ def flush_batch(
         return False  # replayed batch — already durable, ack and move on
     if order_by:
         batch_df = batch_df.orderBy(*order_by)
-    # A cheap driver-side peek decides the flush strategy; toJSON keeps
-    # payload serialization on the Spark side (timestamps, nesting).
-    head = batch_df.limit(SMALL_BATCH_ROWS + 1).toJSON().collect()
-    if not head:
-        stream._commit({"txn": {"app": app_id, "batch": batch_id}})
-        return True
-    if len(head) <= SMALL_BATCH_ROWS:
-        stream.produce(
-            [json.loads(s) for s in head],
-            txn=(app_id, batch_id),
-        )
-    else:
-        produce_bulk(
-            stream,
-            batch_df,
-            order_by=order_by or batch_df.columns[:1],
-            txn=(app_id, batch_id),
-        )
+    # Strategy decision must NOT ship rows to the driver: a count() is
+    # O(1) result size regardless of batch width, and the persist
+    # ensures the decision scan is reused by whichever flush path runs
+    # (rows stay in executors until the point-produce path — which
+    # needs them driver-side by design — pulls its <=10k rows).
+    batch_df.persist()
+    try:
+        n = batch_df.count()
+        if n == 0:
+            stream._commit({"txn": {"app": app_id, "batch": batch_id}})
+        elif n <= SMALL_BATCH_ROWS:
+            # toJSON keeps payload serialization on the Spark side
+            # (timestamps, nesting).
+            stream.produce(
+                [json.loads(s) for s in batch_df.toJSON().collect()],
+                txn=(app_id, batch_id),
+            )
+        else:
+            produce_bulk(
+                stream,
+                batch_df,
+                order_by=order_by or batch_df.columns[:1],
+                txn=(app_id, batch_id),
+            )
+    finally:
+        batch_df.unpersist()
     return True
 
 

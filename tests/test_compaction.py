@@ -106,7 +106,52 @@ def test_orphan_purge(catalog):
     orphan = os.path.join(s.segments_dir, "9999999999999999-deadbeef.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not a real segment")
+    os.utime(orphan, (0, 0))  # ancient mtime — well past the grace period
     assert purge_orphans(s) == ["9999999999999999-deadbeef.parquet"]
     assert not os.path.exists(orphan)
     # referenced files untouched
     assert [r.data["value"] for r in s.consume("-", 10)] == ["a"]
+
+
+def test_orphan_purge_spares_inflight_writes(catalog):
+    """An unreferenced segment younger than the grace period must NOT
+    be deleted: it may be another process's produce that has written
+    its file but not yet committed the manifest (ADVICE: without the
+    grace, that commit then lands referencing deleted data)."""
+    s = catalog.stream(uuid.uuid4().hex)
+    s.produce([{"value": "a"}])
+    inflight = os.path.join(s.segments_dir, "9999999999999998-cafebabe.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"pending segment")
+    assert purge_orphans(s) == []  # fresh mtime ⇒ spared
+    assert os.path.exists(inflight)
+    os.utime(inflight, (0, 0))
+    assert purge_orphans(s) == ["9999999999999998-cafebabe.parquet"]
+
+
+def test_concurrent_compactors_never_double_swap(catalog):
+    """Two compactors planning the same window: the second commit must
+    be rejected by the still-active guard, not silently re-applied —
+    otherwise the manifest ends up with two compacted segments with
+    overlapping offset ranges (duplicated rows on every read)."""
+    from durablestreams_spark.maintenance import plan_compaction
+
+    name = uuid.uuid4().hex
+    s1 = catalog.stream(name)
+    for i in range(3):
+        s1.produce([{"v": i}], epoch_ms=i + 1)
+    # both compactors plan from the SAME state (the race window)
+    window = plan_compaction(s1.refresh().active_sorted())
+    assert len(window) == 3
+    first = compact(s1, window=window)
+    assert first is not None
+    n_files_after_first = len(os.listdir(s1.segments_dir))
+    # the loser arrives with the now-stale window
+    second = compact(s1, window=window)
+    assert second is None  # guard rejected the double swap
+    # the loser's merged output file was deleted, manifest unchanged
+    assert len(os.listdir(s1.segments_dir)) == n_files_after_first
+    state = s1.refresh()
+    assert list(state.active) == [first.name]
+    # every record exactly once, in order
+    assert [r.data["v"] for r in s1.consume("-", 10)] == [0, 1, 2]

@@ -73,6 +73,32 @@ def test_long_poll_receives_concurrent_produce(catalog):
     assert _values(got["records"]) == ["live-1", "live-2"]
 
 
+def test_long_poll_sees_cross_process_produce(catalog, tmp_path):
+    """A tail must observe records committed by a DIFFERENT process
+    (simulated by a second Stream instance with its own state cache
+    over the same directory): only the manifest connects them, so the
+    poll loop must refold it rather than trust the cached fold
+    (ADVICE: tail previously only refolded once on entry)."""
+    from durablestreams_spark.stream import Stream
+
+    name = uuid.uuid4().hex
+    s1 = catalog.stream(name)
+    s1.produce([{"value": "old"}])
+    s2 = Stream(catalog.root, name)  # independent cache = other process
+    got = {}
+
+    def tail():
+        got["records"] = s1.tail(limit=10, timeout_sec=5)
+
+    t = threading.Thread(target=tail)
+    t.start()
+    time.sleep(0.2)
+    s2.produce([{"value": "remote-1"}, {"value": "remote-2"}])
+    t.join(timeout=6)
+    assert not t.is_alive()
+    assert _values(got["records"]) == ["remote-1", "remote-2"]
+
+
 def test_long_poll_timeout_empty(catalog):
     """Port of long-poll timeout (tests/index.test.ts:165-177): tail on a
     never-written stream returns [] after the timeout."""
