@@ -103,6 +103,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Pre-build the log fixture OUTSIDE the timed region: ingest +
+    # compaction are one-time setup (marker-cached), and timing them
+    # inside log_consume_page made a ~1.4 ms warm page read report as
+    # seconds — the number must measure the operator it names.
+    from durablestreams_spark.operators.logops import _ingest_events
+
+    _ingest_events(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name, val in bench_log_ops().items():
         timings[name] = val
