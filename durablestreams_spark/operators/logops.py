@@ -44,7 +44,7 @@ def _ingest_events(spark, sf_dir: str):
     not len(events)/BATCH driver round-trips.
     """
     root = os.path.join(
-        "/tmp/durablestreams_logops", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/durablestreams_logops_v2", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
@@ -118,6 +118,114 @@ def log_consume_page(spark, sf_dir):
     return spark.createDataFrame(
         [(int(r.data["event_id"]), r.offset) for r in page],
         "event_id bigint, offset string",
+    )
+
+
+@query(
+    "ndjson_segment_parity",
+    _ORACLE_OFFSETS,
+    doc="Reference NDJSON segment format parity (#19, src/segment.ts "
+    "line framing; 32-char offset prefix ++ JSON ++ newline, "
+    "src/stream_manager.ts:484-495): events written in the reference's "
+    "exact on-wire layout, read back via sources.ndjson (pure substring "
+    "expressions, pre-JSON-parse — the columnar twin of the "
+    "reference's readLines + slice). Offsets must round-trip "
+    "byte-identically through the text format. Offset assignment here "
+    "uses a plain global sort (format parity is the target); the scale "
+    "ingest path is produce_bulk's distributed zip-with-index.",
+)
+def ndjson_segment_parity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..sources.ndjson import read_ndjson_segments
+
+    root = os.path.join(
+        "/tmp/durablestreams_ndjson_v2", os.path.basename(os.path.normpath(sf_dir))
+    )
+    data_dir = os.path.join(root, "segments")
+    marker = os.path.join(root, "_written")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = table(spark, sf_dir, "events").select("event_id", "ts")
+        rn = F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+        lines = ev.withColumn("rn", rn).select(
+            F.concat(
+                F.lpad(((F.col("rn") / BATCH).cast("long") + 1).cast("string"), 16, "0"),
+                F.lpad((F.col("rn") % BATCH).cast("string"), 16, "0"),
+                F.to_json(F.struct("event_id")),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(data_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = read_ndjson_segments(spark, data_dir)
+    return df.select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id"),
+        "offset",
+    )
+
+
+@query(
+    "log_fencing_semantics",
+    """
+    SELECT * FROM (VALUES
+        ('equal_version_accepted',      true),
+        ('higher_version_accepted',     true),
+        ('non_numeric_version_rejected',true),
+        ('stale_version_rejected',      true),
+        ('stale_write_not_visible',     true),
+        ('version_bump_only_persists',  true),
+        ('versionless_accepted',        true)
+    ) AS t(check_name, ok)
+    """,
+    doc="Producer fencing (#4) under the oracle gate — the reference's "
+    "five versioning e2e scenarios (tests/index.test.ts:224-298): "
+    "monotonic accept, equal-version accept, stale version rejected "
+    "(reference 409) with its records NOT appended, versionless "
+    "produce accepted, non-numeric version rejected (reference 400), "
+    "plus empty-records version-bump-only persisting the token. Each "
+    "check runs against a real stream and emits ok=true only if the "
+    "engine behaved; the oracle is the all-true constant table.",
+)
+def log_fencing_semantics(spark, sf_dir):
+    import tempfile
+
+    from ..manifest import FencingError
+
+    root = tempfile.mkdtemp(prefix="ds_fencing_")
+    stream = StreamCatalog(root).stream("fencing")
+    checks: dict[str, bool] = {}
+
+    stream.produce([{"v": 1}], version=1)
+    checks["equal_version_accepted"] = bool(
+        stream.produce([{"v": 2}], version=1).offsets
+    )
+    checks["higher_version_accepted"] = bool(
+        stream.produce([{"v": 3}], version=3).offsets
+    )
+    n_before = len(stream.consume("-", limit=100))
+    try:
+        stream.produce([{"v": 4}], version=2)
+        checks["stale_version_rejected"] = False
+    except FencingError:
+        checks["stale_version_rejected"] = True
+    checks["stale_write_not_visible"] = (
+        len(stream.consume("-", limit=100)) == n_before
+    )
+    checks["versionless_accepted"] = bool(stream.produce([{"v": 5}]).offsets)
+    try:
+        stream.produce([{"v": 6}], version="not-a-number")  # type: ignore[arg-type]
+        checks["non_numeric_version_rejected"] = False
+    except ValueError:
+        checks["non_numeric_version_rejected"] = True
+    stream.produce([], version=7)  # bump-only: no records, persists token
+    checks["version_bump_only_persists"] = (
+        stream.refresh().producer_version == 7
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        sorted(checks.items()), "check_name string, ok boolean"
     )
 
 

@@ -59,7 +59,7 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
     the slice's sort order — exactly what the SQL oracle recomputes.
     """
     root = os.path.join(
-        "/tmp/durablestreams_partops", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/durablestreams_partops_v2", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)

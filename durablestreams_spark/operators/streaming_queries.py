@@ -89,6 +89,128 @@ def streaming_tumbling_daily(spark, sf_dir):
 
 
 @query(
+    "streaming_sliding_12h",
+    """
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT e.value,
+               ((CAST(floor(epoch(e.ts) / 43200) AS BIGINT) - u.i) * 43200) * 1000000
+                   AS start_us
+        FROM events e, (SELECT UNNEST([0, 1]) AS i) u
+    )
+    GROUP BY window_start
+    """,
+    doc="LIVE sliding window (1-day width / 12-h slide) over the event "
+    "stream: readStream → withWatermark → window agg, complete-mode "
+    "drain. Each event is Expand-replicated into width/slide = 2 open "
+    "windows of streaming state; the oracle rebuilds the same grid "
+    "arithmetic relationally.",
+)
+def streaming_sliding_12h(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.date_format("w.start", _FMT_S).alias("window_start"),
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "streaming_session_30m",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="LIVE session windows (30-min gap) per user: readStream → "
+    "withWatermark → session_window agg — Spark's MERGING state "
+    "operator (sessions coalesce as events arrive), the hardest "
+    "streaming-state shape. Oracle: gaps-and-islands over the same "
+    "events.",
+)
+def streaming_session_30m(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", _FMT_S).alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "streaming_interval_join_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    doc="LIVE stream-stream interval join (purchases x clicks <=30 min "
+    "prior, same user): both sides watermarked, event-time range "
+    "condition bounds the join state (without it, state grows forever "
+    "— the canonical stream-join OOM). Drained append-mode sink must "
+    "equal the batch range join the oracle computes.",
+)
+def streaming_interval_join_purchase_click(spark, sf_dir):
+    from ..streaming.joins import interval_join
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = interval_join(
+        purchases, clicks, on="user_id", max_lag="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.round(
+            F.unix_micros(F.col("l.ts")) / 1e6
+            - F.unix_micros(F.col("r.ts")) / 1e6,
+            3,
+        ).alias("gap_sec"),
+    )
+    return _drain(joined, "append")
+
+
+@query(
     "streaming_stateful_user_totals",
     """
     SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value

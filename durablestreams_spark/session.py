@@ -22,6 +22,11 @@ def get_spark(app_name: str = "durablestreams_spark", shuffle_partitions: int | 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Runtime skew mitigation: AQE splits oversized shuffle
+        # partitions in joins — the no-code-change half of the skew
+        # story (the salted-agg pattern in operators/skew.py is the
+        # other half, for aggregations AQE can't split).
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Test parquet carries TIMESTAMP(NANOS) which the vectorized
