@@ -239,3 +239,72 @@ def text_fingerprint(spark, sf_dir):
             ).alias("fingerprint"),
         )
     )
+
+
+@query(
+    "text_tfidf_top_term",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (tok), n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT doc_id, tok AS top_term, tfidf FROM ranked WHERE rn = 1
+    """,
+    doc="TF-IDF (smoothed idf = ln((N+1)/(df+1))) with the most "
+    "distinctive term per document — the classic relevance/keyword "
+    "primitive, composed purely from aggregations: token explode -> "
+    "per-(doc,term) tf -> per-term df -> scalar N broadcast back. "
+    "Shuffles are one per aggregation level, each carrying counts, "
+    "never text; the df table is vocabulary-sized (broadcastable for "
+    "real corpora, Catalyst/AQE decides). Ranking rounds to 6 dp on "
+    "both engines before comparison so libm ulp drift can't flip "
+    "near-ties (exact ties break on the term).",
+)
+def text_tfidf_top_term(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
