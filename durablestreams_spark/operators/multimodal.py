@@ -212,3 +212,145 @@ def multimodal_frame_sample(spark, sf_dir):
         F.max("frame_idx").alias("last_frame"),
         F.min("frame_sha").alias("min_frame_sha"),
     )
+
+
+_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumb_sha", T.StringType()),
+    ]
+)
+
+THUMB_MAX = 64  # target bounding box for thumbnails
+
+
+def resize_thumbnail_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary payload → thumbnail metadata.
+
+    STUB resize — a real implementation would be
+    ``Image.open(...).thumbnail((THUMB_MAX, THUMB_MAX))`` (PIL not in
+    this container); the stand-in clamps the decoded dimensions to the
+    bounding box and fingerprints the "resized" payload
+    deterministically so the oracle can verify the plumbing.
+    """
+    import hashlib
+
+    for pdf in batches:
+        ws, hs, shas = [], [], []
+        for payload in pdf["payload"]:
+            w, h, _n, _fmt = _fake_decode(payload)
+            ow, oh = min(w, THUMB_MAX), min(h, THUMB_MAX)
+            key = f"{ow}x{oh}:".encode() + payload[:32]
+            ws.append(ow)
+            hs.append(oh)
+            shas.append(hashlib.md5(key).hexdigest()[:12])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "out_w": pd.Series(ws, dtype="int32"),
+                "out_h": pd.Series(hs, dtype="int32"),
+                "thumb_sha": pd.Series(shas, dtype="object"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize_thumbnail",
+    f"""
+    SELECT doc_id,
+           CAST(least(1 + length(text) % 640, {THUMB_MAX}) AS INTEGER) AS out_w,
+           CAST(least(1 + (length(text) // 640) % 480, {THUMB_MAX}) AS INTEGER) AS out_h,
+           substr(md5(
+               CAST(least(1 + length(text) % 640, {THUMB_MAX}) AS VARCHAR)
+               || 'x' ||
+               CAST(least(1 + (length(text) // 640) % 480, {THUMB_MAX}) AS VARCHAR)
+               || ':' || substr(text, 1, 32)), 1, 12) AS thumb_sha
+    FROM documents
+    """,
+    doc=f"Thumbnail resize pipeline: BinaryType payload → mapInPandas "
+    f"(Arrow) → bounded {THUMB_MAX}px dimensions + content fingerprint "
+    "per doc. The resize body is a clearly-marked stub (no codecs in "
+    "container); schema, batch shape and 1→1 transform plumbing are "
+    "real — swapping in PIL changes one function body. (documents "
+    "fixture is ASCII, so the oracle's substr(text) equals the "
+    "payload-byte slice bit-for-bit.)",
+)
+def multimodal_resize_thumbnail(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(resize_thumbnail_batch, schema=_THUMB_SCHEMA)
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f0", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f2", T.DoubleType()),
+        T.StructField("f3", T.DoubleType()),
+    ]
+)
+
+
+def extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary payload → fixed-width feature vector.
+
+    STUB feature extractor (a real one would run an ONNX/torch encoder
+    on the decoded media); the stand-in derives 4 deterministic
+    byte-statistics features so the embedding-shaped output and its
+    oracle are exact.  Output schema is exactly what the similarity
+    operators consume (array-of-float column, one row per doc).
+    """
+    for pdf in batches:
+        rows = []
+        for payload in pdf["payload"]:
+            n = len(payload)
+            first = payload[0] if n else 0
+            head_sum = sum(payload[:16])
+            rows.append(
+                (
+                    round(n % 97 / 97.0, 6),
+                    round(first % 97 / 97.0, 6),
+                    round(head_sum % 97 / 97.0, 6),
+                    round((n * 7 + first) % 97 / 97.0, 6),
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "f0": [r[0] for r in rows],
+                "f1": [r[1] for r in rows],
+                "f2": [r[2] for r in rows],
+                "f3": [r[3] for r in rows],
+            }
+        )
+
+
+@query(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id,
+           round(length(text) % 97 / 97.0, 6) AS f0,
+           round(ascii(substr(text, 1, 1)) % 97 / 97.0, 6) AS f1,
+           round(list_sum(list_transform(
+               generate_series(1, least(16, length(text))),
+               i -> ascii(substr(text, i, 1)))) % 97 / 97.0, 6) AS f2,
+           round((length(text) * 7 + ascii(substr(text, 1, 1))) % 97 / 97.0, 6) AS f3
+    FROM documents
+    """,
+    doc="Feature extraction pipeline: BinaryType payload → mapInPandas "
+    "(Arrow) → fixed-width feature vector per doc, the embedding-shaped "
+    "output the similarity operators (kNN/SRP/IVF) consume downstream. "
+    "The extractor body is a deterministic stub standing in for an "
+    "ONNX/torch encoder; the graded part is the real Spark plumbing. "
+    "(ASCII fixture ⇒ the oracle's per-char ascii() equals the "
+    "payload's byte values.)",
+)
+def multimodal_feature_extract(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(extract_features_batch, schema=_FEAT_SCHEMA)
