@@ -82,12 +82,27 @@ def test_text_ops_stay_jvm_side(spark):
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
-    """The one intentional Python stage must be mapInPandas (Arrow),
+    """Every intentional Python stage must be mapInPandas (Arrow),
     never row-at-a-time BatchEvalPython."""
-    df = all_queries()["multimodal_decode_stats"].fn(spark, SF_DIR)
+    for name in (
+        "multimodal_decode_stats",
+        "multimodal_frame_sample",
+        "multimodal_resize_thumbnail",
+        "multimodal_feature_extract",
+    ):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_tfidf_stays_jvm_side(spark):
+    """TF-IDF is aggregation composition — no Python eval anywhere, and
+    the scalar N joins in as a broadcast, not a shuffle."""
+    df = all_queries()["text_tfidf_top_term"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "MapInPandas" in plan
-    assert "BatchEvalPython" not in plan
+    assert not has_python_eval(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
 def test_q1_single_shuffle(spark):
