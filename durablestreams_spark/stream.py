@@ -293,6 +293,19 @@ class Stream:
                     break
         return out
 
+    def consume_since(self, epoch_ms: int, limit: int = 10) -> list[Record]:
+        """Time-travel consume: records flushed at or after ``epoch_ms``
+        (the reference's ``now-30d`` synthetic-offset story,
+        ``README.md:105-108``) — no index of timestamps needed, because
+        offsets ARE timestamps: scanning exclusive-from the last
+        possible offset of ``epoch_ms - 1`` yields exactly the records
+        with epoch >= ``epoch_ms``."""
+        from .offsets import end_of_epoch
+
+        if epoch_ms <= 0:
+            return self.consume(BEGINNING, limit)
+        return self.consume(end_of_epoch(epoch_ms - 1), limit)
+
     # -- tail (long-poll) --------------------------------------------------
 
     def tail(self, limit: int = 10, timeout_sec: float = 0) -> list[Record]:

@@ -42,6 +42,20 @@ def test_consume_from_oldest_with_limit(catalog):
     assert recs[0].offset < recs[1].offset
 
 
+def test_consume_since_time_travel(catalog):
+    """The reference's 'now-30d' story (README.md:105-108): a synthetic
+    offset built purely from a point in time addresses the log without
+    any timestamp index."""
+    s = catalog.stream(uuid.uuid4().hex)
+    s.produce([{"value": "early"}], epoch_ms=1_000)
+    s.produce([{"value": "mid"}], epoch_ms=5_000)
+    s.produce([{"value": "late"}], epoch_ms=9_000)
+    assert _values(s.consume_since(5_000, 10)) == ["mid", "late"]
+    assert _values(s.consume_since(5_001, 10)) == ["late"]
+    assert _values(s.consume_since(0, 10)) == ["early", "mid", "late"]
+    assert s.consume_since(10_000, 10) == []
+
+
 def test_consume_from_offset_exclusive_start(catalog):
     """Port of consume-from-offset (tests/index.test.ts:92-128): consuming
     from the offset of 'first' yields 'second' — exclusive start."""
