@@ -209,16 +209,27 @@ def purge_orphans(
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         referenced = set(state.active) | set(state.tombstones)
         purged = []
+        # Walk recursively: bulk ingest lands segments under
+        # bulk-<uuid>/ subdirectories (manifest names carry the
+        # relative path), so a top-level listing would never reap an
+        # orphaned bulk write.
+        for root, _dirs, files in os.walk(stream.segments_dir):
+            for fn in files:
+                path = os.path.join(root, fn)
+                rel = os.path.relpath(path, stream.segments_dir)
+                if not fn.endswith(".parquet") or rel in referenced:
+                    continue
+                try:
+                    age_ms = now - int(os.path.getmtime(path) * 1000)
+                except OSError:
+                    continue  # vanished underneath us — not ours to purge
+                if age_ms <= grace_ms:
+                    continue
+                os.unlink(path)
+                purged.append(rel)
+        # Drop now-empty bulk run directories so listings stay O(live).
         for fn in os.listdir(stream.segments_dir):
-            if not fn.endswith(".parquet") or fn in referenced:
-                continue
-            path = os.path.join(stream.segments_dir, fn)
-            try:
-                age_ms = now - int(os.path.getmtime(path) * 1000)
-            except OSError:
-                continue  # vanished underneath us — not ours to purge
-            if age_ms <= grace_ms:
-                continue
-            os.unlink(path)
-            purged.append(fn)
-        return purged
+            sub = os.path.join(stream.segments_dir, fn)
+            if os.path.isdir(sub) and not os.listdir(sub):
+                os.rmdir(sub)
+        return sorted(purged)

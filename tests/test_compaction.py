@@ -129,6 +129,28 @@ def test_orphan_purge_spares_inflight_writes(catalog):
     assert purge_orphans(s) == ["9999999999999998-cafebabe.parquet"]
 
 
+def test_orphan_purge_reaps_bulk_subdirs(catalog, spark):
+    """Bulk ingest writes under bulk-<uuid>/ subdirectories; an aborted
+    bulk run's files must be purged too (recursive walk, relative
+    names), and its emptied directory removed."""
+    from durablestreams_spark.ingest import produce_bulk
+
+    s = catalog.stream(uuid.uuid4().hex)
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k long, v string")
+    produce_bulk(s, df, order_by=["k"], batch_records=10)
+    # fabricate an orphaned bulk run (crash between write and commit)
+    dead_dir = os.path.join(s.segments_dir, "bulk-deadbeef")
+    os.makedirs(dead_dir)
+    dead = os.path.join(dead_dir, "part-00000.parquet")
+    with open(dead, "wb") as f:
+        f.write(b"aborted bulk segment")
+    os.utime(dead, (0, 0))
+    assert purge_orphans(s) == ["bulk-deadbeef/part-00000.parquet"]
+    assert not os.path.exists(dead_dir)  # emptied run dir removed
+    # live bulk segments untouched
+    assert len(s.consume("-", limit=100)) == 20
+
+
 def test_concurrent_compactors_never_double_swap(catalog):
     """Two compactors planning the same window: the second commit must
     be rejected by the still-active guard, not silently re-applied —
