@@ -69,19 +69,29 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
     pstream = PartitionedStream(cat, "events_plog", N_PARTS)
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", _route_col().alias("__part")
+    # Route once, persist, then each partition's bulk job filters the
+    # cached routed set instead of rescanning the source N_PARTS times.
+    # (At hundreds of partitions you would instead run ONE write job
+    # and commit each partition's manifest from its file stats; the
+    # per-partition produce_bulk keeps this fixture builder simple.)
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", _route_col().alias("__part"))
+        .persist()
     )
-    for i in range(N_PARTS):
-        produce_bulk(
-            pstream.partition(i),
-            ev.where(F.col("__part") == i).drop("__part"),
-            order_by=["ts", "event_id"],
-            batch_records=BATCH,
-            payload_cols=["event_id"],
-            segment_rows=500,
-        )
-        compact(pstream.partition(i))  # no-op when < 2 segments
+    try:
+        for i in range(N_PARTS):
+            produce_bulk(
+                pstream.partition(i),
+                ev.where(F.col("__part") == i).drop("__part"),
+                order_by=["ts", "event_id"],
+                batch_records=BATCH,
+                payload_cols=["event_id"],
+                segment_rows=500,
+            )
+            compact(pstream.partition(i))  # no-op when < 2 segments
+    finally:
+        ev.unpersist()
     with open(marker, "w") as f:
         f.write("ok")
     return pstream
