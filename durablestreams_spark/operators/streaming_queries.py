@@ -174,6 +174,52 @@ def streaming_session_30m(spark, sf_dir):
 
 
 @query(
+    "streaming_ingest_roundtrip",
+    "SELECT event_id FROM events",
+    doc="The group-commit SINK under the oracle gate (SURVEY.md §2.1 "
+    "#5): readStream over events → start_ingest (foreachBatch flush "
+    "into a durable stream, exactly-once txn stamping) → manifest-"
+    "backed scan back out. Every event must come back exactly once — "
+    "a dropped batch or a replayed double-commit both break the "
+    "value-hash against the plain events oracle.",
+)
+def streaming_ingest_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    from ..stream import StreamCatalog
+    from ..streaming.ingest import start_ingest
+
+    root = os.path.join(
+        "/tmp/durablestreams_ingestq_v2",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_ingested")
+    cat = StreamCatalog(os.path.join(root, "streams"))
+    stream = cat.stream("events_sink")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(os.path.join(root, "streams"))
+        stream = cat.stream("events_sink")
+        src = _events_stream(spark, sf_dir).select("event_id")
+        q = start_ingest(
+            stream,
+            src,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            app_id="graded_ingest",
+            order_by=["event_id"],
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        with open(marker, "w") as f:
+            f.write("ok")
+    df = stream.to_df(spark)
+    return df.select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+
+
+@query(
     "streaming_interval_join_purchase_click",
     """
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
