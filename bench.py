@@ -35,7 +35,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "similarity_knn_brute",
     "text_quality",
+    "text_tfidf_top_term",
     "log_consume_page",
+    "partitioned_roundtrip_offsets",
 ]
 
 
@@ -108,8 +110,12 @@ def main() -> None:
     # inside log_consume_page made a ~1.4 ms warm page read report as
     # seconds — the number must measure the operator it names.
     from durablestreams_spark.operators.logops import _ingest_events
+    from durablestreams_spark.operators.partitioned_ops import (
+        _ingest_events_partitioned,
+    )
 
     _ingest_events(spark, sf_dir)
+    _ingest_events_partitioned(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, val in bench_log_ops().items():
