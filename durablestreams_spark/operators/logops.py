@@ -230,6 +230,104 @@ def log_fencing_semantics(spark, sf_dir):
 
 
 @query(
+    "log_lifecycle_semantics",
+    """
+    SELECT * FROM (VALUES
+        ('destroy_clears_data',        true),
+        ('orphan_purged_after_grace',  true),
+        ('recovery_cross_process',     true),
+        ('recreate_after_destroy',     true),
+        ('tail_delivers_concurrent',   true),
+        ('tail_timeout_empty',         true),
+        ('tombstone_gc_after_retention', true),
+        ('tombstone_gc_preserves_reads', true)
+    ) AS t(check_name, ok)
+    """,
+    doc="Lifecycle operators under the oracle gate — the reference "
+    "behaviors that have no relational output: long-poll tail delivery "
+    "and timeout (#11, tests/index.test.ts:130-177), destroy + "
+    "same-name recreate (#17, :300-348), tombstone GC after retention "
+    "(#15) keeping reads intact, orphan purge past the grace period "
+    "(#16), and cross-process recovery via a fresh manifest fold "
+    "(#18). Each check runs the real engine and emits ok=true only on "
+    "the reference-faithful outcome; oracle = all-true constants.",
+)
+def log_lifecycle_semantics(spark, sf_dir):
+    import tempfile
+    import threading
+
+    from ..maintenance import clean_tombstones, compact, purge_orphans
+    from ..stream import Stream
+
+    root = tempfile.mkdtemp(prefix="ds_lifecycle_")
+    cat = StreamCatalog(root)
+    checks: dict[str, bool] = {}
+
+    # tail: concurrent produce delivered; empty stream times out
+    s = cat.stream("tailing")
+    s.produce([{"v": "old"}])
+    got: dict = {}
+    th = threading.Thread(target=lambda: got.update(r=s.tail(10, timeout_sec=5)))
+    th.start()
+    produced = s.produce([{"v": "live"}]).offsets
+    th.join(timeout=6)
+    recs = got.get("r") or []
+    checks["tail_delivers_concurrent"] = (
+        [r.offset for r in recs] == produced
+    )
+    checks["tail_timeout_empty"] = (
+        cat.stream("never_written").tail(10, timeout_sec=0.2) == []
+    )
+
+    # destroy + recreate
+    d = cat.stream("doomed")
+    d.produce([{"v": "x"}])
+    d.destroy()
+    checks["destroy_clears_data"] = d.consume("-", 10) == []
+    d2 = cat.stream("doomed")
+    d2.produce([{"v": "reborn"}])
+    checks["recreate_after_destroy"] = [
+        r.data["v"] for r in d2.consume("-", 10)
+    ] == ["reborn"]
+
+    # tombstone GC: compact, then age-zero retention purges the inputs
+    g = cat.stream("gc")
+    g.produce([{"v": "a"}], epoch_ms=1)
+    g.produce([{"v": "b"}], epoch_ms=2)
+    compact(g)
+    purged = clean_tombstones(g, max_age_ms=0)
+    checks["tombstone_gc_after_retention"] = (
+        len(purged) == 2 and not g.refresh().tombstones
+    )
+    checks["tombstone_gc_preserves_reads"] = [
+        r.data["v"] for r in g.consume("-", 10)
+    ] == ["a", "b"]
+
+    # orphan purge honors the grace period, then reaps
+    orphan = os.path.join(g.segments_dir, "9999999999999999-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    fresh_spared = purge_orphans(g) == []
+    os.utime(orphan, (0, 0))
+    checks["orphan_purged_after_grace"] = (
+        fresh_spared
+        and purge_orphans(g) == ["9999999999999999-dead.parquet"]
+        and not os.path.exists(orphan)
+    )
+
+    # cross-process recovery: a fresh Stream folds identical state
+    g2 = Stream(root, "gc")
+    checks["recovery_cross_process"] = [
+        (r.offset, r.data["v"]) for r in g2.consume("-", 10)
+    ] == [(r.offset, r.data["v"]) for r in g.consume("-", 10)]
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(checks.items()), "check_name string, ok boolean"
+    )
+
+
+@query(
     "log_time_travel_consume",
     f"""
     SELECT event_id,
