@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import functions as F
 
@@ -269,6 +270,7 @@ def log_lifecycle_semantics(spark, sf_dir):
     got: dict = {}
     th = threading.Thread(target=lambda: got.update(r=s.tail(10, timeout_sec=5)))
     th.start()
+    time.sleep(0.25)  # let the tail snapshot its start offset first
     produced = s.produce([{"v": "live"}]).offsets
     th.join(timeout=6)
     recs = got.get("r") or []
