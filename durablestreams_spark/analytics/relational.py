@@ -80,29 +80,34 @@ def q1_pricing_summary(spark, sf_dir):
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="Join(customer⋈orders⋈lineitem) → agg → top-k. customer is the "
-    "small side (broadcast hint); orderBy+limit compiles to "
-    "TakeOrderedAndProject so only 10 rows per partition survive the "
-    "final exchange. Deterministic tiebreak on l_orderkey.",
+    doc="Join(customer⋈orders⋈lineitem) → agg → top-k, with the "
+    "aggregation PUSHED BELOW the join: revenue per orderkey is "
+    "computed on filtered lineitem first (the other grouping keys are "
+    "functionally dependent on l_orderkey), so the join carries one "
+    "row per order instead of one per lineitem AND the post-join "
+    "re-aggregation exchange disappears — Catalyst doesn't do this "
+    "rewrite itself, and at 100 TB it's the difference between "
+    "shuffling ~4 lineitems per order twice and shuffling one "
+    "pre-reduced row once. customer is the small side (broadcast "
+    "hint); orderBy+limit compiles to TakeOrderedAndProject so only "
+    "10 rows per partition survive the final exchange.",
 )
 def q3_shipping_priority(spark, sf_dir):
     cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_rev.join(orders, li_rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "l_orderkey",
+            F.round("rev", 2).alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
