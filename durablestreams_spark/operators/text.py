@@ -287,10 +287,13 @@ def text_tfidf_top_term(spark, sf_dir):
         ).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives FROM tf (one (doc,term) row per containing doc), so the
+    # corpus is exploded exactly once; a count window over tok replaces
+    # the groupBy+join a naive formulation would add.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
