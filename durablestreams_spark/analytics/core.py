@@ -47,7 +47,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # columns surface as int64 nanos; restore TimestampType (µs).
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # Integer division: (ts / 1000).cast("long") would round
+            # through double and land 1µs high for ns values ending
+            # >= 500, shifting boundary events across window edges.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

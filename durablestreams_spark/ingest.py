@@ -174,6 +174,14 @@ def produce_bulk(
             if not fn.endswith(".parquet"):
                 continue
             path = os.path.join(root, fn)
+            # Spark's committer renames, it does not fsync: flush bytes
+            # + dir entry before the manifest references this file
+            # (same durability-before-ack invariant as _write_segment).
+            ffd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(ffd)
+            finally:
+                os.close(ffd)
             md = pq.read_metadata(path)
             first, last = None, None
             n = 0
@@ -197,6 +205,12 @@ def produce_bulk(
                     bytes=os.path.getsize(path),
                 )
             )
+    if metas:
+        dfd = os.open(out, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     metas.sort(key=lambda m: m.first_offset)
     last_epoch = int(metas[-1].last_offset[:16]) if metas else state.last_epoch_ms
     actions = {

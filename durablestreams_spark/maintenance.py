@@ -11,6 +11,7 @@ they run as scheduled Spark maintenance jobs decoupled from ingest
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -25,6 +26,22 @@ MAX_RECORDS = 5_000
 MAX_BYTES = 10_000_000
 
 TOMBSTONE_RETENTION_MS = 24 * 3600 * 1000  # src/stream_manager.ts:15-17
+
+
+def _fsync_file_and_dir(path: str) -> None:
+    """Flush a freshly written file's bytes AND its directory entry so a
+    manifest commit can safely reference it (durability-before-ack,
+    reference ``src/stream_manager.ts:278-281,498``)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def plan_compaction(
@@ -116,6 +133,8 @@ def compact(
 
     merged = pa.concat_tables(tables)
     pq.write_table(merged, dst, compression="zstd")
+    _fsync_file_and_dir(dst)  # same invariant as Stream._write_segment:
+    # the manifest must never reference bytes that didn't hit disk
     meta = SegmentMeta(
         name=name,
         first_offset=window[0].first_offset,
@@ -208,28 +227,47 @@ def purge_orphans(
             return []
         now = now_ms if now_ms is not None else int(time.time() * 1000)
         referenced = set(state.active) | set(state.tombstones)
+
+        def _aged(path: str) -> bool:
+            try:
+                return now - int(os.path.getmtime(path) * 1000) > grace_ms
+            except OSError:
+                return False  # vanished underneath us — not ours to purge
+
         purged = []
         # Walk recursively: bulk ingest lands segments under
         # bulk-<uuid>/ subdirectories (manifest names carry the
         # relative path), so a top-level listing would never reap an
-        # orphaned bulk write.
-        for root, _dirs, files in os.walk(stream.segments_dir):
+        # orphaned bulk write.  A bulk RUN directory whose mtime is
+        # within the grace period is skipped WHOLESALE: a long write
+        # job's early files can be arbitrarily old while the run is
+        # still in flight (its commit pending), but the dir mtime
+        # advances with every file the job adds.  (Aged-ness is
+        # snapshotted up front — unlinking inside a dir refreshes its
+        # mtime.)
+        aged_dirs = []
+        for root, dirs, files in os.walk(stream.segments_dir):
+            if root == stream.segments_dir:
+                dirs[:] = [d for d in dirs if _aged(os.path.join(root, d))]
+                aged_dirs = [os.path.join(root, d) for d in dirs]
             for fn in files:
                 path = os.path.join(root, fn)
                 rel = os.path.relpath(path, stream.segments_dir)
                 if not fn.endswith(".parquet") or rel in referenced:
                     continue
-                try:
-                    age_ms = now - int(os.path.getmtime(path) * 1000)
-                except OSError:
-                    continue  # vanished underneath us — not ours to purge
-                if age_ms <= grace_ms:
+                if not _aged(path):
                     continue
                 os.unlink(path)
                 purged.append(rel)
-        # Drop now-empty bulk run directories so listings stay O(live).
-        for fn in os.listdir(stream.segments_dir):
-            sub = os.path.join(stream.segments_dir, fn)
-            if os.path.isdir(sub) and not os.listdir(sub):
-                os.rmdir(sub)
+        # Drop aged run directories with no surviving segments (Spark
+        # leaves _SUCCESS/.crc droppings that would otherwise pin the
+        # dir forever) so listings stay O(live).
+        for sub in aged_dirs:
+            has_live = any(
+                f.endswith(".parquet")
+                for _r, _d, fs in os.walk(sub)
+                for f in fs
+            )
+            if not has_live:
+                shutil.rmtree(sub, ignore_errors=True)
         return sorted(purged)

@@ -194,36 +194,37 @@ def log_fencing_semantics(spark, sf_dir):
     from ..manifest import FencingError
 
     root = tempfile.mkdtemp(prefix="ds_fencing_")
-    stream = StreamCatalog(root).stream("fencing")
     checks: dict[str, bool] = {}
-
-    stream.produce([{"v": 1}], version=1)
-    checks["equal_version_accepted"] = bool(
-        stream.produce([{"v": 2}], version=1).offsets
-    )
-    checks["higher_version_accepted"] = bool(
-        stream.produce([{"v": 3}], version=3).offsets
-    )
-    n_before = len(stream.consume("-", limit=100))
     try:
-        stream.produce([{"v": 4}], version=2)
-        checks["stale_version_rejected"] = False
-    except FencingError:
-        checks["stale_version_rejected"] = True
-    checks["stale_write_not_visible"] = (
-        len(stream.consume("-", limit=100)) == n_before
-    )
-    checks["versionless_accepted"] = bool(stream.produce([{"v": 5}]).offsets)
-    try:
-        stream.produce([{"v": 6}], version="not-a-number")  # type: ignore[arg-type]
-        checks["non_numeric_version_rejected"] = False
-    except ValueError:
-        checks["non_numeric_version_rejected"] = True
-    stream.produce([], version=7)  # bump-only: no records, persists token
-    checks["version_bump_only_persists"] = (
-        stream.refresh().producer_version == 7
-    )
-    shutil.rmtree(root, ignore_errors=True)
+        stream = StreamCatalog(root).stream("fencing")
+        stream.produce([{"v": 1}], version=1)
+        checks["equal_version_accepted"] = bool(
+            stream.produce([{"v": 2}], version=1).offsets
+        )
+        checks["higher_version_accepted"] = bool(
+            stream.produce([{"v": 3}], version=3).offsets
+        )
+        n_before = len(stream.consume("-", limit=100))
+        try:
+            stream.produce([{"v": 4}], version=2)
+            checks["stale_version_rejected"] = False
+        except FencingError:
+            checks["stale_version_rejected"] = True
+        checks["stale_write_not_visible"] = (
+            len(stream.consume("-", limit=100)) == n_before
+        )
+        checks["versionless_accepted"] = bool(stream.produce([{"v": 5}]).offsets)
+        try:
+            stream.produce([{"v": 6}], version="not-a-number")  # type: ignore[arg-type]
+            checks["non_numeric_version_rejected"] = False
+        except ValueError:
+            checks["non_numeric_version_rejected"] = True
+        stream.produce([], version=7)  # bump-only: no records, persists token
+        checks["version_bump_only_persists"] = (
+            stream.refresh().producer_version == 7
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
     return spark.createDataFrame(
         sorted(checks.items()), "check_name string, ok boolean"
@@ -261,69 +262,81 @@ def log_lifecycle_semantics(spark, sf_dir):
     from ..stream import Stream
 
     root = tempfile.mkdtemp(prefix="ds_lifecycle_")
-    cat = StreamCatalog(root)
     checks: dict[str, bool] = {}
+    try:
+        cat = StreamCatalog(root)
 
-    # tail: concurrent produce delivered; empty stream times out
-    s = cat.stream("tailing")
-    s.produce([{"v": "old"}])
-    got: dict = {}
-    th = threading.Thread(target=lambda: got.update(r=s.tail(10, timeout_sec=5)))
-    th.start()
-    time.sleep(0.25)  # let the tail snapshot its start offset first
-    produced = s.produce([{"v": "live"}]).offsets
-    th.join(timeout=6)
-    recs = got.get("r") or []
-    checks["tail_delivers_concurrent"] = (
-        [r.offset for r in recs] == produced
-    )
-    checks["tail_timeout_empty"] = (
-        cat.stream("never_written").tail(10, timeout_sec=0.2) == []
-    )
+        # tail: concurrent produce delivered.  The snapshot inside
+        # tail() and the produce race; retry a few times so scheduler
+        # stalls can't fail the check spuriously (each attempt uses a
+        # fresh stream so a late snapshot just misses one round).
+        ok_tail = False
+        for attempt in range(3):
+            s = cat.stream(f"tailing{attempt}")
+            s.produce([{"v": "old"}])
+            got: dict = {}
+            th = threading.Thread(
+                target=lambda s=s: got.update(r=s.tail(10, timeout_sec=5))
+            )
+            th.start()
+            time.sleep(0.25)  # let the tail snapshot its start offset
+            produced = s.produce([{"v": "live"}]).offsets
+            th.join(timeout=6)
+            recs = got.get("r") or []
+            if [r.offset for r in recs] == produced:
+                ok_tail = True
+                break
+        checks["tail_delivers_concurrent"] = ok_tail
+        checks["tail_timeout_empty"] = (
+            cat.stream("never_written").tail(10, timeout_sec=0.2) == []
+        )
 
-    # destroy + recreate
-    d = cat.stream("doomed")
-    d.produce([{"v": "x"}])
-    d.destroy()
-    checks["destroy_clears_data"] = d.consume("-", 10) == []
-    d2 = cat.stream("doomed")
-    d2.produce([{"v": "reborn"}])
-    checks["recreate_after_destroy"] = [
-        r.data["v"] for r in d2.consume("-", 10)
-    ] == ["reborn"]
+        # destroy + recreate
+        d = cat.stream("doomed")
+        d.produce([{"v": "x"}])
+        d.destroy()
+        checks["destroy_clears_data"] = d.consume("-", 10) == []
+        d2 = cat.stream("doomed")
+        d2.produce([{"v": "reborn"}])
+        checks["recreate_after_destroy"] = [
+            r.data["v"] for r in d2.consume("-", 10)
+        ] == ["reborn"]
 
-    # tombstone GC: compact, then age-zero retention purges the inputs
-    g = cat.stream("gc")
-    g.produce([{"v": "a"}], epoch_ms=1)
-    g.produce([{"v": "b"}], epoch_ms=2)
-    compact(g)
-    purged = clean_tombstones(g, max_age_ms=0)
-    checks["tombstone_gc_after_retention"] = (
-        len(purged) == 2 and not g.refresh().tombstones
-    )
-    checks["tombstone_gc_preserves_reads"] = [
-        r.data["v"] for r in g.consume("-", 10)
-    ] == ["a", "b"]
+        # tombstone GC: compact, then zero retention purges the inputs.
+        # now_ms is pinned PAST the removal stamp — with the real clock,
+        # compact+clean inside one millisecond made age > 0 false.
+        g = cat.stream("gc")
+        g.produce([{"v": "a"}], epoch_ms=1)
+        g.produce([{"v": "b"}], epoch_ms=2)
+        compact(g)
+        future = int(time.time() * 1000) + 10
+        purged = clean_tombstones(g, max_age_ms=0, now_ms=future)
+        checks["tombstone_gc_after_retention"] = (
+            len(purged) == 2 and not g.refresh().tombstones
+        )
+        checks["tombstone_gc_preserves_reads"] = [
+            r.data["v"] for r in g.consume("-", 10)
+        ] == ["a", "b"]
 
-    # orphan purge honors the grace period, then reaps
-    orphan = os.path.join(g.segments_dir, "9999999999999999-dead.parquet")
-    with open(orphan, "wb") as f:
-        f.write(b"junk")
-    fresh_spared = purge_orphans(g) == []
-    os.utime(orphan, (0, 0))
-    checks["orphan_purged_after_grace"] = (
-        fresh_spared
-        and purge_orphans(g) == ["9999999999999999-dead.parquet"]
-        and not os.path.exists(orphan)
-    )
+        # orphan purge honors the grace period, then reaps
+        orphan = os.path.join(g.segments_dir, "9999999999999999-dead.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        fresh_spared = purge_orphans(g) == []
+        os.utime(orphan, (0, 0))
+        checks["orphan_purged_after_grace"] = (
+            fresh_spared
+            and purge_orphans(g) == ["9999999999999999-dead.parquet"]
+            and not os.path.exists(orphan)
+        )
 
-    # cross-process recovery: a fresh Stream folds identical state
-    g2 = Stream(root, "gc")
-    checks["recovery_cross_process"] = [
-        (r.offset, r.data["v"]) for r in g2.consume("-", 10)
-    ] == [(r.offset, r.data["v"]) for r in g.consume("-", 10)]
-
-    shutil.rmtree(root, ignore_errors=True)
+        # cross-process recovery: a fresh Stream folds identical state
+        g2 = Stream(root, "gc")
+        checks["recovery_cross_process"] = [
+            (r.offset, r.data["v"]) for r in g2.consume("-", 10)
+        ] == [(r.offset, r.data["v"]) for r in g.consume("-", 10)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         sorted(checks.items()), "check_name string, ok boolean"
     )

@@ -39,7 +39,7 @@ def _events_stream(spark, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def _drain(df, output_mode: str):
@@ -210,7 +210,13 @@ def streaming_ingest_roundtrip(spark, sf_dir):
             order_by=["event_id"],
             available_now=True,
         )
-        q.awaitTermination(600)
+        drained = q.awaitTermination(600)
+        if not drained:
+            # Timed out mid-drain: caching a partial sink would poison
+            # every later run. Stop, leave no marker, fail loudly —
+            # the exactly-once checkpoint resumes cleanly on retry.
+            q.stop()
+            raise TimeoutError("streaming_ingest_roundtrip drain timed out")
         with open(marker, "w") as f:
             f.write("ok")
     df = stream.to_df(spark)

@@ -144,9 +144,16 @@ def test_orphan_purge_reaps_bulk_subdirs(catalog, spark):
     dead = os.path.join(dead_dir, "part-00000.parquet")
     with open(dead, "wb") as f:
         f.write(b"aborted bulk segment")
+    # file aged but run DIR fresh ⇒ the run may still be in flight (a
+    # long bulk job's early files are old before its commit): spared
     os.utime(dead, (0, 0))
+    assert purge_orphans(s) == []
+    assert os.path.exists(dead)
+    # once the run dir itself ages past the grace, the orphan is reaped
+    # and the dir (holding only _SUCCESS/.crc-style droppings) removed
+    os.utime(dead_dir, (0, 0))
     assert purge_orphans(s) == ["bulk-deadbeef/part-00000.parquet"]
-    assert not os.path.exists(dead_dir)  # emptied run dir removed
+    assert not os.path.exists(dead_dir)
     # live bulk segments untouched
     assert len(s.consume("-", limit=100)) == 20
 
