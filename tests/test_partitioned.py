@@ -47,3 +47,31 @@ def test_destroy_all_partitions(spark, catalog):
     ps.produce([{"x": 1}, {"x": 2}])
     ps.destroy()
     assert catalog.list_streams() == []
+
+
+def test_route_parity_python_vs_spark(spark):
+    """The Python router (PartitionedStream.produce) and the Spark
+    column router (partitioned_ops._route_col, used by the graded bulk
+    ingest) must agree on EVERY key, or a record produced through one
+    path would be invisible to offset reconstruction through the other."""
+    from hypothesis import given, settings, strategies as st
+
+    from durablestreams_spark.operators.partitioned_ops import N_PARTS, _route_col
+    from durablestreams_spark.partitioned import _route
+
+    keys = list(range(0, 2000, 37)) + [2**31, 2**40, 999999999999]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    got = {r.user_id: r.part for r in df.select("user_id", _route_col().alias("part")).collect()}
+    for k in keys:
+        assert got[k] == _route(str(k), N_PARTS), k
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**62))
+    def _prop(k):
+        # pure-python twin of the Spark expression, no JVM round-trip
+        import hashlib
+
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16) % N_PARTS
+        assert h == _route(str(k), N_PARTS)
+
+    _prop()
