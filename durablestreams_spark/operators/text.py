@@ -311,3 +311,66 @@ def text_tfidf_top_term(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    """
+    WITH scored AS (
+        SELECT doc_id, text, source,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n_tokens,
+               md5(text) AS content_hash
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 10 AND length(text) / n_tokens <= 15
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, content_hash,
+               CAST(count(*) AS BIGINT) AS n_dupes
+        FROM filtered GROUP BY content_hash
+    )
+    SELECT d.doc_id, f.source, d.n_dupes,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens
+    FROM deduped d JOIN filtered f ON d.doc_id = f.doc_id
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
+    """,
+    doc="END-TO-END cleaning pipeline — the composition a training-data "
+    "run actually executes: quality filter (token count + avg token "
+    "length) → exact dedup on content hash (canonical = lowest doc_id, "
+    "dupe count kept for telemetry) → deterministic hash sample "
+    "(12/16 of the keyspace). One scan feeds everything; the only "
+    "shuffles are the dedup groupBy on 16-byte digests and the "
+    "self-join to recover canonical metadata. At 100 TB each stage "
+    "drops data BEFORE the next shuffle — filter prunes at the scan, "
+    "dedup shuffles digests not documents, the sample is a row-local "
+    "predicate.",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_len"),
+        F.md5("text").alias("content_hash"),
+    )
+    filtered = scored.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_chars_len") / F.col("n_tokens") <= 15)
+    )
+    deduped = filtered.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+    canon = deduped.join(
+        filtered.select("doc_id", "source", "n_tokens"), "doc_id"
+    )
+    return canon.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c"
+    ).select(
+        "doc_id", "source", "n_dupes", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
