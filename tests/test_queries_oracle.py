@@ -71,9 +71,13 @@ def test_query_matches_oracle(spark, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
+    # A 0-row result makes the value-hash comparison vacuous (round 1
+    # shipped two such free passes) — every graded query must return
+    # data on the fixture.
+    assert len(srows) > 0, f"{name}: empty result — the oracle check proves nothing"
+
     if spec.oracle is None:
-        assert len(srows) >= 0  # rows-only check (driver's weak path)
-        return
+        return  # rows-only check (driver's weak path)
 
     dcols, drows = duck(spec.oracle)
 
