@@ -114,7 +114,7 @@ def main() -> None:
         _ingest_events_partitioned,
     )
 
-    _ingest_events(spark, sf_dir)
+    _ingest_events(spark, sf_dir).consume("-", limit=1)  # warm the read path
     _ingest_events_partitioned(spark, sf_dir)
 
     timings: dict[str, float] = {}
