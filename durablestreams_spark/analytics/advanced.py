@@ -171,3 +171,31 @@ def map_explode_props(spark, sf_dir):
             F.max("val").alias("max_val"),
         )
     )
+
+
+@query(
+    "sketch_percentiles_value",
+    """
+    SELECT event_type, true AS p50_ok, true AS p90_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="t-digest-style percentile sketch (approx_percentile, accuracy "
+    "10000) per event_type — THE 100 TB percentile path (mergeable "
+    "partial state; the exact percentile in agg_percentiles_value "
+    "needs a full per-group sort). Engines' sketches differ, so the "
+    "VALUE can't be oracled; instead each approx must land within the "
+    "exact [p-1%, p+1%] value bracket computed in the same aggregation "
+    "— the rank-error guarantee approx_percentile makes at this "
+    "accuracy. Oracle asserts the all-true table.",
+)
+def sketch_percentiles_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    def bracket_ok(p: float):
+        approx = F.expr(f"approx_percentile(value, {p}, 10000)")
+        lo = F.percentile("value", F.lit(max(p - 0.01, 0.0)))
+        hi = F.percentile("value", F.lit(min(p + 0.01, 1.0)))
+        return (approx >= lo) & (approx <= hi)
+    return ev.groupBy("event_type").agg(
+        bracket_ok(0.5).alias("p50_ok"),
+        bracket_ok(0.9).alias("p90_ok"),
+    )

@@ -223,6 +223,47 @@ def join_anti(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Outer joins (null-extension semantics).
+# --------------------------------------------------------------------------
+@query(
+    "join_outer_order_coverage",
+    """
+    SELECT coalesce(c.c_mktsegment, 'NO_CUSTOMER') AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers_without_urgent
+    FROM customer c
+    FULL OUTER JOIN (SELECT * FROM orders
+                     WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY segment
+    """,
+    doc="FULL OUTER join: customers x urgent orders, null-extended on "
+    "both sides, aggregated per segment with null-counting — the "
+    "coverage-report shape (who has no urgent orders / which orders "
+    "have no customer). Outer joins can't broadcast the preserved "
+    "side; this is a shuffle join by construction, which is exactly "
+    "what the plan should show at any scale.",
+)
+def join_outer(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce("c_mktsegment", F.lit("NO_CUSTOMER")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_customers_without_urgent"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Non-equi / range join.
 # --------------------------------------------------------------------------
 @query(

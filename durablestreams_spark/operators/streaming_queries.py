@@ -287,3 +287,23 @@ def streaming_stateful_user_totals(spark, sf_dir):
         .where(F.col("__rn") == 1)
         .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
     )
+
+
+@query(
+    "streaming_dedup_watermarked",
+    "SELECT event_id FROM events",
+    doc="LIVE streaming exact dedup: the events stream unioned with "
+    "itself (every id arrives twice) -> withWatermark -> "
+    "dropDuplicatesWithinWatermark(event_id) -> drained sink. State "
+    "is watermark-bounded (keys older than the watermark are evicted "
+    "— the only way streaming dedup survives unbounded streams); the "
+    "doubled input proves the operator actually drops, since the "
+    "oracle is the single-copy event set.",
+)
+def streaming_dedup_watermarked(spark, sf_dir):
+    a = _events_stream(spark, sf_dir).select("event_id", "ts")
+    b = _events_stream(spark, sf_dir).select("event_id", "ts")
+    doubled = a.unionByName(b).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    out = _drain(deduped, "append")
+    return out.select("event_id")
