@@ -96,6 +96,20 @@ def test_multimodal_decode_is_arrow_batched(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_q6_full_pushdown_and_pruning(spark):
+    """Q6 is the pushdown showcase: all four predicates must reach
+    PushedFilters and the scan must read exactly the four referenced
+    columns of lineitem's sixteen."""
+    df = all_queries()["q6_forecast_revenue"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pf), (col, pf)
+    cols = scan_read_columns(df)
+    assert cols and set(cols[0]) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, cols
+
+
 def test_tfidf_stays_jvm_side(spark):
     """TF-IDF is aggregation composition — no Python eval anywhere, and
     the scalar N joins in as a broadcast, not a shuffle."""
