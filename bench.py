@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
     "topk_orders",
     "window_rank_top_orders_per_cust",
     "window_tumbling_daily",

@@ -89,7 +89,7 @@ def query(name: str, oracle: str | None, doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import advanced, relational, windows  # noqa: F401
+    from . import advanced, relational, tpch_extra, windows  # noqa: F401
     from ..operators import (  # noqa: F401
         dedup,
         logops,
