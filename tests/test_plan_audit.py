@@ -187,3 +187,57 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must compile to a LEFT SEMI join — orders never
+    duplicate per matching lineitem, so the agg input stays O(orders)
+    however many lineitems match at 100 TB."""
+    df = all_queries()["q4_order_priority"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q18_take_ordered_and_agg_before_join(spark):
+    """Q18: top-k via TakeOrderedAndProject, and the HAVING aggregate
+    must partial-aggregate (map-side combine) before its exchange."""
+    df = all_queries()["q18_large_volume_customers"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q22_anti_join_with_broadcast_dims(spark):
+    """Q22: NOT EXISTS must be a LEFT ANTI join; the nation dim and the
+    scalar-average subquery broadcast."""
+    df = all_queries()["q22_sales_opportunity"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q7_no_forced_broadcast_of_scaling_tables(spark):
+    """q7 joins supplier/customer (scale with SF) — with the broadcast
+    threshold disabled those joins must fall back to shuffle joins
+    (proving no hard hint), while nation/region keep their hints."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["q7_volume_shipping"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, plan  # nation⋈region hints
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_q19_or_decomposition_prunes_scans(spark):
+    """Q19's derivable single-side implications must reach the scans:
+    the part scan pushes the brand IN-list, the lineitem scan pushes
+    the quantity range — each input prunes BEFORE the join even though
+    the disjunction itself evaluates after."""
+    df = all_queries()["q19_discounted_revenue"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("p_brand" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
