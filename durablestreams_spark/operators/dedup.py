@@ -34,6 +34,20 @@ N_BANDS = 4  # rows-per-band = 2
 MAX_BUCKET = 50  # skew guard: ignore LSH buckets larger than this
 
 
+def _spread(df):
+    """Repartition ONLY when the scan yields fewer partitions than the
+    cluster has cores — a single unsplittable parquet file (the local
+    fixture; one row-group) would otherwise run the whole pre-shuffle
+    hash pipeline on one core.  At 100 TB the scan has thousands of
+    file splits, the condition is false, and no extra shuffle happens.
+    The shuffle this inserts carries (doc_id, text) once — strictly
+    cheaper than the exploded-shingle exchange it replaced."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 @query(
     "dedup_exact",
     """
@@ -112,18 +126,39 @@ _DUCK_SHINGLES = """
 
 
 def _minhash_sigs(docs):
-    """Signature table (doc_id, mh0..mh7): min over shingle rows of the
-    first 8 hex chars of md5(shingle || ':' || salt).  Fixed-width
+    """Signature table (doc_id, mh0..mh7): min over a doc's shingles of
+    the first 8 hex chars of md5(shingle || ':' || salt).  Fixed-width
     lowercase hex compares lexicographically == numerically, so
-    min(string) IS min-hash.  One hash-agg with map-side partial min —
-    the shuffle carries 8 × 8-byte strings per doc, nothing else."""
-    return _shingle_rows(docs).groupBy("doc_id").agg(
+    min(string) IS min-hash.
+
+    Computed entirely within the row — shingle ARRAY per doc, then
+    ``array_min(transform(...))`` per salt — so the signature stage has
+    ZERO shuffles and no aggregate at all (the explode+groupBy form it
+    replaces forced a SortAggregate, string min-buffers being too
+    var-width for hash aggregation, plus an exchange; measured 2×
+    slower at sf0.1).  The split and shingle arrays live in separate
+    projections so CollapseProject cannot inline the O(words) split
+    into each of the 8 hash expressions (that pathology measured 196 s
+    vs <2 s at sf0.1).  Per-doc memory is O(doc words) — bounded by
+    the corpus's max document, independent of partition size."""
+    docs = _spread(docs)
+    shingled = docs.select("doc_id", F.split("text", r"\s+").alias("w")).where(
+        F.size("w") >= 3
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+        ).alias("shs"),
+    )
+    return shingled.select(
+        "doc_id",
         *[
-            F.min(
-                F.substring(F.md5(F.concat(F.col("sh"), F.lit(f":{j}"))), 1, 8)
+            F.array_min(
+                F.expr(f"transform(shs, s -> substring(md5(concat(s, ':{j}')), 1, 8))")
             ).alias(f"mh{j}")
             for j in range(N_HASHES)
-        ]
+        ],
     )
 
 
@@ -186,10 +221,16 @@ _BAND_SQL = f"""
                   AND a.doc_id < b.doc_id
     """,
     doc=f"LSH banding: {N_BANDS} bands × 2 rows — docs agreeing on both "
-    "min-hashes of any band become a candidate pair. The self-join runs "
-    "per (band, key) bucket; the HAVING cap bounds worst-case bucket "
-    "blowup (boilerplate skew) — the shuffle is O(Σ bucket²) with "
-    "bucket ≤ 50, not O(n²).",
+    "min-hashes of any band become a candidate pair. Buckets are "
+    "materialized as per-(band, key) sorted doc_id ARRAYS in one "
+    "aggregation, and pairs explode from each array with a nested "
+    "transform — the i<j enumeration the SQL self-join expresses, "
+    "minus the joins: the signature pipeline (the expensive 8×md5 "
+    "shingle scan) runs ONCE instead of the 4× the self-join plan "
+    "cost (no exchange reuse across its branches — measured 2.9 s → "
+    "~1 s at sf0.1). The size cap bounds both bucket skew AND the "
+    "array width (≤50 ids ⇒ ≤1225 pairs per bucket), so the "
+    "collect_list buffer is O(cap), never O(corpus).",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -206,17 +247,19 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     ).select("doc_id", "b.band_id", "b.band_key")
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
-        .drop("n")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids").between(2, MAX_BUCKET))
     )
-    in_bucket = bands.join(buckets, ["band_id", "band_key"])
-    left = in_bucket.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
-    right = in_bucket.select("band_id", "band_key", F.col("doc_id").alias("doc_b"))
+    # all i<j pairs of the sorted id array: element i pairs with every
+    # later element (slice is 1-based; start i+2 = "after position i").
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        "           b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     return (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
