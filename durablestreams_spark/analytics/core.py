@@ -54,6 +54,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than the
+    cluster has cores — a single unsplittable parquet file (the local
+    fixture; one row-group) would otherwise run an entire pre-shuffle
+    pipeline (tokenize/hash/shingle) on one core.  At 100 TB the scan
+    has thousands of file splits, the condition is false, and no extra
+    shuffle happens.  Use ahead of CPU-heavy per-row stages only; plain
+    scans/filters/aggregates don't need it."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register parquet tables as temp views for spark.sql queries."""
     for n in names or TABLES:

@@ -27,25 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..analytics.core import query, table
+from ..analytics.core import query, spread as _spread, table
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
 MAX_BUCKET = 50  # skew guard: ignore LSH buckets larger than this
-
-
-def _spread(df):
-    """Repartition ONLY when the scan yields fewer partitions than the
-    cluster has cores — a single unsplittable parquet file (the local
-    fixture; one row-group) would otherwise run the whole pre-shuffle
-    hash pipeline on one core.  At 100 TB the scan has thousands of
-    file splits, the condition is false, and no extra shuffle happens.
-    The shuffle this inserts carries (doc_id, text) once — strictly
-    cheaper than the exploded-shingle exchange it replaced."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
 
 
 @query(

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..analytics.core import query, table
+from ..analytics.core import query, spread, table
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
 
@@ -280,7 +280,7 @@ def text_tfidf_top_term(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
