@@ -825,3 +825,45 @@ def subquery_above_avg(spark, sf_dir):
         GROUP BY p_brand
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide measures -> long rows; the inverse of pivot).
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_price_components",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2)                 AS base,
+               round(sum(l_extendedprice * l_discount), 2)    AS discount,
+               round(sum(l_extendedprice * l_tax), 2)         AS tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, component, amount
+    FROM wide
+    UNPIVOT (amount FOR component IN (base, discount, tax))
+    """,
+    doc="UNPIVOT: per-returnflag revenue decomposed into three wide "
+    "measure columns, then melted to (flag, component, amount) rows — "
+    "the inverse of pivot_event_counts_by_day, closing the "
+    "reshape-operator pair. Spark's DataFrame.unpivot compiles to an "
+    "Expand node: each input row emits 3 output rows in the same "
+    "stage, no shuffle beyond the upstream aggregation (which is "
+    "O(flags) wide after map-side combine).",
+)
+def unpivot_price_components(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("base"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount"
+        ),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )

@@ -121,3 +121,46 @@ def window_session(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame analytic window (event-time trailing aggregate per row).
+# --------------------------------------------------------------------------
+@query(
+    "window_range_trailing_24h",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                         AND CURRENT ROW), 2) AS trailing_24h
+    FROM events
+    """,
+    doc="RANGE frame: per event, the user's value sum over the "
+    "trailing 24 h of EVENT TIME — the frame width varies per row "
+    "(unlike rowsBetween), the per-user streak analytics shape. "
+    "Spark needs a numeric order key for range frames, so ts is cast "
+    "to epoch MICROseconds (unix_timestamp would truncate sub-second "
+    "events onto the wrong side of a frame edge vs the oracle's "
+    "full-precision interval compare) and the frame is "
+    "rangeBetween(-24 h in µs, 0); both engines treat the bounds as "
+    "inclusive and include all ts peers. "
+    "One exchange on user_id + per-partition sort — identical cost "
+    "profile to any analytic window; no self-join, no pair expansion.",
+)
+def window_range_trailing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 2).alias("trailing_24h"),
+    )
