@@ -94,3 +94,43 @@ def pandas_udaf_value_spread(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(_value_spread("value"), 6).alias("spread"),
     )
+
+
+@query(
+    "grouped_map_zscore",
+    """
+    SELECT event_type, event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type),
+                 4) AS zscore
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+    doc="Grouped-map applyInPandas (SURVEY.md §2.2 'applyInPandas'): "
+    "whole-group pandas DataFrame in, transformed DataFrame out — "
+    "per-event_type z-scores, the normalize-within-group shape every "
+    "feature pipeline needs.  The WHOLE group materializes in one "
+    "worker's memory (unlike window functions, which stream sorted "
+    "partitions), so this seam is for transforms that truly need "
+    "pandas; the oracle replays it as analytic windows.  Sample "
+    "pre-filter keeps Python off the bulk path; ddof=1 matches "
+    "stddev_samp.",
+)
+def grouped_map_zscore(spark, sf_dir):
+    from ..analytics.core import table
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "zscore": ((pdf["value"] - mu) / sd).round(4),
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    return ev.groupBy("event_type").applyInPandas(
+        _z, "event_type string, event_id bigint, zscore double"
+    )
