@@ -241,3 +241,48 @@ def test_q19_or_decomposition_prunes_scans(spark):
     pf = pushed_filters(df)
     assert any("p_brand" in f for f in pf), pf
     assert any("l_quantity" in f for f in pf), pf
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB hot-key story has two layers: salted aggregation
+    (skew_salted_agg_quantity) for aggs, and AQE's OptimizeSkewedJoin
+    for joins. This pins the second: a 10:1-skewed join under
+    fact-sized thresholds must show a skew=true split in the final
+    adaptive plan — i.e., the hot partition was divided across tasks
+    instead of serializing one straggler."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale the byte thresholds down to fixture size so the local
+        # run exercises the same decision a 256 MB-threshold cluster
+        # makes on real partitions
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.rand(7).alias("x")
+        ).union(
+            spark.range(20_000).select(
+                (F.col("id") % 1000 + 1).alias("k"), F.rand(8).alias("x")
+            )
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), F.lit("d").alias("v")
+        )
+        j = left.join(right, "k")
+        j.foreach(lambda r: None)  # run to completion -> final AQE plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
