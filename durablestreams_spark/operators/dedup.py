@@ -377,3 +377,86 @@ def dedup_simhash(spark, sf_dir):
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+_PAIRS_SQL = f"""
+    {_BAND_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN buckets k ON a.band_id = k.band_id AND a.band_key = k.band_key
+    JOIN bands b   ON b.band_id = a.band_id AND b.band_key = a.band_key
+                  AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Connected components over the LSH candidate graph — the "
+    "clustering step that turns pairwise near-dup hits into groups "
+    "with a canonical keeper (min doc_id) per group; every dedup "
+    "pipeline needs it and no single SQL pass expresses it. "
+    "Implemented as iterative min-label propagation (the Pregel "
+    "pattern, driver-coordinated): each round joins labels to the "
+    "edge list, takes the min over neighbors, and stops when an "
+    "exact changed-count hits zero. localCheckpoint between rounds "
+    "truncates the lineage so round N's plan doesn't replay rounds "
+    "1..N-1 (the classic iterative-Spark failure mode); rounds "
+    "needed = graph diameter, and near-dup clusters are "
+    "near-cliques, so 2-3 rounds in practice. The oracle replays "
+    "it as a recursive CTE (transitive closure) — exponential-ish "
+    "on big graphs but exact on the candidate set's size. At 100 TB "
+    "swap min-propagation for the large-star/small-star variant; "
+    "the per-round plan (join + groupBy min) is identical.",
+)
+def dedup_connected_components(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.doc_a, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
