@@ -271,3 +271,91 @@ def purge_orphans(
             if not has_live:
                 shutil.rmtree(sub, ignore_errors=True)
         return sorted(purged)
+
+
+def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
+    """Kafka-style log compaction: retain only the LATEST record per
+    key, atomically replacing every active segment.
+
+    The reference has only positional (segment-merge) compaction; this
+    is the compacted-topic semantic its own "a single Kafka partition"
+    framing (README.md:128) implies but never builds: a stream used as
+    a changelog keeps one record per key, bounded by keyspace instead
+    of history.
+
+    Semantics: key = ``key_path`` JSON field of the payload; records
+    whose payload lacks the key keep their offset as a private key and
+    are always retained (Kafka's null-key behavior). "Latest" = highest
+    offset, the stream's total order.  Retained records keep their
+    original offsets, so consumers see the same records at the same
+    positions, just with gaps — exclusive-start consume is unaffected.
+
+    Execution is a Spark job end-to-end: window rank per key over the
+    manifest-pruned scan, then an executor-side sorted write — no
+    driver collect of data.  Locally the output coalesces to one
+    segment; at 100 TB raise ``repartitionByRange(N, "offset")`` to
+    one segment per range so segment sizes stay bounded (the manifest
+    swap below is identical either way).  The commit is guarded on the
+    whole window still being active — a racing producer/compactor
+    aborts this swap cleanly (same protocol as ``compact``).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    state = stream.refresh()
+    window = state.active_sorted()
+    if not window:
+        return None
+    df = stream.to_df(spark)
+    key = F.coalesce(F.get_json_object("data", key_path), F.col("offset"))
+    latest = (
+        df.withColumn("_k", key)
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_k").orderBy(F.col("offset").desc())),
+        )
+        .where(F.col("_rn") == 1)
+        .select("offset", "ts", "data")
+    )
+    tmp = os.path.join(stream.segments_dir, f"_tmp_keycompact_{uuid.uuid4().hex}")
+    (
+        latest.repartitionByRange(1, "offset")
+        .sortWithinPartitions("offset")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(tmp)
+    )
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    epoch = int(window[-1].last_offset[:16])
+    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted.parquet"
+    dst = os.path.join(stream.segments_dir, name)
+    os.rename(os.path.join(tmp, parts[0]), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    _fsync_file_and_dir(dst)
+    pf = pq.ParquetFile(dst)
+    stats = pq.read_table(dst, columns=["offset"])
+    offsets = stats.column("offset").to_pylist()
+    meta = SegmentMeta(
+        name=name,
+        first_offset=min(offsets),
+        last_offset=max(offsets),
+        created_ms=int(time.time() * 1000),
+        records=pf.metadata.num_rows,
+        bytes=os.path.getsize(dst),
+    )
+    try:
+        stream._commit(
+            {
+                "add": [meta.to_json()],
+                "remove": [s.name for s in window],
+                "removed_ms": int(time.time() * 1000),
+            },
+            guard=lambda st: all(s.name in st.active for s in window),
+        )
+    except CommitConflict:
+        try:
+            os.unlink(dst)
+        except OSError:
+            pass
+        return None
+    return meta

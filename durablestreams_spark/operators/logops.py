@@ -372,3 +372,66 @@ def log_time_travel_consume(spark, sf_dir):
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id"),
         "offset",
     )
+
+
+def _ingest_events_keyed(spark, sf_dir: str):
+    """A SEPARATE stream fixture for key compaction (compacting the
+    shared ``_ingest_events`` stream would invalidate every offset
+    oracle that replays its full history): events keyed by user_id,
+    ingested with the same deterministic clock, then compacted by key.
+    Marker-cached like the other fixtures."""
+    root = os.path.join(
+        "/tmp/durablestreams_keycompact_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_ingested")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_keyed")
+    if os.path.exists(marker):
+        return stream
+    shutil.rmtree(root, ignore_errors=True)
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_keyed")
+    produce_bulk(
+        stream,
+        table(spark, sf_dir, "events").select("event_id", "ts", "user_id"),
+        order_by=["ts", "event_id"],
+        batch_records=BATCH,
+        payload_cols=["event_id", "user_id"],
+        segment_rows=2500,
+    )
+    from ..maintenance import compact_by_key
+
+    meta = compact_by_key(stream, spark, "$.user_id")
+    assert meta is not None
+    with open(marker, "w") as f:
+        f.write("ok")
+    return stream
+
+
+@query(
+    "log_compact_by_key",
+    """
+    SELECT user_id, event_id AS last_event_id
+    FROM (SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Kafka-style key compaction (compacted topic): the stream keyed "
+    "by user_id keeps ONE record per user — the one with the highest "
+    "offset — after maintenance.compact_by_key swaps all active "
+    "segments for the latest-per-key set in one guarded manifest "
+    "commit. Offsets assign in (ts, event_id) order, so the oracle's "
+    "'latest event per user' window over the raw table must equal the "
+    "compacted stream's read-back exactly: retained identity AND "
+    "count both checked.",
+)
+def log_compact_by_key(spark, sf_dir):
+    stream = _ingest_events_keyed(spark, sf_dir)
+    df = stream.to_df(spark)
+    return df.select(
+        F.get_json_object("data", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_id").cast("long").alias("last_event_id"),
+    )

@@ -184,3 +184,33 @@ def test_concurrent_compactors_never_double_swap(catalog):
     assert list(state.active) == [first.name]
     # every record exactly once, in order
     assert [r.data["v"] for r in s1.consume("-", 10)] == [0, 1, 2]
+
+
+def test_compact_by_key_keeps_latest_and_null_keys(spark, tmp_path):
+    """Kafka compacted-topic semantics: one survivor per key (highest
+    offset), keyless records always retained at their original
+    offsets, read path intact after the swap."""
+    from durablestreams_spark.maintenance import compact_by_key
+    from durablestreams_spark.stream import StreamCatalog
+
+    s = StreamCatalog(str(tmp_path)).stream("kc")
+    s.produce([{"k": "a", "v": 1}, {"k": "b", "v": 1}])
+    s.produce([{"k": "a", "v": 2}, {"no_key": True}])
+    s.produce([{"k": "b", "v": 3}, {"k": "a", "v": 4}])
+    before = s.consume("-", limit=100)
+    meta = compact_by_key(s, spark, "$.k")
+    assert meta is not None
+    after = s.consume("-", limit=100)
+    # survivors: latest a (v=4), latest b (v=3), the keyless record
+    assert [r.data for r in after] == [
+        {"no_key": True}, {"k": "b", "v": 3}, {"k": "a", "v": 4}
+    ]
+    # original offsets preserved (gaps, not renumbering)
+    kept = {r.offset for r in after}
+    assert kept <= {r.offset for r in before}
+    # single active segment now; tombstones hold the old ones
+    st = s.refresh()
+    assert len(st.active) == 1 and len(st.tombstones) >= 3
+    # exclusive-start consume still works across the gap
+    page = s.consume(after[0].offset, limit=10)
+    assert [r.data["v"] for r in page] == [3, 4]
