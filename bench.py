@@ -133,6 +133,36 @@ def main() -> None:
     for name, val in bench_log_ops().items():
         timings[name] = val
         print(f"# {name}: {val}s", file=sys.stderr)
+
+    # Bulk-ingest throughput: the distributed produce path end-to-end
+    # (zip-with-index offset assignment -> range-partitioned segment
+    # write -> one manifest commit) over the full events table.
+    import shutil
+    import tempfile
+
+    from durablestreams_spark.analytics.core import table as _table
+    from durablestreams_spark.ingest import produce_bulk
+    from durablestreams_spark.stream import StreamCatalog
+
+    root = tempfile.mkdtemp(prefix="bench_bulk_")
+    try:
+        s = StreamCatalog(root).stream("bulk")
+        ev = _table(spark, sf_dir, "events").select("event_id", "ts")
+        n_rows = ev.count()
+        t0 = time.perf_counter()
+        produce_bulk(
+            s, ev, order_by=["ts", "event_id"], batch_records=1000,
+            payload_cols=["event_id"], segment_rows=20_000,
+        )
+        dt = time.perf_counter() - t0
+        timings["op_bulk_ingest_events"] = round(dt, 3)
+        print(
+            f"# op_bulk_ingest_events: {dt:.3f}s "
+            f"({n_rows / dt:,.0f} records/s)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     # Two timed runs per query, report the min: a single-shot timing on
     # a shared VM conflates the engine with whoever else touched the
     # CPU that second (observed 3x swings run-to-run on an idle-load

@@ -199,3 +199,45 @@ def sketch_percentiles_value(spark, sf_dir):
         bracket_ok(0.5).alias("p50_ok"),
         bracket_ok(0.9).alias("p90_ok"),
     )
+
+
+@query(
+    "sample_stratified_by_type",
+    """
+    WITH frac(event_type, thr) AS (
+        VALUES ('click', '19'), ('view', '19'),
+               ('purchase', 'ff'), ('signup', 'ff'), ('error', '7f')
+    )
+    SELECT e.event_type,
+           count(*) AS n_sampled,
+           round(sum(value), 2) AS sum_value
+    FROM events e JOIN frac f ON e.event_type = f.event_type
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < f.thr
+    GROUP BY e.event_type
+    """,
+    doc="Stratified deterministic sampling — per-class rates (down-"
+    "sample abundant clicks/views to ~10%, keep all purchases/signups, "
+    "half the errors), THE class-rebalancing primitive for training-"
+    "data curation. Same md5-keyspace trick as "
+    "sample_hash_deterministic so the sample is identical across "
+    "engines/runs/partitionings; the per-class threshold joins in "
+    "from a broadcast-sized rate table. Row-local predicate, no "
+    "pre-agg shuffle; at 100 TB the rate table is a literal map "
+    "baked into the filter expression.",
+)
+def sample_stratified_by_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    rates = spark.createDataFrame(
+        [("click", "19"), ("view", "19"), ("purchase", "ff"),
+         ("signup", "ff"), ("error", "7f")],
+        "event_type string, thr string",
+    )
+    return (
+        ev.join(F.broadcast(rates), "event_type")
+        .where(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < F.col("thr"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
