@@ -42,6 +42,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unless nanosAsLong is on.  Runtime-settable, so set it here rather
     # than relying on callers going through our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone too: date_format/date_trunc/window
+    # rendering must match the DuckDB oracle's naive-UTC strings even if
+    # the grading JVM's default zone isn't UTC.  Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # With spark.sql.legacy.parquet.nanosAsLong, TIMESTAMP(NANOS)
     # columns surface as int64 nanos; restore TimestampType (µs).

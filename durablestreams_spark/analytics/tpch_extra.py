@@ -551,3 +551,192 @@ def q22_sales_opportunity(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted): shipping-delay distribution vs order priority.
+# --------------------------------------------------------------------------
+@query(
+    "q12_shipping_delay",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'normal'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY delay_bucket
+    """,
+    doc="TPC-H Q12 adapted (fixture has no l_shipmode/l_receiptdate: "
+    "buckets come from the order→ship delay instead of ship mode). "
+    "Conditional-sum pivot over a single equi join: lineitem is "
+    "year-pruned at the scan, the join shuffles on orderkey, and the "
+    "3-row result crosses the final exchange pre-aggregated. The "
+    "high/low split is the classic sum(CASE...) pattern — no second "
+    "scan, no pivot operator needed.",
+)
+def q12_shipping_delay(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 60, "normal").otherwise("slow")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 (adapted): customer order-count distribution.
+# --------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    """
+    WITH counts AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+    doc="TPC-H Q13 adapted (no o_comment in fixture — the classic "
+    "NOT LIKE '%special%requests%' exclusion becomes an order-priority "
+    "exclusion). Double aggregation over a LEFT join: count(o_orderkey) "
+    "counts only matched rows, so never-ordered customers land in the "
+    "c_count=0 bin instead of vanishing — the null-preservation "
+    "semantics an inner join would silently break. First agg shuffles "
+    "on custkey; the distribution agg moves one row per distinct "
+    "count.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 (adapted): top supplier by quarterly revenue.
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15: the revenue view + argmax. The quarter-pruned "
+    "lineitem scan pre-aggregates to one row per supplier; the max is "
+    "a scalar broadcast joined back (never a one-partition window over "
+    "all suppliers — at 100 TB the supplier dimension scales with SF "
+    "and a global window would serialize it). Revenue is rounded "
+    "BEFORE the max comparison on both engines so float summation "
+    "order can't make the argmax disagree. Ties all surface, per the "
+    "spec.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best"))
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("best"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted): suppliers who solely delayed multi-supplier orders.
+# --------------------------------------------------------------------------
+@query(
+    "q21_waiting_orders",
+    """
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ), ord AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM l GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l JOIN ord USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 adapted (late = shipped >60 days after order date; "
+    "numwait counts ORDERS the supplier was solely late on). The "
+    "classic double-EXISTS correlation is hand-decorrelated into two "
+    "hash aggregations — per (order, supplier) lateness, then per-order "
+    "supplier/late counts — and one equi self-join on orderkey; the "
+    "EXISTS('another supplier') and NOT EXISTS('another late "
+    "supplier') become n_supp >= 2 AND n_late = 1. Both aggs and the "
+    "join share the orderkey partitioning, so AQE collapses the "
+    "pipeline into back-to-back stages without extra shuffles; no "
+    "correlated per-row subquery execution anywhere.",
+)
+def q21_waiting_orders(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    ord_stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per.join(ord_stats, "l_orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

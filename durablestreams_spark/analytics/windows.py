@@ -19,17 +19,58 @@ from .core import query, table
 _FMT_S = "yyyy-MM-dd HH:mm:ss"
 _FMT_D = "%Y-%m-%d %H:%M:%S"
 
-
-@query(
-    "window_tumbling_daily",
-    f"""
+# Oracle SQL shared with the LIVE streaming twins in
+# operators/streaming_queries.py — ONE copy of each window's grid/gap
+# arithmetic, so a boundary fix can't silently diverge the two graded
+# queries that claim identical semantics.
+TUMBLING_DAILY_ORACLE = f"""
     SELECT strftime(date_trunc('day', ts), '{_FMT_D}') AS window_start,
            event_type,
            count(*) AS n,
            round(sum(value), 4) AS sum_value
     FROM events
     GROUP BY window_start, event_type
-    """,
+    """
+
+SLIDING_12H_ORACLE = f"""
+    SELECT strftime(make_timestamp(start_us), '{_FMT_D}') AS window_start,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT e.value,
+               ((CAST(floor(epoch(e.ts) / 43200) AS BIGINT) - u.i) * 43200) * 1000000
+                   AS start_us
+        FROM events e, (SELECT UNNEST([0, 1]) AS i) u
+    )
+    GROUP BY window_start
+    """
+
+SESSION_30M_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT_D}') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """
+
+
+@query(
+    "window_tumbling_daily",
+    TUMBLING_DAILY_ORACLE,
     doc="Tumbling 1-day window × event_type. In streaming this is the "
     "canonical watermarked agg; state is O(open windows × types).",
 )
@@ -49,18 +90,7 @@ def window_tumbling(spark, sf_dir):
 
 @query(
     "window_sliding_12h",
-    f"""
-    SELECT strftime(make_timestamp(start_us), '{_FMT_D}') AS window_start,
-           count(*) AS n,
-           round(sum(value), 4) AS sum_value
-    FROM (
-        SELECT e.value,
-               ((CAST(floor(epoch(e.ts) / 43200) AS BIGINT) - u.i) * 43200) * 1000000
-                   AS start_us
-        FROM events e, (SELECT UNNEST([0, 1]) AS i) u
-    )
-    GROUP BY window_start
-    """,
+    SLIDING_12H_ORACLE,
     doc="Sliding window: 1-day width, 12-hour slide — every event lands "
     "in exactly width/slide = 2 windows. Spark's Expand node does this "
     "replication; the oracle replicates via UNNEST over the same grid "
@@ -81,27 +111,7 @@ def window_sliding(spark, sf_dir):
 
 @query(
     "window_session_30m",
-    f"""
-    WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
-    SELECT user_id,
-           strftime(min(ts), '{_FMT_D}') AS session_start,
-           count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
+    SESSION_30M_ORACLE,
     doc="Session window, 30-minute gap, per user. Spark: native "
     "session_window (merging-state agg, the applyInPandasWithState-class "
     "operator); oracle: gaps-and-islands. Events >30m apart start a new "

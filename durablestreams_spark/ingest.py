@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .manifest import SegmentMeta
+from .manifest import SegmentMeta, fsync_file_and_dir
 from .stream import Stream, _now_ms
 
 
@@ -177,12 +177,13 @@ def produce_bulk(
             # Spark's committer renames, it does not fsync: flush bytes
             # + dir entry before the manifest references this file
             # (same durability-before-ack invariant as _write_segment).
-            ffd = os.open(path, os.O_RDONLY)
-            try:
-                os.fsync(ffd)
-            finally:
-                os.close(ffd)
+            fsync_file_and_dir(path)
             md = pq.read_metadata(path)
+            if md.num_rows == 0:
+                # Empty input ⇒ Spark still writes a 0-row part file; it
+                # has no offsets and must not enter the manifest.
+                os.unlink(path)
+                continue
             first, last = None, None
             n = 0
             for rg in range(md.num_row_groups):
@@ -205,12 +206,6 @@ def produce_bulk(
                     bytes=os.path.getsize(path),
                 )
             )
-    if metas:
-        dfd = os.open(out, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
     metas.sort(key=lambda m: m.first_offset)
     last_epoch = int(metas[-1].last_offset[:16]) if metas else state.last_epoch_ms
     actions = {

@@ -17,7 +17,7 @@ import uuid
 
 import pyarrow.parquet as pq
 
-from .manifest import CommitConflict, SegmentMeta
+from .manifest import CommitConflict, SegmentMeta, fsync_file_and_dir as _fsync_file_and_dir
 from .stream import Stream
 
 # Reference thresholds, src/segment.ts:61-65.
@@ -26,22 +26,6 @@ MAX_RECORDS = 5_000
 MAX_BYTES = 10_000_000
 
 TOMBSTONE_RETENTION_MS = 24 * 3600 * 1000  # src/stream_manager.ts:15-17
-
-
-def _fsync_file_and_dir(path: str) -> None:
-    """Flush a freshly written file's bytes AND its directory entry so a
-    manifest commit can safely reference it (durability-before-ack,
-    reference ``src/stream_manager.ts:278-281,498``)."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
 
 
 def plan_compaction(
@@ -124,7 +108,12 @@ def compact(
     if not window:
         return None
     epoch = int(window[-1].last_offset[:16])
-    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted.parquet"
+    # Deliberately NOT *.parquet: the live tail source (Stream.read_stream)
+    # globs *.parquet, so compaction rewrites — which contain only
+    # already-delivered offsets — are invisible to it and never re-delivered
+    # as duplicates.  Batch readers use explicit manifest paths and don't
+    # care about the extension.
+    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted"
     dst = os.path.join(stream.segments_dir, name)
     tables = [
         pq.read_table(os.path.join(stream.segments_dir, s.name)) for s in window
@@ -253,7 +242,7 @@ def purge_orphans(
             for fn in files:
                 path = os.path.join(root, fn)
                 rel = os.path.relpath(path, stream.segments_dir)
-                if not fn.endswith(".parquet") or rel in referenced:
+                if not fn.endswith((".parquet", ".compacted")) or rel in referenced:
                     continue
                 if not _aged(path):
                     continue
@@ -327,7 +316,12 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
     )
     parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     epoch = int(window[-1].last_offset[:16])
-    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted.parquet"
+    # Deliberately NOT *.parquet: the live tail source (Stream.read_stream)
+    # globs *.parquet, so compaction rewrites — which contain only
+    # already-delivered offsets — are invisible to it and never re-delivered
+    # as duplicates.  Batch readers use explicit manifest paths and don't
+    # care about the extension.
+    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted"
     dst = os.path.join(stream.segments_dir, name)
     os.rename(os.path.join(tmp, parts[0]), dst)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -37,6 +37,24 @@ MANIFEST_DIR = "_manifest"
 VERSION_DIGITS = 20
 
 
+def fsync_file_and_dir(path: str) -> None:
+    """Flush a freshly written file's bytes AND its directory entry so a
+    manifest commit can safely reference it (durability-before-ack,
+    reference ``src/stream_manager.ts:278-281,498``).  The single shared
+    implementation of that invariant — segment writes, bulk part files
+    and compaction outputs all go through here."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class CommitConflict(Exception):
     """Another writer committed this manifest version first."""
 

@@ -20,6 +20,11 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..analytics.core import query
+from ..analytics.windows import (
+    SESSION_30M_ORACLE,
+    SLIDING_12H_ORACLE,
+    TUMBLING_DAILY_ORACLE,
+)
 
 _FMT_S = "yyyy-MM-dd HH:mm:ss"
 
@@ -54,17 +59,17 @@ def _drain(df, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # A partial sink would grade as a spurious hash mismatch that
+        # looks like an engine bug — fail loudly instead.
+        q.stop()
+        raise TimeoutError(f"streaming drain into {sink} did not finish in 600s")
     return df.sparkSession.sql(f"SELECT * FROM {sink}")
 
 
 @query(
     "streaming_tumbling_daily",
-    f"""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-    FROM events GROUP BY window_start, event_type
-    """,
+    TUMBLING_DAILY_ORACLE,
     doc="LIVE watermarked tumbling window (readStream → withWatermark → "
     "window agg → complete-mode sink, drained): the streaming twin of "
     "window_tumbling_daily, value-hash-checked against the same oracle.",
@@ -90,17 +95,7 @@ def streaming_tumbling_daily(spark, sf_dir):
 
 @query(
     "streaming_sliding_12h",
-    """
-    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
-           count(*) AS n, round(sum(value), 4) AS sum_value
-    FROM (
-        SELECT e.value,
-               ((CAST(floor(epoch(e.ts) / 43200) AS BIGINT) - u.i) * 43200) * 1000000
-                   AS start_us
-        FROM events e, (SELECT UNNEST([0, 1]) AS i) u
-    )
-    GROUP BY window_start
-    """,
+    SLIDING_12H_ORACLE,
     doc="LIVE sliding window (1-day width / 12-h slide) over the event "
     "stream: readStream → withWatermark → window agg, complete-mode "
     "drain. Each event is Expand-replicated into width/slide = 2 open "
@@ -127,27 +122,7 @@ def streaming_sliding_12h(spark, sf_dir):
 
 @query(
     "streaming_session_30m",
-    """
-    WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
-    )
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
+    SESSION_30M_ORACLE,
     doc="LIVE session windows (30-min gap) per user: readStream → "
     "withWatermark → session_window agg — Spark's MERGING state "
     "operator (sessions coalesce as events arrive), the hardest "

@@ -135,33 +135,16 @@ def text_quality(spark, sf_dir):
     )
 
 
-def _langid_sql() -> str:
-    hits = {
-        lang: f"len(list_filter(toks, x -> x IN {markers!r}))"
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    # argmax with alphabetical tie-break: compare each lang's hits
-    # against all others (strictly-greater beats later alphabetical).
-    langs = sorted(hits)
-    case = "CASE\n"
-    for i, lang in enumerate(langs):
-        conds = [
-            f"{hits[lang]} >= {hits[o]}" if o > lang else f"{hits[lang]} > {hits[o]}"
-            for o in langs
-            if o != lang
-        ]
-        conds.append(f"{hits[lang]} > 0")
-        case += f"  WHEN {' AND '.join(conds)} THEN '{lang}'\n"
-    case += "  ELSE 'und' END"
-    return case
+def _langid_case(hit_expr) -> str:
+    """Argmax-with-alphabetical-tie-break CASE over marker hit counts.
 
-
-def _langid_spark() -> str:
+    ONE generator serves both engines (``hit_expr`` renders a language's
+    hit-count expression in that engine's dialect), so the tie-break and
+    the '>0' floor — the parts that must stay in lockstep for the oracle
+    to agree — cannot drift between the two spellings.
+    """
     hits = {
-        lang: "size(filter(toks, x -> x IN ({})))".format(
-            ", ".join(f"'{m}'" for m in markers)
-        )
-        for lang, markers in sorted(LANG_MARKERS.items())
+        lang: hit_expr(markers) for lang, markers in sorted(LANG_MARKERS.items())
     }
     langs = sorted(hits)
     case = "CASE\n"
@@ -175,6 +158,18 @@ def _langid_spark() -> str:
         case += f"  WHEN {' AND '.join(conds)} THEN '{lang}'\n"
     case += "  ELSE 'und' END"
     return case
+
+
+def _langid_sql() -> str:
+    return _langid_case(lambda m: f"len(list_filter(toks, x -> x IN {m!r}))")
+
+
+def _langid_spark() -> str:
+    return _langid_case(
+        lambda m: "size(filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{x}'" for x in m)
+        )
+    )
 
 
 @query(

@@ -52,7 +52,14 @@ from dataclasses import dataclass
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .manifest import CommitConflict, FencingError, Manifest, SegmentMeta, StreamState
+from .manifest import (
+    CommitConflict,
+    FencingError,
+    Manifest,
+    SegmentMeta,
+    StreamState,
+    fsync_file_and_dir,
+)
 from .offsets import (
     BEGINNING,
     next_epoch,
@@ -193,7 +200,19 @@ class Stream:
                     set_meta["producer_version"] = version
             if not records:
                 if set_meta:
-                    self._commit({"set": set_meta})
+                    # Guarded like the data path: a racing higher-version
+                    # bump landing between our fold and commit must not be
+                    # overwritten (fencing regression).  On conflict the
+                    # outer loop refolds — the staleness check above then
+                    # raises FencingError (lower) or no-ops (equal).
+                    try:
+                        self._commit(
+                            {"set": set_meta},
+                            guard=lambda st: st.producer_version < version,
+                        )
+                    except CommitConflict as exc:
+                        last_exc = exc
+                        continue
                 return []
 
             epoch = next_epoch(
@@ -252,16 +271,7 @@ class Stream:
         # directory entry BEFORE the manifest commit can reference them,
         # or a power loss could leave the manifest pointing at a file
         # whose contents never hit disk.
-        fd = os.open(path, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        dfd = os.open(self.segments_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        fsync_file_and_dir(path)
         return os.path.getsize(path)
 
     # -- consume ----------------------------------------------------------
@@ -382,7 +392,25 @@ class Stream:
     def read_stream(self, spark):
         """The stream as a Structured Streaming source (file source over
         the segment directory; SURVEY.md §2.1 #11).  Use
-        ``withWatermark("ts", ...)`` downstream for windowed aggs."""
+        ``withWatermark("ts", ...)`` downstream for windowed aggs.
+
+        Delivery contract: every record written by ``produce`` (top-level
+        ``*.parquet``) or ``produce_bulk`` (``bulk-*/*.parquet``, hence the
+        recursive lookup) is delivered exactly once.  Compaction rewrites
+        carry a ``.compacted`` extension precisely so this glob skips them
+        — re-reading a merged segment would re-deliver offsets the source
+        already emitted from the raw files.  Raw files outlive compaction
+        by the tombstone retention (24 h), so a tail started within that
+        window still sees them; for older history, seed from the
+        manifest-backed batch reader (``to_df``) and tail from its max
+        offset.  ``ignoreMissingFiles`` covers tombstone GC unlinking a
+        listed file mid-batch.
+
+        Isolation caveat: bulk part-files become visible as tasks commit
+        them, which can precede the run's manifest ack — a tail may
+        deliver records from a bulk run that subsequently aborts
+        (read-uncommitted).  Consumers needing committed-only reads use
+        ``to_df``/``consume``, which go through the manifest."""
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -393,7 +421,13 @@ class Stream:
             ]
         )
         os.makedirs(self.segments_dir, exist_ok=True)
-        return spark.readStream.schema(schema).parquet(self.segments_dir)
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .option("ignoreMissingFiles", "true")
+            .parquet(self.segments_dir)
+        )
 
 
 class StreamCatalog:

@@ -18,7 +18,9 @@ from ..stream import Stream
 
 def tail_df(spark, stream: Stream, after_offset: str | None = None):
     """Streaming DataFrame of records strictly after ``after_offset``
-    (None ⇒ everything not yet compacted away plus all future data)."""
+    (None ⇒ every record still present as a raw produced/bulk segment
+    plus all future data; see ``Stream.read_stream`` for the exact
+    delivery/isolation contract around compaction and bulk ingest)."""
     df = stream.read_stream(spark)
     if after_offset:
         df = df.where(F.col("offset") > F.lit(after_offset))
