@@ -76,3 +76,80 @@ def running_user_stats(events_df):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API).
+# --------------------------------------------------------------------------
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class UserTypeHistogram(StatefulProcessor):
+    """Per-user event-type histogram kept in typed MapState — the
+    Spark-4 ``StatefulProcessor`` counterpart of ``running_user_stats``.
+
+    Where ``applyInPandasWithState`` forces the whole per-key state into
+    one row-shaped blob, ``transformWithStateInPandas`` gives typed,
+    independently-updatable state primitives; MapState(event_type →
+    count) updates only the entries a batch touches, so per-key state
+    I/O is O(types seen in batch), not O(total state) — the difference
+    that matters when keys accumulate wide state over long streams.
+    Emits (user_id, n_events, n_types) after folding each batch.
+    """
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState("type_counts", "type string", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((etype,))
+                    if self._counts.containsKey((etype,))
+                    else 0
+                )
+                # getValue returns a Row-like tuple for the value schema
+                prev_n = prev[0] if not isinstance(prev, int) else prev
+                self._counts.updateValue((etype,), (prev_n + int(cnt),))
+        total = 0
+        n_types = 0
+        for _k, v in self._counts.iterator():
+            total += v[0]
+            n_types += 1
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total], "n_types": [n_types]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_histogram(events_df):
+    """Per-user (total events, distinct event types) via the Spark-4
+    ``transformWithStateInPandas`` MapState processor; update-mode, one
+    row per user per micro-batch.
+
+    Requires the ``protobuf`` package (Spark's TWS driver worker speaks
+    protobuf to the JVM — without it the worker exits with an opaque
+    'driver worker crashed') and the RocksDB state store provider; the
+    caller must set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query.
+    Gated here with a clear error; ``running_user_stats``
+    (applyInPandasWithState) is the dependency-free fallback.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "it is not installed in this environment — use "
+            "running_user_stats (applyInPandasWithState) instead"
+        ) from exc
+    return events_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeHistogram(),
+        outputStructType="user_id long, n_events long, n_types long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -208,6 +208,53 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert last == batch
 
 
+def test_transform_with_state_gate(spark, tmp_path):
+    """transformWithStateInPandas (Spark-4 typed-state API) is gated on
+    protobuf: with it installed the MapState histogram must match the
+    batch aggregate; without it the wrapper must raise a CLEAR
+    ImportError instead of Spark's opaque driver-worker crash."""
+    import pytest
+
+    from durablestreams_spark.streaming.stateful import user_type_histogram
+
+    src = _events_stream(spark).select("user_id", "event_type")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            user_type_histogram(src)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        user_type_histogram(src)
+        .writeStream.format("memory")
+        .queryName("tws_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    last = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in spark.sql("SELECT * FROM tws_t").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert last == batch
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join (purchase ⟕ clicks within
     30 min before, same user) == the identical batch join."""
