@@ -369,3 +369,58 @@ def pipeline_clean_corpus(spark, sf_dir):
     ).select(
         "doc_id", "source", "n_dupes", F.col("n_tokens").cast("long").alias("n_tokens")
     )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id, w,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]) AS bg
+        FROM t
+        WHERE len(w) >= 2
+    )
+    SELECT doc_id,
+           round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+               AS token_rep,
+           round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+               AS bigram_rep,
+           CASE WHEN 1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) > 0.2
+                  OR 1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.7
+                THEN 'repetitive' ELSE 'ok' END AS rep_bucket
+    FROM g
+    """,
+    doc="Repetition signals (Gopher-style quality rule): duplicate-token "
+    "ratio (1 − type/token) and duplicate-bigram ratio per document, "
+    "bucketed into repetitive/ok. Boilerplate and looped generations "
+    "score high on bigram repetition long before exact/near dedup can "
+    "see them across documents. Pure higher-order array expressions — "
+    "split once, shingle from the array (same zero-Python pattern as "
+    "the MinHash pipeline), whole-stage codegen end to end.",
+)
+def text_repetition(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("w"),
+    ).where(F.size("w") >= 2)
+    with_bg = toks.withColumn(
+        "bg",
+        F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"),
+    )
+    tok_rep = 1 - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    bg_rep = 1 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    return with_bg.select(
+        "doc_id",
+        F.round(tok_rep, 4).alias("token_rep"),
+        F.round(bg_rep, 4).alias("bigram_rep"),
+        F.when((bg_rep > 0.2) | (tok_rep > 0.7), "repetitive")
+        .otherwise("ok")
+        .alias("rep_bucket"),
+    )
