@@ -286,3 +286,47 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_is_decorrelated(spark):
+    """Q21's double-EXISTS must be two hash aggregations + one equi
+    self-join — never a correlated per-row subquery (no nested-loop
+    join) and no Python eval."""
+    df = all_queries()["q21_waiting_orders"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan
+    assert not has_python_eval(df)
+
+
+def test_q15_argmax_is_broadcast_scalar(spark):
+    """Q15's max(total_revenue) must join back as a broadcast scalar —
+    a one-partition global window over all suppliers would serialize a
+    dimension that scales with SF."""
+    df = all_queries()["q15_top_supplier"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "Window" not in plan, plan
+
+
+def test_q13_left_join_preserved(spark):
+    """Q13 must keep the LEFT join (zero-order customers land in the
+    c_count=0 bin) — an optimizer or refactor turning it inner would
+    silently drop the bin while staying 'correct-looking'."""
+    df = all_queries()["q13_customer_distribution"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+
+
+def test_q12_single_join_pre_aggregated(spark):
+    """Q12 is one equi join + one aggregation: the conditional-sum
+    pivot must not introduce a second scan of either fact table or an
+    Expand node."""
+    import re
+
+    df = all_queries()["q12_shipping_delay"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # formatted plans list each node in the tree AND the detail section;
+    # count the numbered detail entries only.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "Expand" not in plan, plan
