@@ -10,6 +10,12 @@ byte-identical values):
 - dates/timestamps are emitted as formatted STRINGS;
 - DuckDB ``sum(int)`` returns HUGEINT — always cast to BIGINT in the
   oracle so it hashes like Spark's LongType.
+- ``round(x, k)`` DIVERGES between engines when x's shortest decimal
+  repr ends exactly in ...5 at digit k (Spark rounds the shortest repr
+  HALF_UP via BigDecimal; DuckDB rounds the true binary value).  Sums
+  virtually never land there, but raw divisions/mins can: use
+  ``floor(x * 10^k + 0.5) / 10^k`` — identical IEEE ops in both
+  engines — for such columns (see q2_cheapest_supplier).
 """
 
 from __future__ import annotations

@@ -52,7 +52,7 @@ from .core import query, table
     )
     SELECT p_partkey, p_name, s_name,
            round(s_acctbal, 2) AS s_acctbal,
-           round(up, 4)        AS unit_price
+           floor(up * 10000 + 0.5) / 10000 AS unit_price
     FROM best
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -64,7 +64,12 @@ from .core import query, table
     "Two-level reduction keeps the shuffle O(part×supplier observed "
     "pairs), not O(lineitems); the window repartitions by partkey "
     "only after the pre-agg has collapsed the fact table. Supplier "
-    "(scales with SF) is joined, never force-broadcast.",
+    "(scales with SF) is joined, never force-broadcast. unit_price is "
+    "rounded via floor(x*10^4 + 0.5)/10^4 — pure IEEE ops, identical "
+    "in both engines — because round() diverges on doubles whose "
+    "shortest decimal repr ends exactly in ...5 (Spark rounds the "
+    "shortest repr HALF_UP; DuckDB rounds the true binary value): a "
+    "raw division min hit that boundary at sf0.1.",
 )
 def q2_cheapest_supplier(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -83,7 +88,7 @@ def q2_cheapest_supplier(spark, sf_dir):
             "p_name",
             "s_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("up", 4).alias("unit_price"),
+            (F.floor(F.col("up") * 10000 + 0.5) / 10000).alias("unit_price"),
         )
     )
 
