@@ -110,3 +110,39 @@ def test_point_in_time_consume(tmp_path):
     rest = s.consume(first_of_2000.offset, limit=100)
     assert len(rest) == 5  # 2 remaining of epoch 2000 + 3 of epoch 3000
     assert offset_for_time(3000) > rest[0].offset  # sanity: ordering holds
+
+
+def test_concurrent_version_bumps_never_regress(tmp_path):
+    """Version-bump-only produces from racing handles: the fencing
+    token must end at the MAX bump ever committed — a lost manifest
+    race must not let a lower concurrent bump overwrite a higher one
+    (the bump path commits with a producer_version guard, like the
+    data path)."""
+    root = str(tmp_path / "streams")
+    handles = [StreamCatalog(root).stream("fenced") for _ in range(4)]
+    errs = []
+
+    def bump(h, versions):
+        from durablestreams_spark.manifest import FencingError
+
+        for v in versions:
+            try:
+                h.produce([], version=v)
+            except FencingError:
+                pass  # a higher bump already landed — correct rejection
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+    # interleaved ascending ranges so low and high bumps race each other
+    plans = [range(t + 1, 40 + t + 1) for t in range(4)]
+    threads = [
+        threading.Thread(target=bump, args=(h, p))
+        for h, p in zip(handles, plans)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    final = StreamCatalog(root).stream("fenced").refresh().producer_version
+    assert final == 43  # max bump across all plans
