@@ -435,3 +435,44 @@ def log_compact_by_key(spark, sf_dir):
         F.get_json_object("data", "$.user_id").cast("long").alias("user_id"),
         F.get_json_object("data", "$.event_id").cast("long").alias("last_event_id"),
     )
+
+
+@query(
+    "log_fanout_shards",
+    f"""
+    WITH offs AS ({_ORACLE_OFFSETS})
+    SELECT CAST(CAST(('0x' || substr(md5("offset"), 1, 8)) AS BIGINT) % 4
+                AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_records,
+           min("offset") AS first_offset,
+           max("offset") AS last_offset
+    FROM offs
+    GROUP BY shard
+    """,
+    doc="Consumer fan-out sharding, the reference's own scale-out "
+    "recipe for heavy per-record work ('each consumer only actually "
+    "processes Murmur3(offset) % N', README.md:149): every record of "
+    "the ingested log is assigned shard = hash(offset) % 4 and each "
+    "shard's slice is summarized. Hash = first 8 md5 hex digits "
+    "(engine-portable, same policy as the deterministic sampler — "
+    "Spark's hash() is Murmur3 but DuckDB's differs, and the CONTRACT "
+    "is only that the hash is uniform and stable). Row-local "
+    "projection + one 4-group agg: fan-out adds zero shuffles beyond "
+    "the count, and at 100 TB each consumer applies the same predicate "
+    "as a pushed filter on its own manifest-pruned scan.",
+)
+def log_fanout_shards(spark, sf_dir):
+    stream = _ingest_events(spark, sf_dir)
+    df = stream.to_df(spark)
+    shard = (
+        F.conv(F.substring(F.md5("offset"), 1, 8), 16, 10).cast("long") % 4
+    ).alias("shard")
+    return (
+        df.select(shard, "offset")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+    )
