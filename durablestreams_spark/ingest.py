@@ -125,14 +125,21 @@ def produce_bulk(
     (``src/stream_manager.ts:498,516``).
 
     ``batch_records`` sets the offset arithmetic (records per logical
-    epoch); ``segment_rows`` (default: same) sets the physical file
-    size.  The two are independent: the manifest invariant is only
-    that segment offset ranges are DISJOINT, which a range
-    repartition on ``offset`` guarantees by construction — so the
-    write is a plain one-file-per-task parquet write, never a dynamic
-    ``partitionBy`` (measured 3-10× slower and high-variance for many
-    small partitions).  At scale, size ``segment_rows`` so one segment
-    ≈ a comfortable scan split (e.g. ~1 GB).
+    epoch); ``segment_rows`` sets the physical file size.  The two are
+    independent: the manifest invariant is only that segment offset
+    ranges are DISJOINT.  With ``segment_rows=None`` (default) the
+    write reuses the range partitioning ``assign_offsets`` already
+    established: offsets are monotonic in the order key, so each
+    existing partition holds a CONTIGUOUS offset range and one
+    locally-sorted file per partition is disjoint BY CONSTRUCTION —
+    no second full-data shuffle (at 100 TB that shuffle doubles the
+    ingest I/O; file count = shuffle partitions, which is the knob
+    that sizes them).  Passing ``segment_rows`` explicitly forces a
+    range repartition on ``offset`` into ceil(total/segment_rows)
+    files for exact physical sizing.  Either way the write is a plain
+    one-file-per-task parquet write, never a dynamic ``partitionBy``
+    (measured 3-10× slower and high-variance for many small
+    partitions).
     """
     trace = os.environ.get("DS_TIMING")
 
@@ -152,17 +159,21 @@ def produce_bulk(
     t0 = _t("assign", t0)
     assigned = with_offsets.select("offset", "ts", payload)
     total = with_offsets._ds_total  # type: ignore[attr-defined]
-    n_files = max(1, -(-total // (segment_rows or batch_records)))
+    if segment_rows is None:
+        # Partition-contiguous fast path: broadcast-join + projections
+        # preserved assign_offsets' range partitioning, so offsets are
+        # contiguous per partition — local sort, no second shuffle.
+        writer_df = assigned.sortWithinPartitions("offset")
+    else:
+        n_files = max(1, -(-total // segment_rows))
+        writer_df = assigned.repartitionByRange(
+            n_files, "offset"
+        ).sortWithinPartitions("offset")
 
     run_dir = f"bulk-{uuid.uuid4().hex}"
     out = os.path.join(stream.segments_dir, run_dir)
     try:
-        (
-            assigned.repartitionByRange(n_files, "offset")
-            .sortWithinPartitions("offset")
-            .write.mode("error")
-            .parquet(out)
-        )
+        writer_df.write.mode("error").parquet(out)
         t0 = _t("write", t0)
     finally:
         with_offsets._ds_persisted.unpersist()  # type: ignore[attr-defined]
