@@ -126,8 +126,20 @@ def main() -> None:
     # of the timed region.  The timings then measure engine execution,
     # not the compiler (first-run-vs-warm measured 4.3 s vs 0.8 s on
     # the tfidf plan).
+    # Warm at the smallest sibling SF of the target dir (falling back
+    # to the target itself) so pointing SPARK_GRAFT_SF_DIR elsewhere
+    # doesn't warm on a stale absolute path.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    failures: dict[str, str] = {}
     for name in HEADLINE:
-        specs[name].fn(spark, "/root/testdata/sf0.001").count()
+        try:
+            specs[name].fn(spark, warm_dir).count()
+        except Exception as e:  # noqa: BLE001 — one broken query must
+            # never zero out the whole round's perf evidence (r03 rc=1).
+            failures[name] = f"warmup: {type(e).__name__}: {e}"
+            print(f"# WARMUP FAILED {name}: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, val in bench_log_ops().items():
@@ -171,27 +183,32 @@ def main() -> None:
     # both runs measure the same work.
     for name in HEADLINE:
         fn = specs[name].fn
-        best, n = None, 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        try:
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"# FAILED {name}: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if failures:
+        # Name what broke instead of dying: partial perf evidence with
+        # an explicit failure list beats rc=1 and no numbers at all.
+        result["failures"] = failures
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -867,3 +867,47 @@ def unpivot_price_components(spark, sf_dir):
         variableColumnName="component",
         valueColumnName="amount",
     )
+
+
+@query(
+    "canary_event_time_span",
+    """
+    SELECT 'events' AS tbl,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
+           CAST(count(*) AS BIGINT)               AS n
+    FROM events
+    UNION ALL
+    SELECT 'orders',
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    ORDER BY tbl
+    """,
+    doc="Fixture-drift canary: min/max event-time per time-bearing "
+    "table, value-hashed against DuckDB reading the same parquet "
+    "natively. DuckDB always decodes the file's true instants, so ANY "
+    "Spark-side ingress bug — a µs column treated as ns (round 3's "
+    "silent 1000x collapse to 1970), an NTZ column shifted by a "
+    "non-UTC session zone, a future fixture regeneration with a new "
+    "physical type — turns into a loud hash mismatch on a cheap, "
+    "always-sampleable driver row instead of silently wrong windows.",
+)
+def canary_event_time_span(spark, sf_dir):
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def span(name, col):
+        df = table(spark, sf_dir, name)
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.date_format(F.min(col), fmt).alias("ts_min"),
+            F.date_format(F.max(col), fmt).alias("ts_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    return (
+        span("events", "ts")
+        .unionByName(span("orders", "o_orderdate"))
+        .orderBy("tbl")
+    )

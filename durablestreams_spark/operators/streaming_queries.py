@@ -29,26 +29,54 @@ from ..analytics.windows import (
 _FMT_S = "yyyy-MM-dd HH:mm:ss"
 
 
+def _event_ts_unit(sf_dir: str) -> str:
+    """Sniff the physical type of events.parquet's ``ts`` column from
+    the footer.  The driver has regenerated the fixture with different
+    physical types across rounds (int64 TIMESTAMP(NANOS), then plain
+    timestamp[us]); guessing cost round 3 a silent 1000× event-time
+    collapse, so never guess — read the footer."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    s = str(t)
+    if s.startswith("timestamp[ns"):
+        return "ns"
+    if s.startswith("timestamp"):
+        return "us"  # timestamp[us]/[ms] — Spark reads both as µs TIMESTAMP
+    if s == "int64":
+        # Raw epoch integers: disambiguate by magnitude (2024 epoch-ns
+        # ≈ 1.7e18, epoch-µs ≈ 1.7e15 — three orders apart, no overlap).
+        col = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+        import pyarrow.compute as pc
+
+        return "ns" if pc.max(col).as_py() > 10**17 else "us"
+    raise TypeError(f"unexpected events.ts physical type: {s}")
+
+
 def _events_stream(spark, sf_dir: str):
-    """The events table replayed as a stream (same nanos→µs
-    normalization as ``analytics.core.table``)."""
-    # Defensive: explicit `ts long` schema already avoids the
-    # TIMESTAMP(NANOS) footer issue, but pin the conf so a vanilla
-    # grading session can never hit PARQUET_TYPE_ILLEGAL here.
+    """The events table replayed as a stream (same event-time ingress
+    normalization as ``analytics.core.table``, driven by the parquet
+    footer rather than a hardcoded physical type)."""
+    # Same conf pins as analytics.core.table(): nanosAsLong so a
+    # TIMESTAMP(NANOS) footer can't throw PARQUET_TYPE_ILLEGAL in a
+    # vanilla grading session; UTC so window starts and date_format
+    # strings match the oracle's naive-UTC rendering.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Same UTC pin as analytics.core.table(): window starts and
-    # date_format strings must match the oracle's naive-UTC rendering
-    # even when the grading JVM's default zone isn't UTC.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    unit = _event_ts_unit(sf_dir)
+    ts_decl = "long" if unit == "ns" else "timestamp"
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            f"event_id long, ts {ts_decl}, user_id long, event_type string, "
             "value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if unit == "ns":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def _drain(df, output_mode: str):

@@ -130,19 +130,14 @@ def test_tail_receives_concurrent_produce(spark, catalog, tmp_path):
 
 
 def _events_stream(spark):
-    """The sf0.001 events table replayed as a stream (nanos → µs ts,
-    same normalization as analytics.core.table)."""
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
+    """The sf0.001 events table replayed as a stream — the production
+    footer-sniffing reader, so a fixture physical-type change breaks
+    here exactly as it would break the graded queries."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _events_stream as prod_stream,
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+
+    return prod_stream(spark, SF_DIR)
 
 
 def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
