@@ -2,12 +2,15 @@
 opaque ``binary`` payload columns with typed metadata, and a
 Pandas-UDF decode pipeline over ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake behind a clearly-marked seam
-(:func:`decode_image_batch`); everything Spark-side — BinaryType
-schema, Arrow batch shape, ``mapInPandas`` plumbing, partitioning —
-is real and oracle-checked.  Swapping the fake for PIL/ffmpeg changes
-one function body and nothing else.
+The *decode* step is a real pure-Python codec
+(:mod:`.media_codec`): BMP / binary-PPM / GIF metadata is parsed from
+the actual payload bytes (struct header reads + a GIF block walk), no
+PIL needed.  The testdata tables carry no image payloads, so valid
+tiny blobs are synthesized deterministically in-pipeline
+(:func:`build_media_batch`) — on a real corpus that stage disappears
+and the decoder reads the stored binary column.  Pixel-level work
+(resampling, frame pixel decode, learned feature encoders) remains
+behind clearly-marked seams needing PIL/ffmpeg/ONNX.
 
 Scale notes: binary payloads ride in parquet as byte arrays; for >2 GB
 blobs the column holds an object-store pointer instead (pointer
@@ -64,32 +67,50 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB decode — deterministic stand-in for a real codec.
-
-    A real implementation would be::
-
-        from PIL import Image          # not available in this container
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, getattr(img, "n_frames", 1), img.format
-
-    The fake derives dimensions from payload length/first byte so the
-    oracle can verify the full Spark plumbing end-to-end.
-    """
-    n = len(payload)
-    first = payload[0] if n else 0
-    return 1 + n % 640, 1 + (n // 640) % 480, 1 + first % 8, f"fake{first % 4}"
+_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
 
 
-def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in → decoded metadata batch out.
+def build_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: document row → real tiny media blob (valid
+    BMP / binary-PPM / animated GIF bytes, format cycling by doc_id).
+    This is the fixture half: the testdata tables carry no image
+    payloads, so blobs are synthesized deterministically in-pipeline —
+    their dimensions are pure functions of the row, which keeps the
+    DuckDB oracle expressible while the decode half parses real bytes."""
+    from .media_codec import build_media
 
-    Only ``doc_id`` and ``payload`` are read, so column pruning keeps
-    the scan narrow; the output is a new narrow frame (never mutate the
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    build_media(int(i), p)
+                    for i, p in zip(pdf["doc_id"], pdf["payload"])
+                ],
+            }
+        )
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch of binary blobs in → decoded
+    metadata batch out.  The decode is a REAL pure-Python codec
+    (struct-parse of the BMP BITMAPINFOHEADER, the PPM ASCII header,
+    a GIF block walk — ``media_codec.decode_media``), not a stub: it
+    reads the actual header bytes and works on any conformant file.
+
+    Only ``doc_id`` and ``blob`` are read, so column pruning keeps the
+    scan narrow; the output is a new narrow frame (never mutate the
     input batch — Arrow buffers are shared).
     """
+    from .media_codec import decode_media
+
     for pdf in batches:
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        decoded = [decode_media(p) for p in pdf["blob"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -101,17 +122,36 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+def _decoded_docs(spark, sf_dir):
+    """documents → built blobs → real header decode.  Two chained
+    mapInPandas stages in ONE Spark stage (no shuffle between them);
+    on a real corpus the build stage disappears and decode reads the
+    stored binary column directly."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    blobs = docs.mapInPandas(build_media_batch, schema=_BLOB_SCHEMA)
+    return blobs.mapInPandas(decode_media_batch, schema=_DECODED_SCHEMA)
+
+
+# The builder's dimension/frame/format functions, restated in SQL for
+# the oracles (media_codec.build_media): w = 1 + len % 64,
+# h = 1 + (len // 64) % 48, fmt by doc_id % 3, gif frames 1 + doc_id % 8.
+_ORACLE_DECODED = """
+    SELECT doc_id,
+           1 + octet_length(encode(text)) % 64         AS width,
+           1 + (octet_length(encode(text)) // 64) % 48 AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                ELSE 'gif' END                         AS fmt
+    FROM documents
+"""
+
+
 @query(
     "multimodal_decode_stats",
-    """
-    WITH decoded AS (
-        SELECT doc_id,
-               1 + octet_length(encode(text)) % 640 AS width,
-               1 + (octet_length(encode(text)) // 640) % 480 AS height,
-               1 + ascii(substr(text, 1, 1)) % 8 AS n_frames,
-               'fake' || CAST(ascii(substr(text, 1, 1)) % 4 AS VARCHAR) AS fmt
-        FROM documents
-    )
+    f"""
+    WITH decoded AS ({_ORACLE_DECODED})
     SELECT fmt,
            count(*) AS n_docs,
            CAST(sum(width * height * n_frames) AS BIGINT) AS total_pixels,
@@ -119,17 +159,15 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     FROM decoded
     GROUP BY fmt
     """,
-    doc="Decode pipeline: BinaryType payload → mapInPandas (Arrow "
-    "batches) → per-format stats. The decode body is a deterministic "
-    "stub (no codecs in container) — the graded part is the real "
-    "Spark plumbing: schema, batching, pruning, the aggregate on top.",
+    doc="Decode pipeline: BinaryType payloads (valid BMP/PPM/GIF bytes "
+    "built in-pipeline) → mapInPandas Arrow batches → a REAL pure-"
+    "Python header decode (media_codec.decode_media: BITMAPINFOHEADER "
+    "struct-parse, PPM ASCII header, GIF block walk) → per-format "
+    "stats. The oracle restates the builder's deterministic dimension "
+    "functions; the Spark side gets them by parsing the actual bytes.",
 )
 def multimodal_decode_stats(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    decoded = docs.mapInPandas(decode_image_batch, schema=_DECODED_SCHEMA)
-    return decoded.groupBy("fmt").agg(
+    return _decoded_docs(spark, sf_dir).groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             (F.col("width") * F.col("height") * F.col("n_frames")).cast("long")
@@ -150,22 +188,25 @@ FRAME_STRIDE = 2  # sample every 2nd frame
 
 
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one input row → one output row per sampled
+    """mapInPandas worker: one blob row → one output row per sampled
     frame (the 1→N expansion shape of video frame extraction).  The
-    frame "content" hash is a deterministic stand-in for the decoded
-    frame bytes (no codecs in this container) — the graded part is the
-    expansion plumbing and the aggregate on top."""
+    frame COUNT comes from really parsing the GIF/BMP/PPM bytes
+    (media_codec.decode_media); the frame "content" hash is a
+    deterministic (doc, frame) fingerprint standing in for decoded
+    pixel bytes — full LZW pixel decode stays out of scope."""
     import hashlib
+
+    from .media_codec import decode_media
 
     for pdf in batches:
         ids, idxs, shas = [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            _w, _h, n_frames, _fmt = _fake_decode(payload)
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            _w, _h, n_frames, _fmt = decode_media(blob)
             for f in range(0, n_frames, FRAME_STRIDE):
                 ids.append(doc_id)
                 idxs.append(f)
                 shas.append(
-                    hashlib.md5(payload[:16] + f":{f}".encode()).hexdigest()[:12]
+                    hashlib.md5(f"{doc_id}:{f}".encode()).hexdigest()[:12]
                 )
         yield pd.DataFrame(
             {"doc_id": pd.Series(ids, dtype="int64"),
@@ -179,34 +220,35 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     f"""
     WITH meta AS (
         SELECT doc_id,
-               1 + ascii(substr(text, 1, 1)) % 8 AS n_frames,
-               substr(text, 1, 16) AS head
+               CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8 ELSE 1 END AS n_frames
         FROM documents
     ),
     frames AS (
-        SELECT doc_id, n_frames, head, (i - 1) * {FRAME_STRIDE} AS frame_idx
+        SELECT doc_id, (i - 1) * {FRAME_STRIDE} AS frame_idx
         FROM meta,
              UNNEST(generate_series(1, (n_frames + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})) t(i)
     )
     SELECT doc_id,
            count(*) AS n_sampled,
            CAST(max(frame_idx) AS INTEGER) AS last_frame,
-           min(substr(md5(head || ':' || CAST(frame_idx AS VARCHAR)), 1, 12)) AS min_frame_sha
+           min(substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 12)) AS min_frame_sha
     FROM frames
     GROUP BY doc_id
     """,
-    doc=f"Video-style frame sampling: mapInPandas expands each payload "
-    f"into one row per {FRAME_STRIDE}-strided frame (frame count from "
-    "the decode stub), then aggregates per doc. Demonstrates the 1→N "
-    "Arrow expansion every frame-extraction pipeline needs; memory "
-    "stays O(batch × frames-per-doc), bounded via "
+    doc=f"Video-style frame sampling: mapInPandas expands each media "
+    f"blob into one row per {FRAME_STRIDE}-strided frame — the frame "
+    "count is read from the blob's actual bytes (GIF image-descriptor "
+    "block walk), then aggregated per doc. Demonstrates the 1→N Arrow "
+    "expansion every frame-extraction pipeline needs; memory stays "
+    "O(batch × frames-per-doc), bounded via "
     "spark.sql.execution.arrow.maxRecordsPerBatch.",
 )
 def multimodal_frame_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    frames = docs.mapInPandas(sample_frames_batch, schema=_FRAMES_SCHEMA)
+    blobs = docs.mapInPandas(build_media_batch, schema=_BLOB_SCHEMA)
+    frames = blobs.mapInPandas(sample_frames_batch, schema=_FRAMES_SCHEMA)
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("frame_idx").alias("last_frame"),
@@ -223,29 +265,32 @@ _THUMB_SCHEMA = T.StructType(
     ]
 )
 
-THUMB_MAX = 64  # target bounding box for thumbnails
+THUMB_MAX = 32  # target bounding box for thumbnails
 
 
 def resize_thumbnail_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: binary payload → thumbnail metadata.
+    """mapInPandas worker: binary media blob → thumbnail metadata.
 
-    STUB resize — a real implementation would be
-    ``Image.open(...).thumbnail((THUMB_MAX, THUMB_MAX))`` (PIL not in
-    this container); the stand-in clamps the decoded dimensions to the
-    bounding box and fingerprints the "resized" payload
-    deterministically so the oracle can verify the plumbing.
+    Source dimensions come from really parsing the blob's header bytes
+    (media_codec.decode_media); the resize itself is a dimension clamp
+    + deterministic fingerprint — producing resampled pixel bytes would
+    need PIL (``Image.open(...).thumbnail((THUMB_MAX, THUMB_MAX))``),
+    which this container lacks.
     """
     import hashlib
 
+    from .media_codec import decode_media
+
     for pdf in batches:
         ws, hs, shas = [], [], []
-        for payload in pdf["payload"]:
-            w, h, _n, _fmt = _fake_decode(payload)
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, _n, _fmt = decode_media(blob)
             ow, oh = min(w, THUMB_MAX), min(h, THUMB_MAX)
-            key = f"{ow}x{oh}:".encode() + payload[:32]
             ws.append(ow)
             hs.append(oh)
-            shas.append(hashlib.md5(key).hexdigest()[:12])
+            shas.append(
+                hashlib.md5(f"{doc_id}:{ow}x{oh}".encode()).hexdigest()[:12]
+            )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -259,29 +304,32 @@ def resize_thumbnail_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 @query(
     "multimodal_resize_thumbnail",
     f"""
+    WITH dims AS (
+        SELECT doc_id,
+               least(1 + octet_length(encode(text)) % 64, {THUMB_MAX})         AS out_w,
+               least(1 + (octet_length(encode(text)) // 64) % 48, {THUMB_MAX}) AS out_h
+        FROM documents
+    )
     SELECT doc_id,
-           CAST(least(1 + length(text) % 640, {THUMB_MAX}) AS INTEGER) AS out_w,
-           CAST(least(1 + (length(text) // 640) % 480, {THUMB_MAX}) AS INTEGER) AS out_h,
-           substr(md5(
-               CAST(least(1 + length(text) % 640, {THUMB_MAX}) AS VARCHAR)
-               || 'x' ||
-               CAST(least(1 + (length(text) // 640) % 480, {THUMB_MAX}) AS VARCHAR)
-               || ':' || substr(text, 1, 32)), 1, 12) AS thumb_sha
-    FROM documents
+           CAST(out_w AS INTEGER) AS out_w,
+           CAST(out_h AS INTEGER) AS out_h,
+           substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(out_w AS VARCHAR) || 'x' ||
+                      CAST(out_h AS VARCHAR)), 1, 12) AS thumb_sha
+    FROM dims
     """,
-    doc=f"Thumbnail resize pipeline: BinaryType payload → mapInPandas "
-    f"(Arrow) → bounded {THUMB_MAX}px dimensions + content fingerprint "
-    "per doc. The resize body is a clearly-marked stub (no codecs in "
-    "container); schema, batch shape and 1→1 transform plumbing are "
-    "real — swapping in PIL changes one function body. (documents "
-    "fixture is ASCII, so the oracle's substr(text) equals the "
-    "payload-byte slice bit-for-bit.)",
+    doc=f"Thumbnail resize pipeline: built media blob → mapInPandas "
+    f"(Arrow) → source dimensions parsed from the real header bytes → "
+    f"clamped to a {THUMB_MAX}px bounding box + per-doc fingerprint. "
+    "The pixel resample is the one PIL-shaped hole; header decode, "
+    "schema, batch shape and 1→1 transform plumbing are all real.",
 )
 def multimodal_resize_thumbnail(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return docs.mapInPandas(resize_thumbnail_batch, schema=_THUMB_SCHEMA)
+    blobs = docs.mapInPandas(build_media_batch, schema=_BLOB_SCHEMA)
+    return blobs.mapInPandas(resize_thumbnail_batch, schema=_THUMB_SCHEMA)
 
 
 _FEAT_SCHEMA = T.StructType(
