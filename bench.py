@@ -42,6 +42,18 @@ HEADLINE = [
     "partitioned_roundtrip_offsets",
 ]
 
+# Shuffle-heavy plans re-timed at ~sf1 (10x sf0.1): join fan-out (q9),
+# large-cardinality agg+join (q18), banded LSH self-join, TF-IDF's
+# df/tf aggregations, event-time window + as-of (10x per-user density).
+SF1_HEAVY = [
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "dedup_minhash_lsh_pairs",
+    "text_tfidf_top_term",
+    "window_tumbling_daily",
+    "join_asof_purchase_prior_click",
+]
+
 
 def bench_log_ops() -> dict[str, float]:
     """The reference's own latency surface (BASELINE.md derived targets):
@@ -96,6 +108,62 @@ def bench_log_ops() -> dict[str, float]:
     return out
 
 
+def bench_manifest_fold() -> float:
+    """Metadata-layer recovery at 100 TB scale: fold a manifest whose
+    checkpoint holds 100k segment rows (~1 GB segments x 100k = 100 TB)
+    plus a full commit tail.  Times Manifest.load() only — the build is
+    setup.  Target: sub-second (the reference rebuilds its RB-tree from
+    KV list on every DO wake, src/stream_manager.ts:503-511; ours is
+    one checkpoint read + O(interval) tail commits)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from durablestreams_spark.manifest import (
+        CHECKPOINT_INTERVAL,
+        Manifest,
+        SegmentMeta,
+        StreamState,
+    )
+
+    n = 100_000
+    root = tempfile.mkdtemp(prefix="bench_manifest_")
+    try:
+        man = Manifest(os.path.join(root, "s"))
+        os.makedirs(man.dir)
+        st = StreamState(version=n)
+        for i in range(n):
+            m = SegmentMeta(
+                name=f"seg-{i:08d}.parquet",
+                first_offset=f"{i * 10_000:016d}-0000",
+                last_offset=f"{(i + 1) * 10_000 - 1:016d}-0000",
+                created_ms=1_700_000_000_000 + i,
+                records=10_000,
+                bytes=1 << 30,
+            )
+            st.active[m.name] = m
+        with open(
+            os.path.join(man.dir, f"{st.version:020d}.checkpoint.json"), "w"
+        ) as f:
+            _json.dump(st.to_json(), f, separators=(",", ":"))
+        for j in range(1, CHECKPOINT_INTERVAL):
+            with open(
+                os.path.join(man.dir, f"{n + j:020d}.json"), "w"
+            ) as f:
+                _json.dump(
+                    {"set": {"last_epoch_ms": 1_700_000_000_000 + j}},
+                    f,
+                    separators=(",", ":"),
+                )
+        t0 = time.perf_counter()
+        folded = man.load()
+        dt = time.perf_counter() - t0
+        assert len(folded.active) == n
+        return round(dt, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -145,6 +213,12 @@ def main() -> None:
     for name, val in bench_log_ops().items():
         timings[name] = val
         print(f"# {name}: {val}s", file=sys.stderr)
+
+    timings["op_manifest_fold_100k"] = bench_manifest_fold()
+    print(
+        f"# op_manifest_fold_100k: {timings['op_manifest_fold_100k']}s",
+        file=sys.stderr,
+    )
 
     # Bulk-ingest throughput: the distributed produce path end-to-end
     # (zip-with-index offset assignment -> range-partitioned segment
@@ -196,6 +270,33 @@ def main() -> None:
             failures[name] = f"{type(e).__name__}: {e}"
             print(f"# FAILED {name}: {e}", file=sys.stderr)
 
+    # ---- sf1 section: shuffle-heavy plans change regime with size, so
+    # sf0.1 headroom can be an artifact.  Build (once, cached in /tmp)
+    # a 10x key-offset replication of sf0.1 and time the heaviest
+    # queries there.  Never allowed to break the main output.
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            from tools_make_sf1 import build as _build_sf1
+
+            sf1_dir = "/tmp/spark_graft_sf1"
+            _build_sf1(sf1_dir, sf_dir, 10)
+            for name in SF1_HEAVY:
+                try:
+                    t0 = time.perf_counter()
+                    n = specs[name].fn(spark, sf1_dir).count()
+                    sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                    print(
+                        f"# sf1 {name}: {sf1_timings[name]}s rows={n}",
+                        file=sys.stderr,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    failures[f"sf1:{name}"] = f"{type(e).__name__}: {e}"
+                    print(f"# sf1 FAILED {name}: {e}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            failures["sf1:build"] = f"{type(e).__name__}: {e}"
+            print(f"# sf1 build FAILED: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -204,6 +305,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if sf1_timings:
+        result["sf1_queries"] = sf1_timings
+        result["sf1_total"] = round(sum(sf1_timings.values()), 3)
     if failures:
         # Name what broke instead of dying: partial perf evidence with
         # an explicit failure list beats rc=1 and no numbers at all.

@@ -172,6 +172,17 @@ def produce_bulk(
 
     run_dir = f"bulk-{uuid.uuid4().hex}"
     out = os.path.join(stream.segments_dir, run_dir)
+    # In-flight marker: purge_orphans spares this run's files — however
+    # old they get — until the marker disappears.  The grace period
+    # alone can't cover a bulk job whose write outlives it (slow
+    # cluster, long fsync loop): without the marker, purge could reap
+    # files the imminent manifest commit then references.  Removed in
+    # the finally below on EVERY exit: success makes the files
+    # referenced; failure makes them ordinary aged orphans.
+    os.makedirs(stream.segments_dir, exist_ok=True)
+    marker = f"{out}._inflight"
+    with open(marker, "w") as f:
+        f.write(str(_now_ms()))
     try:
         writer_df.write.mode("error").parquet(out)
         t0 = _t("write", t0)
@@ -228,5 +239,11 @@ def produce_bulk(
     # Offsets derive from base_epoch: if a point producer claimed an
     # epoch >= ours mid-job, committing would interleave ranges — abort
     # loudly instead (bulk loads re-run; they don't silently corrupt).
-    stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
+    try:
+        stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
+    finally:
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
     return len(metas)

@@ -184,6 +184,12 @@ def clean_tombstones(
 #: in-flight produce (written, not yet committed) and is left alone.
 ORPHAN_GRACE_MS = 60_000
 
+#: A bulk run's ``._inflight`` marker older than this is an abandoned
+#: run (producer crashed before its commit could remove the marker) —
+#: the dir becomes purgeable.  Matches tombstone retention: both answer
+#: "how long can an in-flight thing legitimately stay in flight".
+BULK_INFLIGHT_ABANDON_MS = TOMBSTONE_RETENTION_MS
+
 
 def purge_orphans(
     stream: Stream,
@@ -234,10 +240,35 @@ def purge_orphans(
         # advances with every file the job adds.  (Aged-ness is
         # snapshotted up front — unlinking inside a dir refreshes its
         # mtime.)
+        # A live `<dir>._inflight` marker (written by produce_bulk
+        # before its first part file, removed at its manifest commit)
+        # spares the whole run REGARDLESS of file/dir age — the
+        # mtime-grace heuristic alone can't cover a write job that
+        # legitimately outlives the grace window.  A marker older than
+        # the abandon timeout means the producer crashed: drop the
+        # marker and let the run age-purge normally.
+        def _inflight(d: str) -> bool:
+            m = os.path.join(stream.segments_dir, f"{d}._inflight")
+            try:
+                age = now - int(os.path.getmtime(m) * 1000)
+            except OSError:
+                return False  # no marker
+            if age > BULK_INFLIGHT_ABANDON_MS:
+                try:
+                    os.unlink(m)
+                except OSError:
+                    pass
+                return False
+            return True
+
         aged_dirs = []
         for root, dirs, files in os.walk(stream.segments_dir):
             if root == stream.segments_dir:
-                dirs[:] = [d for d in dirs if _aged(os.path.join(root, d))]
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if _aged(os.path.join(root, d)) and not _inflight(d)
+                ]
                 aged_dirs = [os.path.join(root, d) for d in dirs]
             for fn in files:
                 path = os.path.join(root, fn)
@@ -326,15 +357,25 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
     os.rename(os.path.join(tmp, parts[0]), dst)
     shutil.rmtree(tmp, ignore_errors=True)
     _fsync_file_and_dir(dst)
-    pf = pq.ParquetFile(dst)
-    stats = pq.read_table(dst, columns=["offset"])
-    offsets = stats.column("offset").to_pylist()
+    # Offset bounds from parquet row-group statistics — O(row groups)
+    # footer metadata, never a data read (same pattern as produce_bulk,
+    # ingest.py): materializing the offset column driver-side would be
+    # O(keyspace) memory at 100 TB.
+    md = pq.read_metadata(dst)
+    off_idx = md.schema.to_arrow_schema().get_field_index("offset")
+    first, last = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(off_idx).statistics
+        lo = st.min.decode() if isinstance(st.min, bytes) else st.min
+        hi = st.max.decode() if isinstance(st.max, bytes) else st.max
+        first = lo if first is None or lo < first else first
+        last = hi if last is None or hi > last else last
     meta = SegmentMeta(
         name=name,
-        first_offset=min(offsets),
-        last_offset=max(offsets),
+        first_offset=first,
+        last_offset=last,
         created_ms=int(time.time() * 1000),
-        records=pf.metadata.num_rows,
+        records=md.num_rows,
         bytes=os.path.getsize(dst),
     )
     try:

@@ -37,6 +37,17 @@ def get_spark(app_name: str = "durablestreams_spark", shuffle_partitions: int | 
         # concatenates across writers) — pin µs int64 so schemas agree.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Long sessions compile one generated class per codegen stage;
+        # the JVM default code cache (240 MB) fills after a few hundred
+        # stages, the JIT shuts off, and expression-heavy stages drop
+        # to interpreter speed (measured: the same LSH query at 3.4 s
+        # on a fresh session degrading to 17 s after ~200 stages).
+        # A bigger cache + flushing keeps the JIT alive for the whole
+        # bench/driver run.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -47,3 +47,35 @@ def tail_query(
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
+
+
+def seeded_tail(spark, stream: Stream):
+    """Close the late-tail visibility gap: full history + live tail,
+    each record exactly once, for a consumer arriving AFTER compaction
+    rewrote (and tombstone GC possibly deleted) the raw segments its
+    records lived in.
+
+    ``Stream.read_stream`` alone can't serve that consumer — it globs
+    raw ``*.parquet`` only (compaction rewrites are deliberately
+    invisible to it, see its docstring), so history older than the
+    tombstone retention is simply absent from the stream.
+
+    The seam: snapshot the manifest's max offset as a cursor, serve
+    everything ≤ cursor from the manifest-backed batch reader (which
+    DOES see compacted segments), and serve > cursor from the live
+    tail.  The cursor filter removes the overlap — raw files still on
+    disk contain ≤-cursor records the batch side already delivered.
+    A record produced between snapshot and stream start sorts >
+    cursor and arrives on the tail side exactly once.
+
+    Returns ``(history_df, tail_stream_df, cursor)``: a batch
+    DataFrame, an unstarted streaming DataFrame, and the cursor offset
+    (None for an empty stream).  Spark cannot union batch with stream,
+    so callers process history first, then run the tail — the standard
+    backfill-then-follow shape.
+    """
+    state = stream.refresh()
+    cursor = state.max_offset()
+    history = stream.to_df(spark)
+    tail = tail_df(spark, stream, after_offset=cursor)
+    return history, tail, cursor

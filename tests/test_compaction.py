@@ -3,6 +3,7 @@
 ``src/segment.ts:61-65``), plus GC / orphan-purge coverage."""
 
 import os
+import time
 import uuid
 
 from durablestreams_spark import SegmentMeta
@@ -214,3 +215,72 @@ def test_compact_by_key_keeps_latest_and_null_keys(spark, tmp_path):
     # exclusive-start consume still works across the gap
     page = s.consume(after[0].offset, limit=10)
     assert [r.data["v"] for r in page] == [3, 4]
+
+
+def test_orphan_purge_honors_inflight_marker(catalog):
+    """A bulk run dir with a live ._inflight marker (produce_bulk holds
+    one from first write to manifest commit) must be spared even when
+    BOTH the files and the dir age past the grace period — the
+    mtime heuristic can't cover a write job slower than the grace.
+    An ABANDONED marker (older than the abandon timeout) stops
+    protecting."""
+    from durablestreams_spark.maintenance import BULK_INFLIGHT_ABANDON_MS
+
+    s = catalog.stream(uuid.uuid4().hex)
+    s.produce([{"value": "a"}])
+    run = os.path.join(s.segments_dir, "bulk-slowjob")
+    os.makedirs(run)
+    part = os.path.join(run, "part-00000.parquet")
+    with open(part, "wb") as f:
+        f.write(b"slow bulk segment")
+    marker = run + "._inflight"
+    with open(marker, "w") as f:
+        f.write("t0")
+    # files AND dir ancient, but marker fresh ⇒ spared wholesale
+    os.utime(part, (0, 0))
+    os.utime(run, (0, 0))
+    assert purge_orphans(s) == []
+    assert os.path.exists(part)
+    # marker itself ages past the abandon timeout ⇒ producer crashed;
+    # marker is dropped and the run purges like any aged orphan
+    old = (time.time() * 1000 - BULK_INFLIGHT_ABANDON_MS - 60_000) / 1000
+    os.utime(marker, (old, old))
+    assert purge_orphans(s) == ["bulk-slowjob/part-00000.parquet"]
+    assert not os.path.exists(marker)
+    assert not os.path.exists(run)
+
+
+def test_produce_bulk_removes_marker(catalog, spark):
+    """produce_bulk drops its ._inflight marker once the manifest
+    commit lands (success path) — no marker litter accumulates."""
+    from durablestreams_spark.ingest import produce_bulk
+
+    s = catalog.stream(uuid.uuid4().hex)
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "k long, v string")
+    produce_bulk(s, df, order_by=["k"], batch_records=5)
+    leftovers = [f for f in os.listdir(s.segments_dir) if f.endswith("._inflight")]
+    assert leftovers == []
+    assert len(s.consume("-", limit=100)) == 10
+
+
+def test_compact_by_key_meta_matches_rowgroup_stats(spark, tmp_path):
+    """The committed SegmentMeta's offset bounds (now derived from
+    parquet row-group statistics, never a data read) must equal the
+    true min/max offsets in the compacted file."""
+    import pyarrow.parquet as _pq
+
+    from durablestreams_spark.maintenance import compact_by_key
+    from durablestreams_spark.stream import StreamCatalog
+
+    s = StreamCatalog(str(tmp_path)).stream("kcs")
+    for batch in range(3):
+        s.produce([{"k": f"k{i % 4}", "v": batch * 10 + i} for i in range(8)])
+    meta = compact_by_key(s, spark, "$.k")
+    assert meta is not None
+    tbl = _pq.read_table(
+        os.path.join(s.segments_dir, meta.name), columns=["offset"]
+    )
+    offsets = tbl.column("offset").to_pylist()
+    assert meta.first_offset == min(offsets)
+    assert meta.last_offset == max(offsets)
+    assert meta.records == len(offsets)

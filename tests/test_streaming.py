@@ -439,3 +439,46 @@ def test_stream_as_streaming_source_end_to_end(spark, catalog, tmp_path):
         for r in pipeline(s.to_df(spark)).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_seeded_tail_bridges_compaction_gap(spark, catalog, tmp_path):
+    """A consumer arriving AFTER compaction + tombstone GC must still
+    get full history exactly once: read_stream alone can't (raw files
+    gone, compacted files deliberately unglobbed) — seeded_tail serves
+    history from the manifest-backed batch reader and only-new records
+    from the live tail, split at a cursor offset."""
+    import json as _json
+
+    from durablestreams_spark.maintenance import clean_tombstones, compact
+    from durablestreams_spark.streaming.tail import seeded_tail
+
+    s = catalog.stream("seeded_tail_gap")
+    for i in range(3):
+        s.produce([{"v": i}], epoch_ms=i + 1)
+    assert compact(s) is not None
+    # GC far in the future: raw segments are really deleted
+    future = int(time.time() * 1000) + 10**9
+    assert clean_tombstones(s, now_ms=future)
+    raw = [f for f in os.listdir(s.segments_dir) if f.endswith(".parquet")]
+    assert raw == []  # the gap is real: a plain tail would see nothing
+
+    history, tail, cursor = seeded_tail(spark, s)
+    got_history = sorted(
+        _json.loads(r["data"])["v"] for r in history.collect()
+    )
+    assert got_history == [0, 1, 2]
+
+    # new produce after the seed: must arrive on the tail side only
+    s.produce([{"v": 99}], epoch_ms=10)
+    q = (
+        tail.writeStream.format("memory")
+        .queryName("seeded_tail_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_seeded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT data, offset FROM seeded_tail_sink").collect()
+    assert [_json.loads(r["data"])["v"] for r in rows] == [99]
+    assert all(r["offset"] > cursor for r in rows)
