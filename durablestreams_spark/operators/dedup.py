@@ -460,3 +460,57 @@ def dedup_connected_components(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup: exact pair verification — every "
+    "(i<j) pair whose cosine similarity clears the threshold, dot and "
+    "norms computed JVM-side (zip_with + aggregate, whole-stage "
+    "codegen; no Python in the loop). This is the VERIFY phase of the "
+    "two-phase near-dup pipeline: at 100 TB you never run it all-pairs "
+    "— feed it LSH candidates instead (similarity_srp_buckets / "
+    "similarity_bucketed_pairs are the O(n/buckets) candidate "
+    "generators; graded here all-pairs so the oracle is exact, with "
+    "the small side broadcast so the pair enumeration is a map-only "
+    "stage, no shuffle).",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Precompute norms once per row, not once per pair.
+    with_norm = emb.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
