@@ -330,3 +330,29 @@ def test_q12_single_join_pre_aggregated(spark):
     # count the numbered detail entries only.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert "Expand" not in plan, plan
+
+
+def test_embedding_cosine_is_broadcast_map_only(spark):
+    """The exact-cosine verify phase must enumerate pairs as a map-only
+    broadcast nested-loop stage: zero shuffles, the small side
+    broadcast. (An all-pairs SHUFFLE here would be the 100 TB
+    scale-killer; the broadcast shape is what lets the same operator
+    consume LSH candidate buckets unchanged.)"""
+    df = all_queries()["dedup_embedding_cosine"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # cosine math stays JVM-side — no Python eval in the pair loop
+    assert not has_python_eval(df), plan
+
+
+def test_multimodal_decode_chains_in_one_stage(spark):
+    """build-blob → decode are two chained mapInPandas workers with NO
+    exchange between them (pipelined in one stage); the only shuffle
+    is the per-format aggregate on top."""
+    df = all_queries()["multimodal_decode_stats"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # two distinct MapInPandas nodes, and exactly ONE shuffle total --
+    # if an exchange sat between build and decode there would be two.
+    assert plan.count("MapInPandas") >= 2, plan
+    assert shuffle_count(df) == 1, plan
