@@ -13,9 +13,16 @@ encoding, so a real decoder can decompress it) whose dimensions and
 frame counts are deterministic functions of the inputs — which keeps
 the DuckDB oracle for the graded queries expressible in plain SQL.
 
+Beyond headers, :func:`decode_pixels` is a full pixel decode (BMP
+bottom-up BGR rows with stride padding, PPM raw RGB, GIF frames
+through a general variable-width LZW decoder and the global/local
+color table) and :func:`resize_nearest` a numpy nearest-neighbor
+resampler — the whole thumbnail path runs on real bytes end to end.
+
 Scale note: these run inside ``mapInPandas`` workers over Arrow
 batches, one call per row, O(payload) each — no state, no shuffle;
-the decode is a header parse, so cost is independent of payload size.
+metadata decode is a header parse (cost independent of payload size),
+pixel decode is O(pixels).
 """
 
 from __future__ import annotations
@@ -191,3 +198,158 @@ def decode_media(payload: bytes) -> tuple[int, int, int, str]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
     raise ValueError(f"unrecognized media magic: {payload[:6]!r}")
+
+
+# ---------------------------------------------------------------------------
+# pixel decode + resample — still pure Python/numpy, no PIL
+# ---------------------------------------------------------------------------
+
+
+def _bmp_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """24-bpp BMP pixel data as top-down RGB bytes."""
+    off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    topdown = height < 0
+    height = abs(height)
+    row = width * 3
+    stride = row + (4 - row % 4) % 4
+    out = bytearray(row * height)
+    for y in range(height):
+        src = off + (y if topdown else height - 1 - y) * stride
+        r = b[src : src + row]
+        # BMP stores BGR — swap to RGB
+        out[y * row : (y + 1) * row] = bytes(
+            v for px in zip(r[2::3], r[1::3], r[0::3]) for v in px
+        )
+    return width, height, bytes(out)
+
+
+def _ppm_pixels(b: bytes) -> tuple[int, int, bytes]:
+    w, h, _n, _f = _decode_ppm(b)
+    # pixel data starts after the single whitespace following maxval
+    pos, seen = 2, 0
+    while seen < 3:
+        while b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos] == 0x23:
+            while b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        while b[pos : pos + 1].isdigit():
+            pos += 1
+        seen += 1
+    pos += 1  # the single whitespace byte after maxval
+    return w, h, b[pos : pos + w * h * 3]
+
+
+def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
+    """General GIF-flavor LZW decode (variable code width, LSB-first
+    packing, CLEAR/END codes, 12-bit cap)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes((i,)) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total and len(out) < npix:
+        chunk = int.from_bytes(data[bitpos // 8 : bitpos // 8 + 4], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream")
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:npix])
+
+
+def _gif_pixels(b: bytes) -> list[tuple[int, int, bytes]]:
+    """Each frame's sub-image as (width, height, RGB bytes), LZW-decoded
+    through the global/local color table."""
+    flags = b[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos = _skip_subblocks(b, pos + 1)
+        elif block == 0x2C:
+            fw, fh = struct.unpack_from("<HH", b, pos + 4)
+            lflags = b[pos + 8]
+            pos += 9
+            table = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                table = b[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    break
+                data += b[pos : pos + n]
+                pos += n
+            idx = _lzw_decode(min_code, bytes(data), fw * fh)
+            rgb = bytearray()
+            for i in idx:
+                rgb += table[3 * i : 3 * i + 3]
+            frames.append((fw, fh, bytes(rgb)))
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return frames
+
+
+def decode_pixels(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Full pixel decode: list of (width, height, top-down RGB bytes)
+    frames.  BMP/PPM yield one frame; GIF yields one per image block."""
+    if payload[:2] == b"BM":
+        return [_bmp_pixels(payload)]
+    if payload[:2] == b"P6":
+        return [_ppm_pixels(payload)]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload)
+    raise ValueError(f"unrecognized media magic: {payload[:6]!r}")
+
+
+def resize_nearest(w: int, h: int, rgb: bytes, ow: int, oh: int) -> bytes:
+    """Nearest-neighbor resample of top-down RGB bytes to (ow, oh) —
+    the pure-numpy stand-in for PIL's thumbnail resampling."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    return a[ys][:, xs].tobytes()
