@@ -19,7 +19,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ..analytics.core import query
+from ..analytics.core import query, table
 from ..analytics.windows import (
     SESSION_30M_ORACLE,
     SLIDING_12H_ORACLE,
@@ -314,3 +314,84 @@ def streaming_dedup_watermarked(spark, sf_dir):
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     out = _drain(deduped, "append")
     return out.select("event_id")
+
+
+@query(
+    "log_seeded_tail",
+    "SELECT event_id FROM events",
+    doc="Backfill-then-follow across the compaction boundary (the "
+    "late-consumer visibility gap): most of the events table is bulk-"
+    "ingested, every raw segment is compacted away and tombstone-GC'd "
+    "(raw files really deleted), THEN the remaining events arrive as "
+    "live produces. seeded_tail must deliver exactly the full event "
+    "set — compacted history from the manifest-backed batch reader, "
+    "late records from the cursor-filtered live tail, no record lost "
+    "to the gap and none double-delivered at the seam. Oracle: the "
+    "plain events table.",
+)
+def log_seeded_tail(spark, sf_dir):
+    import json
+    import os
+    import shutil
+
+    from ..maintenance import clean_tombstones, compact
+    from ..stream import StreamCatalog
+    from ..streaming.tail import seeded_tail
+    from ..ingest import produce_bulk
+
+    LATE = 500
+    root = os.path.join(
+        "/tmp/durablestreams_seededtail_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    cat = StreamCatalog(os.path.join(root, "streams"))
+    stream = cat.stream("events_gap")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(os.path.join(root, "streams"))
+        stream = cat.stream("events_gap")
+        ev = table(spark, sf_dir, "events").select("event_id", "ts")
+        n = ev.count()
+        ordered = ev.orderBy("ts", "event_id")
+        bulk = ordered.limit(max(0, n - LATE))
+        produce_bulk(
+            stream,
+            bulk,
+            order_by=["ts", "event_id"],
+            batch_records=1000,
+            payload_cols=["event_id"],
+            segment_rows=max(250, (n - LATE) // 8),
+        )
+        # Compact until nothing is compactable, then GC with a far-
+        # future clock: every raw bulk segment is tombstoned and its
+        # file DELETED — the gap a plain tail cannot see across.
+        while compact(stream) is not None:
+            pass
+        clean_tombstones(stream, now_ms=2**53)
+        # The LATE most-recent events arrive as live point produces
+        # (bounded driver collect — LATE rows — by design: this is the
+        # trickle path, not the bulk path).
+        late_rows = (
+            ordered.join(bulk.select("event_id"), "event_id", "left_anti")
+            .orderBy("ts", "event_id")
+            .collect()
+        )
+        stream.produce([{"event_id": int(r["event_id"])} for r in late_rows])
+        with open(marker, "w") as f:
+            f.write("ok")
+    history, tail, cursor = seeded_tail(spark, stream)
+    # History at the seam: everything at or before the cursor...
+    hist_ids = history.where(F.col("offset") <= F.lit(cursor)).select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+    # ...but on the FIRST run the cursor is snapshotted before any
+    # late record was folded in, so the live produces stream in via
+    # the tail; on re-runs they're manifest history and the tail is
+    # rightly empty.  Union of the two sides == the full event set
+    # either way, which is exactly the exactly-once-at-the-seam claim.
+    drained = _drain(tail, "append")
+    tail_ids = drained.select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+    return hist_ids.unionByName(tail_ids)
