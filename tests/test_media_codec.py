@@ -151,3 +151,77 @@ def test_resize_nearest_upsamples_1x1():
 
     out = resize_nearest(1, 1, bytes((9, 8, 7)), 3, 2)
     assert out == bytes((9, 8, 7)) * 6
+
+
+def _encode_gif_frame(pixels: list[int], w: int, h: int) -> bytes:
+    """Test-side GIF generator for ARBITRARY frame sizes: clear-per-
+    pixel LZW (3-bit codes over a 4-color table), data split into
+    proper <=255-byte sub-blocks — exercises the decoder's sub-block
+    reassembly and long-stream paths the production builder's 1x1
+    frames never reach."""
+    acc = bits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += 3
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(4)  # CLEAR
+    for p in pixels:
+        emit(p & 3)
+        emit(4)  # clear again: dictionary never grows
+    emit(5)  # END
+    if bits:
+        data.append(acc & 0xFF)
+
+    g = bytearray(b"GIF89a")
+    g += struct.pack("<HH", w, h)
+    g += bytes((0xF1, 0, 0))
+    for i in range(4):
+        g += bytes((i * 60, i * 60, i * 60))
+    g += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    g += bytes((2,))
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        g += bytes((len(chunk),)) + chunk
+    g += b"\x00\x3b"
+    return bytes(g)
+
+
+def test_gif_lzw_multi_subblock_frames():
+    """Frames big enough that the LZW stream spans several 255-byte
+    sub-blocks must still pixel-decode exactly."""
+    from durablestreams_spark.operators.media_codec import decode_pixels
+
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # hypothesis is in the container per the brief
+        import random
+
+        rnd = random.Random(7)
+        for _ in range(10):
+            w, h = rnd.randint(1, 25), rnd.randint(1, 25)
+            pixels = [rnd.randint(0, 3) for _ in range(w * h)]
+            fw, fh, rgb = decode_pixels(_encode_gif_frame(pixels, w, h))[0]
+            expect = b"".join(bytes((p * 60,) * 3) for p in pixels)
+            assert (fw, fh, rgb) == (w, h, expect)
+        return
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=25),
+        st.integers(min_value=1, max_value=25),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, rnd):
+        pixels = [rnd.randint(0, 3) for _ in range(w * h)]
+        fw, fh, rgb = decode_pixels(_encode_gif_frame(pixels, w, h))[0]
+        expect = b"".join(bytes((p * 60,) * 3) for p in pixels)
+        assert (fw, fh, rgb) == (w, h, expect)
+
+    check()
