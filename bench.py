@@ -169,6 +169,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     specs = all_queries()
+    failures: dict[str, str] = {}
 
     # Warm the JVM (codegen, parquet reader, shuffle paths) so query
     # timings measure the engine, not first-call JIT.
@@ -200,7 +201,6 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    failures: dict[str, str] = {}
     for name in HEADLINE:
         try:
             specs[name].fn(spark, warm_dir).count()
@@ -214,11 +214,20 @@ def main() -> None:
         timings[name] = val
         print(f"# {name}: {val}s", file=sys.stderr)
 
-    timings["op_manifest_fold_100k"] = bench_manifest_fold()
-    print(
-        f"# op_manifest_fold_100k: {timings['op_manifest_fold_100k']}s",
-        file=sys.stderr,
-    )
+    # Reported under its own key, NOT summed into headline_queries_total:
+    # rounds 1-3 did not measure it, and silently changing the summed
+    # metric's composition would read as a cross-round regression.
+    aux: dict[str, float] = {}
+    try:
+        aux["op_manifest_fold_100k"] = bench_manifest_fold()
+        print(
+            f"# op_manifest_fold_100k: {aux['op_manifest_fold_100k']}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — same rule as every other
+        # section: one broken probe must not zero the round's evidence.
+        failures["op_manifest_fold_100k"] = f"{type(e).__name__}: {e}"
+        print(f"# FAILED op_manifest_fold_100k: {e}", file=sys.stderr)
 
     # Bulk-ingest throughput: the distributed produce path end-to-end
     # (zip-with-index offset assignment -> range-partitioned segment
@@ -308,6 +317,8 @@ def main() -> None:
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
         result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+    if aux:
+        result["aux"] = aux
     if failures:
         # Name what broke instead of dying: partial perf evidence with
         # an explicit failure list beats rc=1 and no numbers at all.

@@ -184,10 +184,35 @@ def produce_bulk(
     with open(marker, "w") as f:
         f.write(str(_now_ms()))
     try:
+        return _finish_bulk(
+            stream, writer_df, with_offsets, out, marker, state, base_epoch,
+            txn, _t, t0,
+        )
+    finally:
+        # EVERY exit — including a failed write or a metadata-scan
+        # error — drops the marker: success makes the files referenced,
+        # failure makes them ordinary aged orphans (reaped after the
+        # normal grace, not pinned for the 24 h abandon timeout).
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+
+
+def _finish_bulk(
+    stream, writer_df, with_offsets, out, marker, state, base_epoch, txn, _t, t0
+):
+    try:
         writer_df.write.mode("error").parquet(out)
         t0 = _t("write", t0)
     finally:
         with_offsets._ds_persisted.unpersist()  # type: ignore[attr-defined]
+    # Refresh the marker after the write lands: the fsync+metadata scan
+    # below can itself be long on a huge run, and the abandon timeout
+    # (maintenance.BULK_INFLIGHT_ABANDON_MS) counts from the marker's
+    # mtime.  Write jobs expected to exceed that timeout should
+    # additionally touch the marker from a heartbeat.
+    os.utime(marker)
 
     metas = []
     now = _now_ms()
@@ -239,11 +264,5 @@ def produce_bulk(
     # Offsets derive from base_epoch: if a point producer claimed an
     # epoch >= ours mid-job, committing would interleave ranges — abort
     # loudly instead (bulk loads re-run; they don't silently corrupt).
-    try:
-        stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
-    finally:
-        try:
-            os.unlink(marker)
-        except OSError:
-            pass
+    stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
     return len(metas)

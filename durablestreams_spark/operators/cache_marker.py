@@ -1,0 +1,38 @@
+"""Fixture-fingerprinted cache markers for /tmp-cached graded builds.
+
+Several graded log queries (re)build a stream from the events table
+once per scale-factor directory and cache it under /tmp behind a
+marker file.  A content-free marker is a correctness trap: the driver
+has regenerated /root/testdata twice already (rounds 2 and 3), and a
+stale cache would serve the OLD event set while the DuckDB oracle
+reads the new parquet — a guaranteed, confusing hash mismatch.  The
+marker therefore records a fingerprint of the source fixture (size +
+mtime + footer row count — O(footer), no data read) and the cache is
+rebuilt whenever it no longer matches.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def fixture_fingerprint(sf_dir: str, name: str = "events") -> str:
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    n = pq.read_metadata(path).num_rows
+    return f"{st.st_size}:{st.st_mtime_ns}:{n}"
+
+
+def marker_current(marker: str, sf_dir: str, name: str = "events") -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().strip() == fixture_fingerprint(sf_dir, name)
+    except OSError:
+        return False
+
+
+def write_marker(marker: str, sf_dir: str, name: str = "events") -> None:
+    with open(marker, "w") as f:
+        f.write(fixture_fingerprint(sf_dir, name))

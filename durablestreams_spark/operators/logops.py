@@ -19,6 +19,7 @@ import time
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, table
+from .cache_marker import marker_current, write_marker
 from ..ingest import produce_bulk
 from ..maintenance import compact
 from ..stream import StreamCatalog
@@ -50,7 +51,7 @@ def _ingest_events(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_log")
-    if os.path.exists(marker):
+    if marker_current(marker, sf_dir):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -70,8 +71,7 @@ def _ingest_events(spark, sf_dir: str):
     # Compact the oldest window (2 segments trip MaxRecords=5000) so
     # the read path spans compacted + raw segments.
     compact(stream)
-    with open(marker, "w") as f:
-        f.write("ok")
+    write_marker(marker, sf_dir)
     return stream
 
 
@@ -145,7 +145,7 @@ def ndjson_segment_parity(spark, sf_dir):
     )
     data_dir = os.path.join(root, "segments")
     marker = os.path.join(root, "_written")
-    if not os.path.exists(marker):
+    if not marker_current(marker, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
         ev = table(spark, sf_dir, "events").select("event_id", "ts")
         rn = F.row_number().over(Window.orderBy("ts", "event_id")) - 1
@@ -157,8 +157,8 @@ def ndjson_segment_parity(spark, sf_dir):
             ).alias("value")
         )
         lines.write.mode("overwrite").text(data_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+        os.makedirs(root, exist_ok=True)
+        write_marker(marker, sf_dir)
     df = read_ndjson_segments(spark, data_dir)
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id"),
@@ -387,7 +387,7 @@ def _ingest_events_keyed(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_keyed")
-    if os.path.exists(marker):
+    if marker_current(marker, sf_dir):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -404,8 +404,7 @@ def _ingest_events_keyed(spark, sf_dir: str):
 
     meta = compact_by_key(stream, spark, "$.user_id")
     assert meta is not None
-    with open(marker, "w") as f:
-        f.write("ok")
+    write_marker(marker, sf_dir)
     return stream
 
 

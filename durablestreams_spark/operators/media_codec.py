@@ -130,9 +130,11 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, str]:
     return width, abs(height), 1, "bmp"  # negative height = top-down rows
 
 
-def _decode_ppm(b: bytes) -> tuple[int, int, int, str]:
-    # ASCII header: "P6" ws width ws height ws maxval; '#' comments
-    # allowed anywhere whitespace is.
+def _ppm_header(b: bytes) -> tuple[int, int, int]:
+    """Parse the P6 header — "P6" ws width ws height ws maxval, with
+    '#' comments allowed anywhere whitespace is — returning
+    (width, height, offset of the raw pixel data).  The single shared
+    grammar for metadata and pixel decode."""
     pos, vals = 2, []
     while len(vals) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -147,7 +149,13 @@ def _decode_ppm(b: bytes) -> tuple[int, int, int, str]:
         if start == pos:
             raise ValueError("bad PPM header")
         vals.append(int(b[start:pos]))
-    return vals[0], vals[1], 1, "ppm"
+    # exactly one whitespace byte separates maxval from pixel data
+    return vals[0], vals[1], pos + 1
+
+
+def _decode_ppm(b: bytes) -> tuple[int, int, int, str]:
+    w, h, _pos = _ppm_header(b)
+    return w, h, 1, "ppm"
 
 
 def _skip_subblocks(b: bytes, pos: int) -> int:
@@ -228,20 +236,7 @@ def _bmp_pixels(b: bytes) -> tuple[int, int, bytes]:
 
 
 def _ppm_pixels(b: bytes) -> tuple[int, int, bytes]:
-    w, h, _n, _f = _decode_ppm(b)
-    # pixel data starts after the single whitespace following maxval
-    pos, seen = 2, 0
-    while seen < 3:
-        while b[pos : pos + 1].isspace():
-            pos += 1
-        if b[pos] == 0x23:
-            while b[pos] not in (0x0A, 0x0D):
-                pos += 1
-            continue
-        while b[pos : pos + 1].isdigit():
-            pos += 1
-        seen += 1
-    pos += 1  # the single whitespace byte after maxval
+    w, h, pos = _ppm_header(b)
     return w, h, b[pos : pos + w * h * 3]
 
 
@@ -250,7 +245,8 @@ def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
     packing, CLEAR/END codes, 12-bit cap)."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     code_size = min_code_size + 1
-    table: dict[int, bytes] = {i: bytes((i,)) for i in range(clear)}
+    base = {i: bytes((i,)) for i in range(clear)}
+    table: dict[int, bytes] = dict(base)
     next_code = end + 1
     out = bytearray()
     prev: bytes | None = None
@@ -260,7 +256,11 @@ def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
         code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
         bitpos += code_size
         if code == clear:
+            # Full dictionary reset: stale high-code entries must not
+            # survive, or a post-clear KwKwK code (== next_code) would
+            # match a dead entry and decode garbage.
             code_size = min_code_size + 1
+            table = dict(base)
             next_code = end + 1
             prev = None
             continue

@@ -25,6 +25,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, table
+from .cache_marker import marker_current, write_marker
 from ..ingest import produce_bulk
 from ..maintenance import compact
 from ..partitioned import PartitionedStream
@@ -64,7 +65,7 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     pstream = PartitionedStream(cat, "events_plog", N_PARTS)
-    if os.path.exists(marker):
+    if marker_current(marker, sf_dir):
         return pstream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -101,8 +102,7 @@ def _ingest_events_partitioned(spark, sf_dir: str) -> PartitionedStream:
             compact(pstream.partition(i))  # no-op when < 2 segments
     finally:
         ev.unpersist()
-    with open(marker, "w") as f:
-        f.write("ok")
+    write_marker(marker, sf_dir)
     return pstream
 
 

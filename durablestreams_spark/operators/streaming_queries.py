@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, table
+from .cache_marker import marker_current, write_marker
 from ..analytics.windows import (
     SESSION_30M_ORACLE,
     SLIDING_12H_ORACLE,
@@ -45,11 +46,16 @@ def _event_ts_unit(sf_dir: str) -> str:
         return "us"  # timestamp[us]/[ms] — Spark reads both as µs TIMESTAMP
     if s == "int64":
         # Raw epoch integers: disambiguate by magnitude (2024 epoch-ns
-        # ≈ 1.7e18, epoch-µs ≈ 1.7e15 — three orders apart, no overlap).
-        col = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
-        import pyarrow.compute as pc
-
-        return "ns" if pc.max(col).as_py() > 10**17 else "us"
+        # ≈ 1.7e18, epoch-µs ≈ 1.7e15 — three orders apart, no
+        # overlap).  Row-group statistics from the footer — O(footer),
+        # never a data read (the column itself can be huge).
+        md = pq.read_metadata(f"{sf_dir}/events.parquet")
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                return "ns" if int(st.max) > 10**17 else "us"
+        raise ValueError("events.ts int64 column has no row-group statistics")
     raise TypeError(f"unexpected events.ts physical type: {s}")
 
 
@@ -204,7 +210,7 @@ def streaming_ingest_roundtrip(spark, sf_dir):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(os.path.join(root, "streams"))
     stream = cat.stream("events_sink")
-    if not os.path.exists(marker):
+    if not marker_current(marker, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(os.path.join(root, "streams"))
         stream = cat.stream("events_sink")
@@ -224,8 +230,7 @@ def streaming_ingest_roundtrip(spark, sf_dir):
             # the exactly-once checkpoint resumes cleanly on retry.
             q.stop()
             raise TimeoutError("streaming_ingest_roundtrip drain timed out")
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, sf_dir)
     df = stream.to_df(spark)
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
@@ -347,7 +352,7 @@ def log_seeded_tail(spark, sf_dir):
     marker = os.path.join(root, "_built")
     cat = StreamCatalog(os.path.join(root, "streams"))
     stream = cat.stream("events_gap")
-    if not os.path.exists(marker):
+    if not marker_current(marker, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(os.path.join(root, "streams"))
         stream = cat.stream("events_gap")
@@ -378,8 +383,7 @@ def log_seeded_tail(spark, sf_dir):
             .collect()
         )
         stream.produce([{"event_id": int(r["event_id"])} for r in late_rows])
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, sf_dir)
     history, tail, cursor = seeded_tail(spark, stream)
     # History at the seam: everything at or before the cursor...
     hist_ids = history.where(F.col("offset") <= F.lit(cursor)).select(

@@ -225,3 +225,37 @@ def test_gif_lzw_multi_subblock_frames():
         assert (fw, fh, rgb) == (w, h, expect)
 
     check()
+
+
+def test_lzw_clear_resets_dictionary():
+    """CLEAR mid-stream must drop every grown entry: a post-clear
+    KwKwK code (== the fresh next_code) collides with a stale entry's
+    id, and without the reset the decoder emits the dead entry's bytes
+    instead of prev+prev[:1]."""
+    from durablestreams_spark.operators.media_codec import _lzw_decode
+
+    # min_code_size=2: clear=4, end=5, first free code=6.
+    # Segment A grows entries 6=(1,2) and 7=(2,1); CLEAR; segment B
+    # then uses code 6 as KwKwK (prev=(3) -> expect 3,3) — a stale
+    # 6=(1,2) would surface as wrong pixels.
+    codes = [
+        (4, 3),          # CLEAR
+        (1, 3), (2, 3),  # out 1,2          adds 6=(1,2)
+        (1, 3),          # out 1            adds 7=(2,1), width->4
+        (4, 4),          # CLEAR (back to 3-bit codes)
+        (3, 3),          # out 3
+        (6, 3),          # KwKwK: out 3,3   (stale table would say 1,2!)
+        (5, 3),          # END
+    ]
+    acc = bits = 0
+    data = bytearray()
+    for code, width in codes:
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    assert _lzw_decode(2, bytes(data), 7) == bytes((1, 2, 1, 3, 3, 3))

@@ -38,10 +38,29 @@ KEYED = {
 COPY_AS_IS = ["nation", "region"]
 
 
+def _fingerprint(src: str, copies: int) -> str:
+    """Source identity for the _DONE marker: a stale cache built from a
+    previous fixture generation (or another src) must trigger a
+    rebuild, not silently mislabel the sf1 numbers."""
+    parts = [os.path.abspath(src), str(copies)]
+    for t in sorted(list(KEYED) + COPY_AS_IS):
+        st = os.stat(f"{src}/{t}.parquet")
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def build(dst: str, src: str, copies: int) -> None:
     marker = os.path.join(dst, "_DONE")
-    if os.path.exists(marker):
-        return
+    fp = _fingerprint(src, copies)
+    try:
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return
+    except OSError:
+        pass
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
@@ -71,7 +90,7 @@ def build(dst: str, src: str, copies: int) -> None:
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
         )
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fp)
 
 
 if __name__ == "__main__":
