@@ -29,7 +29,7 @@ import hashlib
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..analytics.core import query, table
+from ..analytics.core import query, spread, table
 
 N_PLANES = 16
 DIM = 64
@@ -94,7 +94,10 @@ def similarity_knn_brute(spark, sf_dir):
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     norm = F.sqrt(_dot("emb", "emb"))
-    v = emb.withColumn("norm", norm)
+    # spread: the corpus side does queries x 64-dim folds per row — on
+    # the single-row-group local fixture that is one task on one core
+    # without it; at scale the scan has many splits and this is a no-op.
+    v = spread(emb).withColumn("norm", norm)
     q = v.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
