@@ -494,7 +494,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     with_norm = emb.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
     )
-    a = with_norm.select(
+    # spread: the pair loop is cores-bound (n^2/2 x 64-dim folds) and
+    # the local fixture is one unsplittable row group — without this
+    # the whole broadcast nested-loop stage runs on ONE core (measured
+    # 22 s vs <1 s at sf0.1).  No-op at scale (many scan splits).
+    a = _spread(with_norm).select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
         F.col("norm").alias("na"),
