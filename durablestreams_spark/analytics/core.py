@@ -40,6 +40,36 @@ TABLES = (
 )
 
 
+def ts_unit_info(parquet_path: str, col: str = "ts") -> tuple[str, str]:
+    """(unit, physical) of a parquet event-time column, decided from
+    the FOOTER only (never a data read).
+
+    ``unit`` ∈ {'ns', 'us'} — the epoch resolution of the stored
+    integers; ``physical`` ∈ {'timestamp', 'int64'} — what the file
+    actually declares.  Raw int64 columns are disambiguated by
+    row-group max magnitude (2024 epoch-ns ≈ 1.7e18, epoch-µs ≈
+    1.7e15 — three orders apart, no overlap).  Guessing a unit cost
+    round 3 a silent 1000× event-time collapse; both the batch and the
+    streaming ingress call this instead of assuming."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(parquet_path).schema_arrow.field(col).type
+    s = str(t)
+    if s.startswith("timestamp[ns"):
+        return "ns", "timestamp"
+    if s.startswith("timestamp"):
+        return "us", "timestamp"  # [us]/[ms] — Spark reads both as µs
+    if s == "int64":
+        md = pq.read_metadata(parquet_path)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                return ("ns" if int(st.max) > 10**17 else "us"), "int64"
+        raise ValueError(f"{col} int64 column has no row-group statistics")
+    raise TypeError(f"unexpected {col} physical type: {s}")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
@@ -66,10 +96,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # yields int64-nanos or TIMESTAMP_NTZ, rewrite per-column.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            # Integer division: (ts / 1000).cast("long") would round
-            # through double and land 1µs high for ns values ending
-            # >= 500, shifting boundary events across window edges.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # bigint here is either TIMESTAMP(NANOS) read via
+            # nanosAsLong or a raw int64 column — sniff the unit from
+            # the footer rather than assuming nanos (a raw int64-µs
+            # fixture would otherwise collapse event-times 1000×, the
+            # round-3 bug class).  Integer division: (ts / 1000)
+            # .cast("long") would round through double and land 1µs
+            # high for ns values ending >= 500, shifting boundary
+            # events across window edges.
+            unit, _ = ts_unit_info(f"{sf_dir}/{name}.parquet")
+            conv = "ts div 1000" if unit == "ns" else "ts"
+            df = df.withColumn("ts", F.expr(f"timestamp_micros({conv})"))
         elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
             # Session is pinned UTC above, so NTZ→LTZ is value-identical.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

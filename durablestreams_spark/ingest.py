@@ -212,7 +212,19 @@ def _finish_bulk(
     # (maintenance.BULK_INFLIGHT_ABANDON_MS) counts from the marker's
     # mtime.  Write jobs expected to exceed that timeout should
     # additionally touch the marker from a heartbeat.
-    os.utime(marker)
+    try:
+        os.utime(marker)
+    except FileNotFoundError:
+        # A concurrent orphan purge reaped the marker: the write took
+        # longer than BULK_INFLIGHT_ABANDON_MS with no heartbeat, so
+        # the just-written files may already be purge candidates.
+        # Committing anyway could reference deleted files — fail with
+        # the real cause instead of a confusing downstream error.
+        raise RuntimeError(
+            "bulk ingest exceeded the in-flight abandon timeout "
+            "(BULK_INFLIGHT_ABANDON_MS) and its marker was reaped; "
+            "re-run, or touch the marker from a heartbeat for long jobs"
+        ) from None
 
     metas = []
     now = _now_ms()

@@ -366,6 +366,15 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
     first, last = None, None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(off_idx).statistics
+        if st is None or not st.has_min_max:
+            # Stats can be absent (writer with stats disabled) — fail
+            # loudly rather than AttributeError mid-compaction; the
+            # fallback of scanning the offset column would hide a
+            # misconfigured writer.
+            raise ValueError(
+                f"{name}: row group {rg} has no offset statistics — "
+                "compacted segments must be written with min/max stats"
+            )
         lo = st.min.decode() if isinstance(st.min, bytes) else st.min
         hi = st.max.decode() if isinstance(st.max, bytes) else st.max
         first = lo if first is None or lo < first else first

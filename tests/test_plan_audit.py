@@ -332,21 +332,59 @@ def test_q12_single_join_pre_aggregated(spark):
     assert "Expand" not in plan, plan
 
 
-def test_embedding_cosine_is_broadcast_map_only(spark):
-    """The exact-cosine verify phase must enumerate pairs as a
-    broadcast nested-loop stage: the ONLY exchange allowed is spread()'s
-    O(n) round-robin rebalance below the join (a local-fixture
-    parallelization that disappears at scale) — never an all-pairs
-    shuffle above it, which would be the 100 TB scale-killer. The
-    broadcast shape is what lets the same operator consume LSH
-    candidate buckets unchanged."""
+def test_embedding_cosine_has_no_all_pairs_stage(spark):
+    """The graded embedding near-dup plan must be the 100 TB shape:
+    banded-LSH candidate generation + equi-join verify.  No node in
+    the physical plan may enumerate all pairs — no broadcast
+    nested-loop join of the corpus against itself and no cartesian
+    product; every join is an equi-join on a fixed-width key (band
+    bucket or vec_id)."""
     df = all_queries()["dedup_embedding_cosine"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert shuffle_count(df) <= 1, plan
-    assert "hashpartitioning" not in plan, plan  # no key shuffle anywhere
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     # cosine math stays JVM-side — no Python eval in the pair loop
     assert not has_python_eval(df), plan
+
+
+def test_embedding_cosine_matches_all_pairs_exactly(spark):
+    """Recall check: the banded-LSH two-phase result must equal the
+    exact all-pairs answer at the graded threshold on the fixture —
+    the bands are tuned (8×2 bits at cos ≥ 0.4) so no true pair is
+    lost.  This keeps the oracle (which IS all-pairs SQL) honest."""
+    from durablestreams_spark.operators.dedup import COSINE_DUP_THRESHOLD
+
+    df = all_queries()["dedup_embedding_cosine"].fn(spark, SF_DIR)
+    got = {(r.vec_a, r.vec_b) for r in df.collect()}
+
+    from durablestreams_spark.analytics.core import table as _table
+
+    emb = _table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    wn = emb.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
+    )
+    a = wn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    exact = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert got == want, f"LSH missed {want - got}, extra {got - want}"
 
 
 def test_multimodal_decode_chains_in_one_stage(spark):
