@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .manifest import SegmentMeta, fsync_file_and_dir
+from .manifest import SegmentMeta
 from .stream import Stream, _now_ms
 
 
@@ -228,44 +228,73 @@ def _finish_bulk(
 
     metas = []
     now = _now_ms()
-    for root, _dirs, files in os.walk(out):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(root, fn)
-            # Spark's committer renames, it does not fsync: flush bytes
-            # + dir entry before the manifest references this file
-            # (same durability-before-ack invariant as _write_segment).
-            fsync_file_and_dir(path)
-            md = pq.read_metadata(path)
-            if md.num_rows == 0:
-                # Empty input ⇒ Spark still writes a 0-row part file; it
-                # has no offsets and must not enter the manifest.
-                os.unlink(path)
-                continue
-            first, last = None, None
-            n = 0
-            for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(0)
-                st = col.statistics
-                lo, hi = st.min, st.max
-                lo = lo.decode() if isinstance(lo, bytes) else lo
-                hi = hi.decode() if isinstance(hi, bytes) else hi
-                first = lo if first is None or lo < first else first
-                last = hi if last is None or hi > last else last
-                n += md.row_group(rg).num_rows
-            rel = os.path.relpath(path, stream.segments_dir)
-            metas.append(
-                SegmentMeta(
-                    name=rel,
-                    first_offset=first,
-                    last_offset=last,
-                    created_ms=now,
-                    records=n,
-                    bytes=os.path.getsize(path),
-                )
+    paths = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(out)
+        for fn in files
+        if fn.endswith(".parquet")
+    ]
+
+    # Spark's committer renames, it does not fsync: flush bytes + dir
+    # entry before the manifest references any file (same
+    # durability-before-ack invariant as _write_segment).  The per-file
+    # fsync + footer read both release the GIL, so a thread pool turns
+    # N serial disk round-trips into ~N/16 (a serial loop over hundreds
+    # of part files at tens-of-ms tail fsync latency was the slowest
+    # phase of large runs); each DIRECTORY entry is flushed once after
+    # all its files, not once per file.
+    def _sync_and_scan(path: str):
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return path, pq.read_metadata(path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if paths:
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            scanned = list(ex.map(_sync_and_scan, paths))
+        for d in sorted({os.path.dirname(p) for p in paths}):
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+    else:
+        scanned = []
+
+    for path, md in scanned:
+        if md.num_rows == 0:
+            # Empty input ⇒ Spark still writes a 0-row part file; it
+            # has no offsets and must not enter the manifest.
+            os.unlink(path)
+            continue
+        first, last = None, None
+        n = 0
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            st = col.statistics
+            lo, hi = st.min, st.max
+            lo = lo.decode() if isinstance(lo, bytes) else lo
+            hi = hi.decode() if isinstance(hi, bytes) else hi
+            first = lo if first is None or lo < first else first
+            last = hi if last is None or hi > last else last
+            n += md.row_group(rg).num_rows
+        rel = os.path.relpath(path, stream.segments_dir)
+        metas.append(
+            SegmentMeta(
+                name=rel,
+                first_offset=first,
+                last_offset=last,
+                created_ms=now,
+                records=n,
+                bytes=os.path.getsize(path),
             )
+        )
     metas.sort(key=lambda m: m.first_offset)
+    t0 = _t("fsync+scan", t0)
     last_epoch = int(metas[-1].last_offset[:16]) if metas else state.last_epoch_ms
     actions = {
         "add": [m.to_json() for m in metas],

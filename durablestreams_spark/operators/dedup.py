@@ -462,6 +462,129 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+def connected_components_star(pairs, a="doc_a", b="doc_b", max_rounds=50):
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    100 TB variant of min-label propagation: convergence in
+    O(log diameter)-ish rounds instead of diameter rounds, which is
+    the difference between 5 and 5000 iterations on chain-shaped
+    near-dup graphs (doc A ~ B ~ C ~ ... with no direct A ~ Z edge).
+
+    Per round: LARGE-STAR hangs every neighbor larger than u off u's
+    minimum (strictly shrinks big nodes' eccentricity), SMALL-STAR
+    re-points every smaller neighbor and u itself at the group
+    minimum.  Both are one groupBy-min + one equi-join + distinct —
+    the same shuffle shape as a round of label propagation, just far
+    fewer rounds.  localCheckpoint per round truncates lineage
+    (iterative-Spark failure mode); convergence = (count, hash-sum)
+    signature of the edge set stable across a round, O(1) driver data.
+
+    Returns (labels_df[node, label], rounds)."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    rounds = 0
+    while rounds < max_rounds:
+        # large-star: for each u, attach its larger neighbors to
+        # m = min(neighbors ∪ u).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonical u > v orientation; re-point v and u at
+        # the group minimum.
+        can = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = can.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            can.join(mins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.u", "s.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur = (sig_row["c"], sig_row["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # Converged edge set is a star forest: non-roots appear as u
+    # (pointing at their root), roots only as v.
+    non_roots = e.select(
+        F.col("u").alias("node"), F.col("v").alias("label")
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    return non_roots.union(roots), rounds
+
+
+@query(
+    "dedup_connected_components_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Connected components over the LSH candidate graph via "
+    "large-star/small-star (Kiveris et al. SoCC'14) — the scale "
+    "variant of dedup_connected_components: O(log diameter) rounds "
+    "instead of diameter rounds, same per-round shuffle shape "
+    "(groupBy-min + equi-join).  Labels are provably identical to "
+    "min-propagation (both converge to the component minimum), and "
+    "both graded entries share the recursive-CTE transitive-closure "
+    "oracle.",
+)
+def dedup_connected_components_star(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    labels, _rounds = connected_components_star(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.4
 #: SRP banding for the candidate phase: 8 bands × 2 bits over the same
 #: 16 fixed hyperplanes similarity.py uses.  Band width is tuned to the
