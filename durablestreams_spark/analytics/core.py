@@ -120,10 +120,24 @@ def spread(df: DataFrame) -> DataFrame:
     pipeline (tokenize/hash/shingle) on one core.  At 100 TB the scan
     has thousands of file splits, the condition is false, and no extra
     shuffle happens.  Use ahead of CPU-heavy per-row stages only; plain
-    scans/filters/aggregates don't need it."""
+    scans/filters/aggregates don't need it.
+
+    Cost note: the exact split-count check needs ``df.rdd`` — a
+    driver-side physical-plan conversion — so it's short-circuited by
+    ``inputFiles()`` (analysis only): when the scan already has at
+    least cores-many FILES, splits >= files and no rebalance can be
+    needed, which is every at-scale path.  The ``.rdd`` hop runs only
+    in the few-small-files regime, where the plan is tiny anyway."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    n_par = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-scan plans
+        files = []
+    if len(files) >= n_par:
+        return df
+    if df.rdd.getNumPartitions() < n_par:
+        return df.repartition(n_par)
     return df
 
 
