@@ -261,6 +261,82 @@ def multimodal_binaryfile_decode(spark, sf_dir):
     return files.mapInPandas(decode_media_batch, schema=_DECODED_SCHEMA)
 
 
+def decode_pointer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the POINTER pattern: rows carry a path +
+    expected length, the worker opens the object itself and decodes.
+    Length is re-checked against what was actually read — a stale
+    listing (file replaced mid-job) fails loudly instead of decoding
+    torn bytes.  Blobs here are tiny so the read is whole-file; a >2 GB
+    production variant reads only the ranges the codec asks for (these
+    headers live in the first KB / a bounded block walk)."""
+    from urllib.parse import urlparse
+
+    from .media_codec import decode_media
+
+    for pdf in batches:
+        ids, ws, hs, fr, fmts = [], [], [], [], []
+        for doc_id, path, length in zip(
+            pdf["doc_id"], pdf["path"], pdf["length"]
+        ):
+            local = urlparse(str(path)).path
+            with open(local, "rb") as f:
+                blob = f.read()
+            if len(blob) != length:
+                raise IOError(
+                    f"{local}: listed {length} bytes, read {len(blob)}"
+                )
+            w, h, n, fmt = decode_media(blob)
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            fr.append(n)
+            fmts.append(fmt)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_frames": pd.Series(fr, dtype="int32"),
+                "fmt": pd.Series(fmts, dtype="object"),
+            }
+        )
+
+
+@query(
+    "multimodal_pointer_decode",
+    f"""
+    WITH decoded AS ({_ORACLE_DECODED})
+    SELECT doc_id, width, height,
+           CAST(n_frames AS INTEGER) AS n_frames, fmt
+    FROM decoded
+    """,
+    doc="Pointer-pattern multimodal ingestion (SURVEY.md §2.2: blobs "
+    ">2 GB hold an object-store pointer, not bytes): the Spark scan is "
+    "METADATA-ONLY — binaryFile with just path+length selected, so "
+    "column pruning drops the content column and no payload bytes move "
+    "through the scan — and each Arrow-batched worker opens its files "
+    "directly and decodes.  Same oracle as the content-column variant: "
+    "matching proves the pointer hop is lossless.  At 100 TB this is "
+    "the shape that keeps the shuffle/scan tier at listing size while "
+    "payload I/O stays task-local.",
+)
+def multimodal_pointer_decode(spark, sf_dir):
+    d = _media_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "path",
+            "length",
+        )
+    )
+    return files.mapInPandas(decode_pointer_batch, schema=_DECODED_SCHEMA)
+
+
 _FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -387,6 +387,21 @@ def test_embedding_cosine_matches_all_pairs_exactly(spark):
     assert got == want, f"LSH missed {want - got}, extra {got - want}"
 
 
+def test_pointer_decode_scan_is_metadata_only(spark):
+    """The pointer-pattern scan must prune the content column: the
+    binaryFile FileScan's ReadSchema carries only path+length, so no
+    payload bytes move through the scan tier (the property that makes
+    the pattern viable for >2 GB blobs)."""
+    df = all_queries()["multimodal_pointer_decode"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "binaryfile" in plan.lower() or "BINARYFILE" in plan, plan
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert read_schemas, plan
+    assert all("content" not in rs for rs in read_schemas), plan
+
+
 def test_multimodal_decode_chains_in_one_stage(spark):
     """build-blob → decode are two chained mapInPandas workers with NO
     exchange between them (pipelined in one stage); the only shuffle
