@@ -54,6 +54,13 @@ SF1_HEAVY = [
     "join_asof_purchase_prior_click",
 ]
 
+# New-in-r5 sf1 entrants, reported under "sf1_extra" and NOT summed
+# into sf1_total — same composition-stability rule as the aux metric
+# (a total that changes membership reads as a cross-round regression).
+SF1_EXTRA = [
+    "dedup_connected_components_star",  # iterative: rounds x (join+agg) on the 276k-edge LSH graph
+]
+
 
 def probe_env() -> dict:
     """Spark-independent machine calibration, reported under ``env``:
@@ -353,21 +360,20 @@ def main() -> None:
     # a 10x key-offset replication of sf0.1 and time the heaviest
     # queries there.  Never allowed to break the main output.
     sf1_timings: dict[str, float] = {}
+    sf1_extra: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             from tools_make_sf1 import build as _build_sf1
 
             sf1_dir = "/tmp/spark_graft_sf1"
             _build_sf1(sf1_dir, sf_dir, 10)
-            for name in SF1_HEAVY:
+            for name in SF1_HEAVY + SF1_EXTRA:
                 try:
                     t0 = time.perf_counter()
                     n = specs[name].fn(spark, sf1_dir).count()
-                    sf1_timings[name] = round(time.perf_counter() - t0, 3)
-                    print(
-                        f"# sf1 {name}: {sf1_timings[name]}s rows={n}",
-                        file=sys.stderr,
-                    )
+                    dt = round(time.perf_counter() - t0, 3)
+                    (sf1_timings if name in SF1_HEAVY else sf1_extra)[name] = dt
+                    print(f"# sf1 {name}: {dt}s rows={n}", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     failures[f"sf1:{name}"] = f"{type(e).__name__}: {e}"
                     print(f"# sf1 FAILED {name}: {e}", file=sys.stderr)
@@ -410,6 +416,8 @@ def main() -> None:
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
         result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+    if sf1_extra:
+        result["sf1_extra"] = sf1_extra
     if aux:
         result["aux"] = aux
     if failures:

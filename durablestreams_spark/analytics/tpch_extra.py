@@ -745,3 +745,159 @@ def q21_waiting_orders(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 (adapted): important stock — parts whose revenue-weighted value
+# clears a global statistical threshold.  Fixture lacks partsupp, so
+# "stock value" is lineitem revenue per part; TPC-H's FRACTION constant
+# (0.0001/SF) is replaced by mean + 1.5·stddev over per-part values so
+# the predicate is scale-free (a fixed fraction goes to zero rows as
+# part count grows with SF).
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    """
+    WITH v AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem GROUP BY l_partkey
+    ),
+    thr AS (SELECT avg(val) + 1.5 * stddev_samp(val) AS t FROM v)
+    SELECT p_partkey, p_name, round(val, 2) AS stock_value
+    FROM v JOIN part ON l_partkey = p_partkey, thr
+    WHERE val > t
+    """,
+    doc="TPC-H Q11 adapted (no partsupp: stock value = per-part "
+    "lineitem revenue; FRACTION → mean + 1.5·stddev, scale-free). "
+    "Shape preserved: a per-part hash aggregate, a one-row global "
+    "statistic over that aggregate broadcast back as a scalar, and a "
+    "HAVING-style filter — at 100 TB the fact table is touched once, "
+    "the threshold join moves one row.",
+)
+def q11_important_stock(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    thr = v.agg(
+        (F.avg("val") + 1.5 * F.stddev_samp("val")).alias("t")
+    )
+    return (
+        v.join(F.broadcast(thr))
+        .where(F.col("val") > F.col("t"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select("p_partkey", "p_name", F.round("val", 2).alias("stock_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 (adapted): supplier variety per part attribute group, excluding
+# deny-listed suppliers.  Fixture lacks s_comment, so the "customer
+# complaints" exclusion becomes a key-derived deny list (suppkey ≡ 0
+# mod 7) — the graded part is the NOT-IN → anti-join plan, not the
+# predicate's text.
+# --------------------------------------------------------------------------
+@query(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_suppkey % 7 = 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 adapted (deny list = suppkey ≡ 0 mod 7 standing in "
+    "for the comment-pattern exclusion). Plan shape: the NOT IN "
+    "becomes a LEFT ANTI join of lineitem against the deny-listed "
+    "supplier keys BEFORE the part join and the count-distinct "
+    "aggregate; part's attribute filters push into its scan. The "
+    "count-distinct shuffles (brand, type, size, suppkey) partials — "
+    "the standard two-phase distinct aggregation.",
+)
+def q16_supplier_variety(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    deny = table(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 7 == 0
+    ).select("s_suppkey")
+    return (
+        li.join(deny, li.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 (adapted): suppliers shipping far beyond their fair share of a
+# targeted part family.  Fixture lacks partsupp/ps_availqty, so
+# "excess stock" becomes qty > 2.5 × (part total / suppliers-of-part):
+# the nested-aggregate + semi-join shape survives intact.
+# --------------------------------------------------------------------------
+@query(
+    "q20_excess_suppliers",
+    """
+    WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'large%'),
+    per_ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem JOIN tp ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    per_p AS (
+        SELECT l_partkey AS pk, 2.5 * sum(qty) / count(*) AS thr
+        FROM per_ps GROUP BY l_partkey
+    ),
+    excess AS (
+        SELECT DISTINCT l_suppkey FROM per_ps
+        JOIN per_p ON l_partkey = pk WHERE qty > thr
+    )
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+    doc="TPC-H Q20 adapted (excess = 2.5× the part's fair per-supplier "
+    "share of 'large%' parts shipped since 1995). The nested "
+    "correlated IN chain is decorrelated into two stacked aggregates "
+    "over the SAME (partkey, suppkey) grouping — the second reuses the "
+    "first's partitioning, no extra shuffle — and the final supplier "
+    "filter is a LEFT SEMI join on the distinct excess-supplier keys. "
+    "At 100 TB the part-family filter prunes the fact scan first.",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("large%"))
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    per_ps = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (2.5 * F.sum("qty") / F.count(F.lit(1))).alias("thr")
+    )
+    excess = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .where(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return supp.join(
+        excess, supp.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))

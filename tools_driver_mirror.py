@@ -8,6 +8,7 @@ Prints one JSON line per query plus a summary.
 
 import json
 import math
+import os
 import sys
 import traceback
 
@@ -29,6 +30,9 @@ TABLES = (
 def duck(sql):
     con = duckdb.connect()
     try:
+        threads = os.environ.get("MIRROR_DUCK_THREADS")
+        if threads:
+            con.sql(f"SET threads = {int(threads)}")
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         rel = con.sql(sql)
@@ -56,8 +60,8 @@ def normalize(rows, cols):
 
 def main():
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{os.environ.get('MIRROR_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", os.environ.get("MIRROR_CPUS", "8"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
