@@ -759,35 +759,61 @@ def q21_waiting_orders(spark, sf_dir):
     "q11_important_stock",
     """
     WITH v AS (
-        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                 AS val_scaled
         FROM lineitem GROUP BY l_partkey
     ),
-    thr AS (SELECT avg(val) + 1.5 * stddev_samp(val) AS t FROM v)
-    SELECT p_partkey, p_name, round(val, 2) AS stock_value
+    thr AS (SELECT avg(CAST(val_scaled AS DOUBLE))
+                   + 1.5 * stddev_samp(CAST(val_scaled AS DOUBLE)) AS t
+            FROM v)
+    SELECT p_partkey, p_name,
+           floor(val_scaled / 10000.0 + 0.5) / 100 AS stock_value
     FROM v JOIN part ON l_partkey = p_partkey, thr
-    WHERE val > t
+    WHERE CAST(val_scaled AS DOUBLE) > t
     """,
     doc="TPC-H Q11 adapted (no partsupp: stock value = per-part "
     "lineitem revenue; FRACTION → mean + 1.5·stddev, scale-free). "
     "Shape preserved: a per-part hash aggregate, a one-row global "
     "statistic over that aggregate broadcast back as a scalar, and a "
     "HAVING-style filter — at 100 TB the fact table is touched once, "
-    "the threshold join moves one row.",
+    "the threshold join moves one row.  Money math is EXACT scaled "
+    "integers: a double sum is summation-order-dependent (35 of 14k "
+    "sf1 rows flipped a 2dp boundary vs the oracle), and even "
+    "DECIMAL sums disagreed because the double→decimal CAST itself "
+    "diverges at 4dp boundaries (Spark rounds the shortest repr, "
+    "DuckDB the true binary value).  floor(x·10^k + 0.5) is the same "
+    "IEEE op sequence in both engines (see analytics/core.py header), "
+    "so cents are identical integers, the per-part sum is exact "
+    "bigint, and the 2dp display uses the same floor trick.  Only "
+    "the mean+stddev threshold stays float, where nanoscale noise "
+    "cannot corrupt a value-hash, merely (vanishingly rarely) flip a "
+    "borderline part's membership.",
 )
 def q11_important_stock(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc4 = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
     v = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        F.sum(cents * (10000 - disc4)).alias("val_scaled")
     )
+    val_d = F.col("val_scaled").cast("double")
     thr = v.agg(
-        (F.avg("val") + 1.5 * F.stddev_samp("val")).alias("t")
+        (F.avg(val_d) + 1.5 * F.stddev_samp(val_d)).alias("t")
     )
     return (
         v.join(F.broadcast(thr))
-        .where(F.col("val") > F.col("t"))
+        .where(val_d > F.col("t"))
         .join(part, F.col("l_partkey") == part.p_partkey)
-        .select("p_partkey", "p_name", F.round("val", 2).alias("stock_value"))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.floor(F.col("val_scaled") / 10000.0 + F.lit(0.5)) / 100).alias(
+                "stock_value"
+            ),
+        )
     )
 
 
