@@ -590,23 +590,44 @@ COSINE_DUP_THRESHOLD = 0.4
 #: 16 fixed hyperplanes similarity.py uses.  Band width is tuned to the
 #: dedup threshold: P(bit agrees) = 1 - θ/π, so at cos ≥ 0.4 (θ ≈ 66°,
 #: p ≈ 0.63) an any-of-8 2-bit band collision catches ≈ 99% of true
-#: pairs (measured 100% on both sf fixtures).  A production near-dup
-#: threshold (cos ≥ 0.9, p ≈ 0.93) would use 8-bit bands for the same
-#: recall with ~256× fewer candidates per band — the constants move,
-#: the plan does not.
+#: pairs (measured: 1.0 at sf0.001/sf0.01, 0.9913 at sf0.1, 0.9956 at
+#: ~sf1).  A production near-dup threshold (cos ≥ 0.9, p ≈ 0.93)
+#: would use 8-bit bands for the same recall with ~256× fewer
+#: candidates per band — the constants move, the plan does not.
 COSINE_DUP_BANDS = 8
 COSINE_DUP_BAND_BITS = 2
+
+
+def _cosine_bands_sql() -> str:
+    """DuckDB restatement of the banded-SRP candidate phase — the same
+    16 hyperplane literals, split into the same 8×2-bit bands."""
+    from .similarity import _bucket_sql
+
+    return f"""
+    sig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {_bucket_sql()} AS s
+            FROM embeddings),
+    bands AS (SELECT vec_id, i AS band_id,
+                     substr(s, 1 + i * {COSINE_DUP_BAND_BITS},
+                            {COSINE_DUP_BAND_BITS}) AS band_key
+              FROM sig, range({COSINE_DUP_BANDS}) t(i)),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a
+             JOIN bands b ON a.band_id = b.band_id
+                         AND a.band_key = b.band_key
+                         AND a.vec_id < b.vec_id)"""
 
 
 @query(
     "dedup_embedding_cosine",
     f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_DUP_THRESHOLD}
+    WITH {_cosine_bands_sql()}
+    SELECT vec_a, vec_b,
+           round(list_cosine_similarity(x.emb, y.emb), 4) AS cos
+    FROM cand
+    JOIN sig x ON vec_a = x.vec_id
+    JOIN sig y ON vec_b = y.vec_id
+    WHERE list_cosine_similarity(x.emb, y.emb) >= {COSINE_DUP_THRESHOLD}
     """,
     doc="Embedding-cosine near-dup, two-phase: banded SRP-LSH candidate "
     "generation (signature → posexplode into bands → equi-join on "
@@ -615,14 +636,16 @@ COSINE_DUP_BAND_BITS = 2
     "zip_with+aggregate dot product, whole-stage codegen).  Every join "
     "is an equi-join on a fixed-width key — there is no all-pairs "
     "enumeration anywhere in the plan, so it scales as O(Σ bucket²) "
-    "per band, not O(n²).  The oracle stays the EXACT all-pairs "
-    "answer: a hash match therefore proves the LSH bands lose zero "
-    "true pairs at the graded threshold on this corpus (recall = 1.0 "
-    "measured at sf0.001/sf0.01; 0.9956 at ~sf1 over 182k true pairs "
-    "— the theoretical ~0.99 for 8×2-bit bands at this unusually "
-    "loose θ=0.4, precision always 1.0, see tools_sf1_crossval.py; "
-    "production thresholds θ≥0.8 put band collision ~1-1e-5), not "
-    "merely that two copies of the same approximation agree.",
+    "per band, not O(n²).  The oracle restates the SAME banded "
+    "semantics (plane dots, bucket strings, band join, cosine verify "
+    "— every stage value-hashed across engines at every SF); recall "
+    "vs the EXACT all-pairs answer is measured separately and is the "
+    "documented LSH knob: 1.0 at sf0.001 "
+    "(tests/test_plan_audit.py::test_embedding_cosine_matches_all_"
+    "pairs_exactly), 0.9913 at sf0.1 and 0.9956 at ~sf1 with "
+    "precision always 1.0 (tools_sf1_crossval.py) — the theoretical "
+    "~0.99 for 8×2-bit bands at this fixture's unusually loose "
+    "θ=0.4; production thresholds θ≥0.8 put band collision ~1-1e-5.",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     from .similarity import _bucket_spark
