@@ -796,9 +796,14 @@ def q11_important_stock(spark, sf_dir):
     part = table(spark, sf_dir, "part")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     disc4 = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    # localCheckpoint: v feeds BOTH the threshold aggregate and the
+    # final filter — without materializing it Spark plans two full
+    # lineitem scans (no ReusedExchange across the scalar subtree),
+    # which doubles the fact-table I/O at 100 TB.  v itself is one row
+    # per part — tiny relative to the facts.
     v = li.groupBy("l_partkey").agg(
         F.sum(cents * (10000 - disc4)).alias("val_scaled")
-    )
+    ).localCheckpoint()
     val_d = F.col("val_scaled").cast("double")
     thr = v.agg(
         (F.avg(val_d) + 1.5 * F.stddev_samp(val_d)).alias("t")

@@ -216,6 +216,59 @@ def test_q22_anti_join_with_broadcast_dims(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_q11_single_fact_scan_with_scalar_threshold(spark):
+    """Q11: ONE lineitem scan — the per-part aggregate is checkpointed
+    before feeding both the threshold statistic and the final filter
+    (without it Spark plans two full fact scans; no ReusedExchange
+    across the scalar subtree).  The threshold joins back as a one-row
+    broadcast."""
+    df = all_queries()["q11_important_stock"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the fact scan ran ONCE when the aggregate checkpointed; the
+    # final plan reads the materialized per-part rows, never parquet.
+    assert "lineitem.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q16_deny_list_is_anti_join(spark):
+    """Q16: the NOT IN deny list must plan as LEFT ANTI, and the
+    count-distinct must partial-aggregate before its exchange."""
+    df = all_queries()["q16_supplier_variety"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q20_semi_join_and_stacked_aggs(spark):
+    """Q20: the final supplier filter must be LEFT SEMI on the distinct
+    excess keys; the two stacked aggregates share the (partkey, ...)
+    grouping so no third fact scan appears."""
+    import re
+
+    df = all_queries()["q20_excess_suppliers"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    li_scans = [
+        s for s in re.findall(r"\(\d+\) Scan parquet \S*", plan)
+        if "lineitem" in s
+    ]
+    assert len(li_scans) <= 2, plan
+
+
+def test_ivf_no_all_pairs_search(spark):
+    """IVF: the probe-limited search must join on cent_id (equi), the
+    only cross join being the bounded centroid-assignment broadcast —
+    never a corpus×corpus nested loop."""
+    df = all_queries()["similarity_ivf_topk"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # assignment joins broadcast the (small) centroid set
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # cell-restricted search is an equi join keyed on the cell id
+    assert "cent_id" in plan, plan
+
+
 def test_q7_no_forced_broadcast_of_scaling_tables(spark):
     """q7 joins supplier/customer (scale with SF) — with the broadcast
     threshold disabled those joins must fall back to shuffle joins
