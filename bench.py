@@ -301,8 +301,12 @@ def main() -> None:
         print(f"# FAILED op_manifest_fold_100k: {e}", file=sys.stderr)
 
     # Bulk-ingest throughput: the distributed produce path end-to-end
-    # (zip-with-index offset assignment -> range-partitioned segment
-    # write -> one manifest commit) over the full events table.
+    # (zip-with-index offset assignment -> segment write -> one
+    # manifest commit) over the full events table.  Same methodology
+    # as the headline queries: one warm pass (this plan's codegen is
+    # unique to the op, so the spec warm pass doesn't cover it) and
+    # min-of-2 steady state — this op was previously single-shot and
+    # its round-to-round deltas tracked fsync latency drift, not code.
     import shutil
     import tempfile
 
@@ -310,25 +314,29 @@ def main() -> None:
     from durablestreams_spark.ingest import produce_bulk
     from durablestreams_spark.stream import StreamCatalog
 
-    root = tempfile.mkdtemp(prefix="bench_bulk_")
-    try:
-        s = StreamCatalog(root).stream("bulk")
-        ev = _table(spark, sf_dir, "events").select("event_id", "ts")
-        n_rows = ev.count()
-        t0 = time.perf_counter()
-        produce_bulk(
-            s, ev, order_by=["ts", "event_id"], batch_records=1000,
-            payload_cols=["event_id"], segment_rows=20_000,
-        )
-        dt = time.perf_counter() - t0
-        timings["op_bulk_ingest_events"] = round(dt, 3)
-        print(
-            f"# op_bulk_ingest_events: {dt:.3f}s "
-            f"({n_rows / dt:,.0f} records/s)",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    ev = _table(spark, sf_dir, "events").select("event_id", "ts")
+    n_rows = ev.count()
+    bulk_times = []
+    for bi in range(3):  # run 0 = warm-up, discarded
+        root = tempfile.mkdtemp(prefix="bench_bulk_")
+        try:
+            s = StreamCatalog(root).stream("bulk")
+            t0 = time.perf_counter()
+            produce_bulk(
+                s, ev, order_by=["ts", "event_id"], batch_records=1000,
+                payload_cols=["event_id"], segment_rows=20_000,
+            )
+            bulk_times.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    dt = min(bulk_times[1:])
+    timings["op_bulk_ingest_events"] = round(dt, 3)
+    print(
+        f"# op_bulk_ingest_events: {dt:.3f}s "
+        f"({n_rows / dt:,.0f} records/s; runs "
+        f"{[round(t, 2) for t in bulk_times]})",
+        file=sys.stderr,
+    )
     # Three timed runs per query, report the min (and keep the max in
     # ``spread`` so variance is visible): a single-shot timing on a
     # shared VM conflates the engine with whoever else touched the CPU

@@ -101,6 +101,7 @@ def assign_offsets(
     # (unpersist-after-write; file-count planning without a second scan).
     out._ds_persisted = with_local  # type: ignore[attr-defined]
     out._ds_total = acc  # type: ignore[attr-defined]
+    out._ds_nparts = max(1, len(sizes))  # type: ignore[attr-defined]
     return out
 
 
@@ -134,12 +135,23 @@ def produce_bulk(
     locally-sorted file per partition is disjoint BY CONSTRUCTION —
     no second full-data shuffle (at 100 TB that shuffle doubles the
     ingest I/O; file count = shuffle partitions, which is the knob
-    that sizes them).  Passing ``segment_rows`` explicitly forces a
-    range repartition on ``offset`` into ceil(total/segment_rows)
-    files for exact physical sizing.  Either way the write is a plain
-    one-file-per-task parquet write, never a dynamic ``partitionBy``
-    (measured 3-10× slower and high-variance for many small
-    partitions).
+    that sizes them).  Passing ``segment_rows`` explicitly sizes files
+    without ever SAMPLING: every row's global position is already
+    arithmetic in its offset, so the target file id is the column
+    expression ``rn div segment_rows`` — when existing partitions are
+    at least segment-sized the write just splits in-task via
+    ``maxRecordsPerFile`` (NO second shuffle — the 100 TB path); when
+    they are smaller (many tiny partitions from a wide shuffle) a
+    deterministic hash repartition on the file id merges them into
+    exactly ceil(total/segment_rows) files.  Unlike
+    ``repartitionByRange`` this never runs a sampling job over the
+    data, and files stay disjoint by construction: within a task, rows
+    sort by offset, file-id groups are contiguous in that order, and
+    every group except the global tail is exactly ``segment_rows``
+    rows, so the ``maxRecordsPerFile`` splits land precisely on group
+    boundaries.  Either way the write is a plain sequential parquet
+    write, never a dynamic ``partitionBy`` (measured 3-10× slower and
+    high-variance for many small partitions).
     """
     trace = os.environ.get("DS_TIMING")
 
@@ -159,6 +171,7 @@ def produce_bulk(
     t0 = _t("assign", t0)
     assigned = with_offsets.select("offset", "ts", payload)
     total = with_offsets._ds_total  # type: ignore[attr-defined]
+    max_records_per_file = 0
     if segment_rows is None:
         # Partition-contiguous fast path: broadcast-join + projections
         # preserved assign_offsets' range partitioning, so offsets are
@@ -166,9 +179,39 @@ def produce_bulk(
         writer_df = assigned.sortWithinPartitions("offset")
     else:
         n_files = max(1, -(-total // segment_rows))
-        writer_df = assigned.repartitionByRange(
-            n_files, "offset"
-        ).sortWithinPartitions("offset")
+        n_parts = with_offsets._ds_nparts  # type: ignore[attr-defined]
+        max_records_per_file = segment_rows
+        if n_files >= n_parts:
+            # Partitions are at least segment-sized: keep the existing
+            # range partitioning and let the writer split each task's
+            # sorted run at segment_rows boundaries.  Zero extra
+            # shuffle — the plan a 100 TB ingest needs.  (File count
+            # is ceil per partition, so up to n_parts files more than
+            # the exact target; sizes never exceed segment_rows.)
+            writer_df = assigned.sortWithinPartitions("offset")
+        else:
+            # Many small partitions → merge into exactly n_files.  The
+            # file id is pure offset arithmetic (global row number div
+            # segment_rows), so a hash repartition on it needs NO
+            # sampling pass, unlike repartitionByRange.  Sorting by
+            # offset inside each task restores contiguity; the
+            # maxRecordsPerFile cap splits colliding file-id groups
+            # (hash collisions put 2+ ids in one task) exactly at
+            # their boundaries because every non-tail group is exactly
+            # segment_rows rows and the tail group sorts last.
+            rn = (
+                (F.col("offset").substr(1, 16).cast("long") - base_epoch)
+                * batch_records
+                + F.col("offset").substr(17, 16).cast("long")
+            )
+            file_id = F.expr(f"rn_tmp div {int(segment_rows)}")
+            writer_df = (
+                assigned.withColumn("rn_tmp", rn)
+                .withColumn("__file", file_id)
+                .repartition(n_files, "__file")
+                .sortWithinPartitions("offset")
+                .drop("rn_tmp", "__file")
+            )
 
     run_dir = f"bulk-{uuid.uuid4().hex}"
     out = os.path.join(stream.segments_dir, run_dir)
@@ -186,7 +229,7 @@ def produce_bulk(
     try:
         return _finish_bulk(
             stream, writer_df, with_offsets, out, marker, state, base_epoch,
-            txn, _t, t0,
+            txn, _t, t0, max_records_per_file,
         )
     finally:
         # EVERY exit — including a failed write or a metadata-scan
@@ -200,10 +243,14 @@ def produce_bulk(
 
 
 def _finish_bulk(
-    stream, writer_df, with_offsets, out, marker, state, base_epoch, txn, _t, t0
+    stream, writer_df, with_offsets, out, marker, state, base_epoch, txn, _t, t0,
+    max_records_per_file=0,
 ):
     try:
-        writer_df.write.mode("error").parquet(out)
+        w = writer_df.write.mode("error")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(out)
         t0 = _t("write", t0)
     finally:
         with_offsets._ds_persisted.unpersist()  # type: ignore[attr-defined]

@@ -60,3 +60,50 @@ def test_assign_offsets_arithmetic_property(spark, n, batch, base):
         assert r.batch == base + k // batch
     offs = [r.offset for r in rows]
     assert offs == sorted(offs)
+
+
+def _segment_files(stream):
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(stream.segments_dir):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+@pytest.mark.parametrize(
+    "n,segment_rows",
+    [
+        (4000, 100),   # n_files(40) >= partitions(8): in-task split, no shuffle
+        (4000, 1500),  # n_files(3) < partitions(8): hash-merge on file id
+    ],
+)
+def test_segment_rows_files_disjoint_and_capped(spark, catalog, n, segment_rows):
+    """Both physical-sizing paths — the no-shuffle ``maxRecordsPerFile``
+    in-task split and the sampling-free hash merge on the arithmetic
+    file id — must yield segment files that are ≤segment_rows rows each
+    and pairwise DISJOINT in offset range (the manifest invariant)."""
+    import pyarrow.parquet as pq
+
+    s = catalog.stream(f"sized_{n}_{segment_rows}")
+    df = spark.range(n).selectExpr("id", "concat('k', id) AS k")
+    produce_bulk(s, df, order_by=["id"], batch_records=500,
+                 segment_rows=segment_rows)
+
+    ranges = []
+    for path in _segment_files(s):
+        md = pq.read_metadata(path)
+        assert md.num_rows <= segment_rows, path
+        t = pq.read_table(path, columns=["offset"])
+        offs = t.column("offset").to_pylist()
+        assert offs == sorted(offs)
+        ranges.append((offs[0], offs[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # strictly disjoint, ordered
+    # merge path sizes files exactly: ceil(n / segment_rows) files
+    if -(-n // segment_rows) < 8:
+        assert len(ranges) == -(-n // segment_rows)
+
+    got = [r.data["id"] for r in s.consume("-", limit=n + 1)]
+    assert got == list(range(n))
