@@ -182,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         logops,
         multimodal,
         partitioned_ops,
+        pipeline_llm,
         python_api,
         similarity,
         skew,

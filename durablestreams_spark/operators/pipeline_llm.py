@@ -1,0 +1,272 @@
+"""Training-data curation operators a 100 TB corpus pipeline runs
+between raw ingest and tokenization (SURVEY.md §2.2 "LLM-pipeline"),
+beyond the dedup/similarity/text families already registered:
+
+- **benchmark decontamination** — flag corpus documents sharing 5-gram
+  shingles with an eval/benchmark set (the standard contamination
+  check run before training; cf. the n-gram overlap procedure in the
+  GPT-3/PaLM appendices);
+- **canonical selection** — after near-dup clustering, keep ONE
+  representative per cluster (here: per SimHash fingerprint), chosen
+  by an explicit deterministic quality order;
+- **train/valid/test split** — reproducible hash-bucket assignment
+  (never ``rand()``: must survive re-runs, engine swaps and
+  repartitioning);
+- **unigram LM scoring** — corpus-frequency negative log-likelihood
+  per document (the cheap stand-in for the CCNet-style LM quality
+  filter).
+
+All pure column expressions (no Python UDFs); hashes are md5-hex
+prefixes so the DuckDB oracle agrees bit-for-bit (same policy as
+``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..analytics.core import query, table
+from .dedup import dedup_simhash
+
+# Every doc whose id falls in this residue class plays the role of the
+# held-out benchmark/eval set; the remaining docs are the training
+# corpus being screened.  Deterministic, so both engines agree.
+_BENCH_MOD = 97
+
+
+def _shingle5(docs):
+    """(doc_id, sh) distinct 5-word shingles; split once per doc into a
+    words array in its own projection so CollapseProject can't inline
+    the O(words) split per shingle (same guard as dedup._shingle_rows).
+    """
+    words = docs.select("doc_id", F.split("text", r"\s+").alias("w")).where(
+        F.size("w") >= 5
+    )
+    return (
+        words.repartition("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5), i -> "
+                    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_DUCK_SHINGLE5 = """
+    SELECT DISTINCT doc_id, sh
+    FROM (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS wrds
+        FROM documents
+        WHERE len(string_split_regex(text, '\\s+')) >= 5
+    ), UNNEST(list_transform(
+           generate_series(1, len(wrds) - 4),
+           i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2] || ' ' ||
+                wrds[i+3] || ' ' || wrds[i+4])) AS u(sh)
+"""
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH shingles AS ({_DUCK_SHINGLE5}),
+    bench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, sh FROM shingles WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_hit
+        FROM corpus c JOIN bench b USING (sh)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, h.n_hit,
+           round(h.n_hit * 1.0 / t.n_shingles, 4) AS overlap_ratio
+    FROM totals t JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any 5-gram with "
+    "the (doc_id % 97 == 0) eval set, with their overlap fraction. The "
+    "benchmark shingle set is tiny relative to the corpus, so it is "
+    "BROADCAST — the corpus-side scan is the only big pass, and the "
+    "per-doc counts shuffle fixed-width (doc_id, counts) only.",
+)
+def text_decontaminate(spark, sf_dir):
+    shingles = _shingle5(table(spark, sf_dir, "documents"))
+    bench = (
+        shingles.where(F.col("doc_id") % _BENCH_MOD == 0).select("sh").distinct()
+    )
+    corpus = shingles.where(F.col("doc_id") % _BENCH_MOD != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias("overlap_ratio"),
+    )
+
+
+# The oracle recomputes the 32-bit SimHash with the exact SQL the
+# dedup_simhash query is already graded against, then picks the
+# canonical member per fingerprint by the same explicit order.
+_DUCK_SIMHASH = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    tok_hashes AS (
+        SELECT doc_id, tok, count(*) AS w,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    bits AS (
+        SELECT doc_id, b.i,
+               sum(CASE WHEN (h // (1::BIGINT << b.i)) % 2 = 1
+                        THEN w ELSE -w END) AS score
+        FROM tok_hashes, (SELECT UNNEST(generate_series(0, 31)) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    sims AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN score > 0 THEN (1::BIGINT << i)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_canonical_doc",
+    f"""
+    {_DUCK_SIMHASH}
+    SELECT simhash, n_members, canonical_id, canon_len FROM (
+        SELECT s.simhash,
+               count(*) OVER (PARTITION BY s.simhash) AS n_members,
+               first_value(d.doc_id) OVER (
+                   PARTITION BY s.simhash
+                   ORDER BY length(d.text) DESC, d.doc_id) AS canonical_id,
+               first_value(CAST(length(d.text) AS BIGINT)) OVER (
+                   PARTITION BY s.simhash
+                   ORDER BY length(d.text) DESC, d.doc_id) AS canon_len,
+               row_number() OVER (
+                   PARTITION BY s.simhash
+                   ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        FROM sims s JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+    """,
+    doc="Canonical-doc selection: one representative per near-dup "
+    "cluster (cluster = 32-bit SimHash), keeping the longest text with "
+    "doc_id as the deterministic tie-break. Spark side is a single "
+    "hash aggregation of max(struct(len, -doc_id)) — map-side "
+    "combinable, no window sort; the oracle states the same choice as "
+    "a window for readability.",
+)
+def dedup_canonical_doc(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    sims = dedup_simhash(spark, sf_dir)
+    best = F.max(
+        F.struct(F.col("len"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    return (
+        sims.join(docs, "doc_id")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
+        .select(
+            "simhash",
+            "n_members",
+            (-F.col("b.neg_id")).alias("canonical_id"),
+            F.col("b.len").cast("long").alias("canon_len"),
+        )
+    )
+
+
+@query(
+    "split_train_valid_test",
+    """
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                      < 'cc' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                      < 'e6' THEN 'valid'
+                 ELSE 'test'
+               END AS split, lang, n_chars
+        FROM documents
+    ) GROUP BY split, lang
+    """,
+    doc="Reproducible corpus split: md5(doc_id)-bucket assignment "
+    "(204/26/26 of 256 ≈ 80/10/10), aggregated per (split, lang). A "
+    "hash split — unlike rand()/TABLESAMPLE — survives re-runs, "
+    "repartitioning, and engine swaps; the assignment is a row-local "
+    "projection (no shuffle before the final small agg).",
+)
+def split_train_valid_test(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, count(*) AS c FROM clean GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(f.c * 1.0 / t.n)), 4) AS avg_nll
+    FROM clean JOIN freq f USING (tok) CROSS JOIN total t
+    GROUP BY doc_id
+    """,
+    doc="Unigram-LM document scoring: avg negative log-likelihood of a "
+    "doc's tokens under the corpus unigram distribution — the cheap "
+    "form of the CCNet/KenLM quality filter (high avg_nll = rare-token "
+    "soup, low = repetitive boilerplate). Two passes: a small "
+    "vocabulary aggregate, BROADCAST back onto the token stream, then "
+    "one per-doc aggregation; nothing shuffles document text.",
+)
+def text_unigram_logprob(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_nll"),
+        )
+    )
