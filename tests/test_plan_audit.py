@@ -465,3 +465,55 @@ def test_multimodal_decode_chains_in_one_stage(spark):
     # if an exchange sat between build and decode there would be two.
     assert plan.count("MapInPandas") >= 2, plan
     assert shuffle_count(df) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    """The eval/benchmark shingle set is small by nature; the corpus
+    side must join against it via broadcast, never shuffle the corpus
+    shingles on the shingle string."""
+    df = all_queries()["text_decontaminate"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    from durablestreams_spark.plans import has_python_eval
+
+    assert not has_python_eval(df)
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary-frequency table and the scalar total must both
+    broadcast back onto the token stream — the token stream itself is
+    the 100 TB side and must not be re-shuffled for the join."""
+    df = all_queries()["text_unigram_logprob"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_canonical_doc_is_hash_agg_not_window(spark):
+    """Canonical-member selection must be the max(struct(...)) hash
+    aggregate (map-side combinable), not a per-cluster window sort."""
+    df = all_queries()["dedup_canonical_doc"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """Writing date-partitioned parquet and filtering on the partition
+    column must prune at PLANNING time: the scan's PartitionFilters
+    carries the predicate and only matching directories are read."""
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "by_day")
+    ev.write.partitionBy("day").parquet(out)
+    days = sorted(r.day for r in spark.read.parquet(out).select("day").distinct().collect())
+    target = days[len(days) // 2]
+    got = spark.read.parquet(out).where(F.col("day") == target)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and target not in ("",), plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("day" in ln for ln in m), plan
+    # the pruned count matches the unpartitioned filter
+    want = ev.where(F.col("day") == target).count()
+    assert got.count() == want
