@@ -241,3 +241,46 @@ def sample_stratified_by_type(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "sketch_top_terms",
+    """
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    exact AS (
+        SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10
+    )
+    SELECT tok, cnt, true AS approx_ok FROM exact
+    """,
+    doc="Frequent-items sketch: approx_top_k over the token stream — a "
+    "mergeable one-pass summary (map-side partial sketches, tiny final "
+    "merge), THE 100 TB plan for heavy-hitter terms vs. a full-vocab "
+    "groupBy+sort. The sketch capacity (10k slots) far exceeds this "
+    "corpus's vocabulary, so estimates are exact and the oracle checks "
+    "them against the true counts: approx_ok = (sketch estimate == "
+    "exact count) for each of the exact top-10 tokens (sketch read at "
+    "top-50 so rank-boundary ties cannot hide a token).",
+)
+def sketch_top_terms(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    sk = (
+        toks.agg(F.expr("approx_top_k(tok, 50, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("est"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(10)
+    )
+    return top.join(F.broadcast(sk), "tok", "left").select(
+        "tok", "cnt", (F.col("est") == F.col("cnt")).alias("approx_ok")
+    )

@@ -517,3 +517,36 @@ def test_hive_partition_pruning(spark, tmp_path):
     # the pruned count matches the unpartitioned filter
     want = ev.where(F.col("day") == target).count()
     assert got.count() == want
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """With broadcast off and scale-emulating thresholds (the 10 GB
+    application-side default exists precisely so this only fires on
+    big scans), Catalyst must inject a runtime bloom filter built from
+    the selective dim side into the fact-side scan filter
+    (might_contain) — row-level pruning before the join shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
