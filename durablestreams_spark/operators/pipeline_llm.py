@@ -270,3 +270,51 @@ def text_unigram_logprob(spark, sf_dir):
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_chunk_windows",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS wrds
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+           CAST(least(50, len(wrds) - s + 1) AS BIGINT) AS n_tokens,
+           wrds[s] AS first_tok,
+           wrds[s + least(50, len(wrds) - s + 1) - 1] AS last_tok
+    FROM w, UNNEST(generate_series(1, len(wrds), 40)) AS g(s)
+    WHERE len(wrds) > 0
+    """,
+    doc="Training-chunk windowing: every doc split into 50-token "
+    "chunks with stride 40 (10-token overlap) — the standard "
+    "pre-tokenization packing step. Pure array arithmetic + one "
+    "posexplode; the 1→N expansion happens inside the scan stage "
+    "(no shuffle at all), so at 100 TB it streams: each task chunks "
+    "its own documents and nothing is exchanged.",
+)
+def text_chunk_windows(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("w"),
+    ).where(F.size("w") > 0)
+    # 0-based starts 0, 40, 80, ... ; chunk covers [s, s + n_tok)
+    return words.select(
+        "doc_id",
+        F.posexplode(F.expr("sequence(0, size(w) - 1, 40)")).alias(
+            "chunk_idx", "s"
+        ),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(50), F.size("w") - F.col("s"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr("w[s]").alias("first_tok"),
+        F.expr("w[s + least(50, size(w) - s) - 1]").alias("last_tok"),
+    )

@@ -550,3 +550,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_chunk_windows_no_shuffle(spark):
+    """The 1→N chunk expansion must happen inside the scan stage —
+    zero exchanges; at 100 TB each task chunks its own documents."""
+    df = all_queries()["text_chunk_windows"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0, formatted_plan(df)
+    from durablestreams_spark.plans import has_python_eval
+
+    assert not has_python_eval(df)
