@@ -409,3 +409,263 @@ def similarity_ivf_topk(spark, sf_dir):
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
+
+
+#: Product quantization: DIM is carved into PQ_M subspaces of PQ_SUB
+#: dims; each subspace gets its own PQ_K-centroid codebook (seeded
+#: deterministic k-means, PQ_ITERS Lloyd rounds over the
+#: 1-in-PQ_TRAIN_MOD sample).  A vector is stored as PQ_M small codes
+#: — 8 bytes instead of 512 (64x) — and queries score the whole corpus
+#: with per-query lookup tables (ADC), never touching raw vectors.
+PQ_M = 16
+PQ_SUB = DIM // PQ_M
+PQ_K = 32
+PQ_ITERS = 2
+PQ_TRAIN_MOD = 5
+PQ_QUERY_MOD = 100
+
+
+def _l2sq(a: str, b: str) -> F.Column:
+    """Squared L2 distance as a FIXED index-order left fold, so Spark
+    and the oracle execute the identical IEEE op sequence (ties in
+    centroid assignment must break the same way in both engines)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+    )
+
+
+def _pq_kmeans_sql() -> str:
+    """Per-subspace Lloyd refinement, same determinism contract as
+    _kmeans_sql: seeded init (the PQ_K lowest-id training vectors'
+    sub-slices), fixed rounds, ascending-vec_id fold-order means."""
+    ctes = [
+        f"""trainsub AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+                 FROM v WHERE vec_id % {PQ_TRAIN_MOD} = 0
+                 ORDER BY vec_id LIMIT {PQ_K}),
+    cents0 AS (SELECT s.sub_id, t.cent_id, s.svec AS cemb
+               FROM sub s JOIN init_ids t USING (vec_id))"""
+    ]
+    for t in range(PQ_ITERS):
+        ctes.append(
+            f"""assign{t} AS (
+        SELECT ts.vec_id, ts.sub_id, ts.svec, c.cent_id,
+               row_number() OVER (PARTITION BY ts.vec_id, ts.sub_id
+                                  ORDER BY {_pq_duck_l2('ts.svec', 'c.cemb')} ASC,
+                                           c.cent_id) AS rn
+        FROM trainsub ts JOIN cents{t} c ON c.sub_id = ts.sub_id),
+    cents{t + 1} AS (
+        SELECT sub_id, cent_id, list_transform(sums, x -> x / n) AS cemb
+        FROM (SELECT sub_id, cent_id,
+                     list_reduce(list(svec ORDER BY vec_id),
+                                 (acc, x) -> list_transform(range(1, {PQ_SUB + 1}),
+                                                            i -> acc[i] + x[i])) AS sums,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM assign{t} WHERE rn = 1 GROUP BY sub_id, cent_id))"""
+        )
+    # Dense re-key per subspace: a centroid can lose every training
+    # point and vanish, which would shift positional ADC lookups —
+    # re-number survivors 0..K'-1 in (old cent_id) order, identically
+    # in both engines.
+    ctes.append(
+        f"""cents AS (
+        SELECT sub_id,
+               row_number() OVER (PARTITION BY sub_id ORDER BY cent_id) - 1 AS cent_id,
+               cemb
+        FROM cents{PQ_ITERS})"""
+    )
+    return ",\n    ".join(ctes)
+
+
+_PQ_ADC_SUM_DUCK = " + ".join(
+    f"dt[{m + 1}][codes[{m + 1}] + 1]" for m in range(PQ_M)
+)
+_PQ_ADC_SUM_SPARK = " + ".join(f"dt[{m}][codes[{m}]]" for m in range(PQ_M))
+
+
+@query(
+    "similarity_pq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sub AS (SELECT vec_id, s.sub_id,
+                   emb[s.sub_id*{PQ_SUB}+1 : s.sub_id*{PQ_SUB}+{PQ_SUB}] AS svec
+            FROM v, (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS sub_id) s),
+    {_pq_kmeans_sql()},
+    enc AS (
+        SELECT s.vec_id, s.sub_id, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {_pq_duck_l2('s.svec', 'c.cemb')} ASC,
+                                           c.cent_id) AS rn
+        FROM sub s JOIN cents c ON c.sub_id = s.sub_id),
+    codes AS (SELECT vec_id, list(code ORDER BY sub_id) AS codes
+              FROM enc WHERE rn = 1 GROUP BY vec_id),
+    qd AS (
+        SELECT s.vec_id AS query_id, s.sub_id, c.cent_id,
+               {_pq_duck_l2('s.svec', 'c.cemb')} AS d2
+        FROM sub s JOIN cents c ON c.sub_id = s.sub_id
+        WHERE s.vec_id % {PQ_QUERY_MOD} = 0),
+    qdt AS (SELECT query_id, list(arr ORDER BY sub_id) AS dt
+            FROM (SELECT query_id, sub_id, list(d2 ORDER BY cent_id) AS arr
+                  FROM qd GROUP BY query_id, sub_id)
+            GROUP BY query_id),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_PQ_ADC_SUM_DUCK} AS adist
+        FROM qdt q, codes c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, round(adist, 4) AS adist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist ASC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc=f"Product-quantization ANN (ADC): {PQ_M} subspaces x {PQ_K} "
+    f"codes, codebooks learned by seeded k-means ({PQ_ITERS} Lloyd "
+    f"rounds over the 1-in-{PQ_TRAIN_MOD} sample, init = the {PQ_K} "
+    "lowest-id training vectors, dense re-key of survivors). Vectors "
+    f"compress 512 B -> {PQ_M} 5-bit codes (10 B packed); each query "
+    f"scores the WHOLE corpus from a broadcast {PQ_M}x{PQ_K} lookup "
+    f"table with a fixed-order {PQ_M}-term sum "
+    "— the memory-bound ANN plan: at 100 TB the codes column is ~64x "
+    "smaller than the raw vectors and the scan never touches them. "
+    "Determinism: fixed-fold-order float ops make codebooks, codes, "
+    "and ADC scores bit-identical between Spark and the oracle.",
+)
+def similarity_pq_topk(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sub = spread(
+        v.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
+            "emb",
+        ).select(
+            "vec_id",
+            "sub_id",
+            F.expr(f"slice(emb, sub_id * {PQ_SUB} + 1, {PQ_SUB})").alias("svec"),
+        )
+    )
+    trainsub = sub.where(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    # Init = the PQ_K lowest-id training vectors.  orderBy+limit plans
+    # as TakeOrdered (per-partition top-K -> driver merge), so the
+    # bounded PQ_K-row collect replaces a global single-partition sort
+    # window — O(K) driver memory at any corpus size.
+    seed_ids = [
+        r.vec_id
+        for r in v.where(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    ]
+    init_ids = spark.createDataFrame(
+        [(int(i), c) for c, i in enumerate(seed_ids)], "vec_id long, cent_id int"
+    )
+    cents = sub.join(F.broadcast(init_ids), "vec_id").select(
+        "sub_id", "cent_id", F.col("svec").alias("cemb")
+    )
+    w_asg = W.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    for _ in range(PQ_ITERS):
+        hard = (
+            trainsub.join(F.broadcast(cents), "sub_id")
+            .withColumn("d2", _l2sq("svec", "cemb"))
+            .withColumn("rn", F.row_number().over(w_asg))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub_id", "svec", "cent_id")
+        )
+        cents = (
+            hard.groupBy("sub_id", "cent_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("vec_id", "svec"))).alias(
+                    "xs"
+                ),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+            .select(
+                "sub_id",
+                "cent_id",
+                F.transform(
+                    F.aggregate(
+                        "xs",
+                        F.array_repeat(F.lit(0.0), PQ_SUB),
+                        lambda acc, x: F.zip_with(
+                            acc, x["svec"], lambda a, b: a + b
+                        ),
+                    ),
+                    lambda s: s / F.col("n"),
+                ).alias("cemb"),
+            )
+        )
+    # Dense re-key (see oracle comment); also pins the tiny codebook
+    # so the two downstream broadcasts reuse one computation.
+    w_rekey = W.partitionBy("sub_id").orderBy("cent_id")
+    cents = (
+        cents.withColumn("cent_id", F.row_number().over(w_rekey) - 1)
+        .localCheckpoint(eager=True)
+    )
+    enc = (
+        sub.join(F.broadcast(cents), "sub_id")
+        .withColumn("d2", _l2sq("svec", "cemb"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub_id", F.col("cent_id").alias("code"))
+    )
+    codes = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub_id", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    qd = (
+        sub.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+        .join(F.broadcast(cents), "sub_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_id",
+            "cent_id",
+            _l2sq("svec", "cemb").alias("d2"),
+        )
+    )
+    qdt = (
+        qd.groupBy("query_id", "sub_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cent_id", "d2"))),
+                lambda x: x["d2"],
+            ).alias("arr")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub_id", "arr"))),
+                lambda x: x["arr"],
+            ).alias("dt")
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(qdt))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist"))
+    )

@@ -560,3 +560,16 @@ def test_chunk_windows_no_shuffle(spark):
     from durablestreams_spark.plans import has_python_eval
 
     assert not has_python_eval(df)
+
+
+def test_pq_adc_scores_against_broadcast_tables(spark):
+    """ADC scoring must be codes x broadcast(lookup tables): the
+    per-query distance tables broadcast (BroadcastNestedLoopJoin for
+    the cross join), and no Python eval anywhere — the corpus-side
+    scan carries only the compressed codes column into the scorer."""
+    df = all_queries()["similarity_pq_topk"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    from durablestreams_spark.plans import has_python_eval
+
+    assert not has_python_eval(df)
