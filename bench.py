@@ -59,6 +59,10 @@ SF1_HEAVY = [
 # (a total that changes membership reads as a cross-round regression).
 SF1_EXTRA = [
     "dedup_connected_components_star",  # iterative: rounds x (join+agg) on the 276k-edge LSH graph
+    "similarity_pq_topk",       # PQ codebook training + full-corpus ADC scan
+    "text_decontaminate",       # 5-gram benchmark-overlap screen
+    "text_unigram_logprob",     # vocab agg + broadcast rejoin scoring
+    "text_chunk_windows",       # zero-shuffle 1->N chunk expansion
 ]
 
 
