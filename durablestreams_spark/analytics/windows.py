@@ -174,3 +174,69 @@ def window_range_trailing(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.round(F.sum("value").over(w), 2).alias("trailing_24h"),
     )
+
+
+@query(
+    "timeseries_resample_ffill",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events WHERE user_id % 25 = 0
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    bounds AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, CAST(g AS DATE) AS day
+        FROM bounds,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS t(g)
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           last_value(d.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CAST(d.v IS NULL AS BOOLEAN) AS was_gap
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    doc="Time-series resampling with forward fill: per-user daily "
+    "totals are re-gridded onto a dense calendar (sequence + explode — "
+    "the 1→N expansion is row-local) and gaps carry the last observed "
+    "value forward (last(..., ignorenulls) over an ordered window). "
+    "The grid generation never shuffles; the only exchanges are the "
+    "daily pre-aggregation and the per-user window — both on user_id, "
+    "so AQE coalesces them into one partitioning at scale. Values are "
+    "rounded BEFORE the fill so copied cells hash identically.",
+)
+def timeseries_resample_ffill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+    )
