@@ -387,3 +387,41 @@ def log_seeded_tail(spark, sf_dir):
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
     )
     return hist_ids.unionByName(tail_ids)
+
+
+@query(
+    "streaming_enrich_static_join",
+    """
+    WITH profile AS (
+        SELECT user_id, count(*) AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(p.user_total) AS BIGINT) AS sum_user_totals
+    FROM events e JOIN profile p USING (user_id)
+    GROUP BY e.event_type
+    """,
+    doc="LIVE stream-static enrichment: the events stream broadcast-"
+    "joins a STATIC user-profile dimension (itself a batch aggregate "
+    "of the same table) inside each micro-batch — the standard "
+    "enrichment topology where the dim re-resolves per batch with no "
+    "stream-side state at all; only the final per-type rollup keeps "
+    "state. Drained complete-mode sink must equal the oracle's batch "
+    "self-join aggregate.",
+)
+def streaming_enrich_static_join(spark, sf_dir):
+    from ..analytics.core import table
+
+    profile = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    enriched = _events_stream(spark, sf_dir).join(
+        F.broadcast(profile), "user_id"
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_total").alias("sum_user_totals"),
+    )
+    return _drain(agg, "complete").select("event_type", "n", "sum_user_totals")
