@@ -96,3 +96,28 @@ def test_zorder_prunes_on_both_dimensions(layouts):
     z_user = _fraction_pruned(zed, "user_id", u_a, u_b)
     assert z_user >= lin_user + 0.25, (lin_user, z_user)
     assert z_user >= 0.25, z_user
+
+
+def test_zvalue_morton_properties(spark):
+    """The interleave expression must be a true Morton code: bijective
+    on the bucket grid and monotone in each coordinate when the other
+    is fixed (that is what makes min/max ranges tight per dimension)."""
+    from durablestreams_spark.operators.layout import z_value_expr
+
+    df = (
+        spark.range(64)
+        .selectExpr("CAST(id % 8 AS LONG) AS a", "CAST(id DIV 8 AS LONG) AS b")
+        .selectExpr("a", "b", z_value_expr(["a", "b"], 2) + " AS z")
+    )
+    rows = df.collect()
+    zmap = {(r.a, r.b): r.z for r in rows}
+    assert len(set(zmap.values())) == 64  # bijective on the grid
+    for b in range(8):
+        col = [zmap[(a, b)] for a in range(8)]
+        assert col == sorted(col)  # monotone in a for fixed b
+    for a in range(8):
+        row = [zmap[(a, b)] for b in range(8)]
+        assert row == sorted(row)  # monotone in b for fixed a
+    # spot-check the bit layout (col j's bit i at position i*ncols+j):
+    # a=0b11 -> positions 0,2; b=0b10 -> position 3 => 0b1101
+    assert zmap[(3, 2)] == 0b1101
