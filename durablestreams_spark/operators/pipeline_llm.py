@@ -318,3 +318,49 @@ def text_chunk_windows(spark, sf_dir):
         F.expr("w[s]").alias("first_tok"),
         F.expr("w[s + least(50, size(w) - s) - 1]").alias("last_tok"),
     )
+
+
+@query(
+    "sample_weighted_topk",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((1.0 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || ':wsample'), 1, 8) AS BIGINT))
+                   / 4294967298.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k, 6) AS sort_key
+    FROM keyed ORDER BY k ASC, doc_id LIMIT 200
+    """,
+    doc="Deterministic weighted sample (Efraimidis-Spirakis A-ES): "
+    "each doc draws u from an md5-derived uniform and keeps key "
+    "-ln(u)/weight; the global top-200 by key is a weighted sample "
+    "without replacement, here weighted by n_chars (the quality-"
+    "weighted mixing primitive of training-data pipelines). The key "
+    "is a row-local projection and the top-k is TakeOrdered — "
+    "per-partition heaps then a driver merge, NO global sort shuffle; "
+    "rerunning, repartitioning, or switching engines reproduces the "
+    "identical sample (u is hash-derived, never rand()).",
+)
+def sample_weighted_topk(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        1.0
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+    ) / 4294967298.0
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").asc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("sort_key"))
+    )

@@ -573,3 +573,10 @@ def test_pq_adc_scores_against_broadcast_tables(spark):
     from durablestreams_spark.plans import has_python_eval
 
     assert not has_python_eval(df)
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort."""
+    df = all_queries()["sample_weighted_topk"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
