@@ -240,3 +240,124 @@ def timeseries_resample_ffill(spark, sf_dir):
             F.col("v").isNull().alias("was_gap"),
         )
     )
+
+
+@query(
+    "scd2_user_value_intervals",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                            event_id),
+                             '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 25 = 0
+    """,
+    doc="SCD2 derivation: each per-user update becomes a validity "
+    "interval [its event time, the next update's time), the newest "
+    "row staying open — the changelog→temporal-table transform that "
+    "turns an append-only log into point-in-time queryable history. "
+    "One lead() window per user partition; at scale this is a single "
+    "hash exchange on user_id and the intervals never leave the "
+    "partition.",
+)
+def scd2_user_value_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 25 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt), F.lit("current")
+        ).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "funnel_click_cart_purchase",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS types
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               list_position(types, 'click') AS p_click,
+               list_position(types[list_position(types, 'click') + 1 :],
+                             'cart') AS p_cart_rel
+        FROM seq WHERE list_position(types, 'click') > 0
+    ),
+    funnel AS (
+        SELECT f.user_id, f.p_click,
+               f.p_click + f.p_cart_rel AS p_cart,
+               CASE WHEN f.p_cart_rel > 0 AND
+                    list_position(s.types[f.p_click + f.p_cart_rel + 1 :],
+                                  'purchase') > 0
+                    THEN 1 ELSE 0 END AS converted
+        FROM flags f JOIN seq s USING (user_id)
+        WHERE f.p_cart_rel > 0
+    )
+    SELECT count(*) AS n_reached_cart,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 4) AS conversion_rate
+    FROM funnel
+    """,
+    doc="Ordered funnel (click → cart → purchase): per-user event-type "
+    "sequences are assembled once (collect_list over a user-partition "
+    "sort — ONE exchange) and the strictly-ordered subsequence match "
+    "is pure array arithmetic (array_position over suffix slices), so "
+    "the funnel scan never self-joins the events table — the naive "
+    "3-way self-join is quadratic per heavy user at 100 TB.",
+)
+def funnel_click_cart_purchase(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.repartition("user_id")
+        .select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("e")), lambda x: x["event_type"]
+            ).alias("types")
+        )
+    )
+    p_click = F.array_position("types", "click")
+    with_click = seq.where(p_click > 0).select(
+        "user_id",
+        "types",
+        p_click.alias("p_click"),
+        F.array_position(
+            F.expr("slice(types, cast(array_position(types, 'click') + 1 AS int), "
+                   "size(types))"),
+            "cart",
+        ).alias("p_cart_rel"),
+    )
+    funnel = with_click.where(F.col("p_cart_rel") > 0).select(
+        "user_id",
+        (
+            F.array_position(
+                F.expr(
+                    "slice(types, cast(p_click + p_cart_rel + 1 AS int), size(types))"
+                ),
+                "purchase",
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("converted"),
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_reached_cart"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias(
+            "conversion_rate"
+        ),
+    )
