@@ -710,3 +710,48 @@ def dedup_embedding_cosine(spark, sf_dir):
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
     )
+
+
+@query(
+    "dedup_levenshtein_verify",
+    f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(substr(da.text, 1, 120), substr(db.text, 1, 120))
+               AS edit_dist,
+           CAST(levenshtein(substr(da.text, 1, 120), substr(db.text, 1, 120))
+                <= 12 AS BOOLEAN) AS is_dup
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+    doc="Edit-distance verification of the LSH candidate pairs: "
+    "levenshtein over a 120-char prefix (the O(len^2) DP cost is "
+    "capped per pair — full-document edit distance on arbitrary pairs "
+    "is the classic fuzzy-join blowup), flagged at distance <= 12. "
+    "Like the Jaccard verify, the expensive exact measure runs ONLY "
+    "on LSH candidates, never all pairs; prefixes join by doc_id so "
+    "document bodies shuffle once each.",
+)
+def dedup_levenshtein_verify(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("prefix")
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            (dist <= 12).alias("is_dup"),
+        )
+    )
