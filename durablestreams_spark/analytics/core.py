@@ -179,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import advanced, relational, tpch_extra, windows  # noqa: F401
     from ..operators import (  # noqa: F401
         dedup,
+        graph,
         layout,
         logops,
         multimodal,
