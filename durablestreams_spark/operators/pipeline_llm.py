@@ -364,3 +364,82 @@ def sample_weighted_topk(spark, sf_dir):
         .limit(200)
         .select("doc_id", "n_chars", F.round("k", 6).alias("sort_key"))
     )
+
+
+#: Concat-and-chunk packing: tokens per packed training sequence and
+#: the shard fan-out the packing is local to.  Packing is inherently
+#: order-dependent, so it runs WITHIN a deterministic shard (docs in
+#: doc_id order) — the same contract real pipelines use so that any
+#: shard can be packed independently on any executor.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_in
+    FROM c
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+    doc=f"Training-sequence packing (concat-and-chunk, the GPT-style "
+    f"pack): docs concatenate in doc_id order within {PACK_SHARDS} "
+    f"hash shards and split every {PACK_SEQ_LEN} tokens; each doc is "
+    "assigned the sequence its first token lands in. One shuffle "
+    "(hash by shard) + one window cumsum per shard + an all-integer "
+    "aggregate — per-shard packing is embarrassingly parallel, which "
+    "is exactly why real pipelines shard first: a 100 TB corpus "
+    "packs as thousands of independent shard-local sorts instead of "
+    "one global order. All-bigint output, so the oracle comparison "
+    "is exact (no float rounding anywhere).",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.expr(f"CAST((cum - n_tok) DIV {PACK_SEQ_LEN} AS BIGINT)").alias(
+                "seq_id"
+            ),
+            "doc_id",
+            "n_tok",
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sum("n_tok").cast("long").alias("n_tokens_in"),
+        )
+        .orderBy("shard", "seq_id")
+    )

@@ -433,3 +433,51 @@ def text_repetition(spark, sf_dir):
         .otherwise("ok")
         .alias("rep_bucket"),
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                                     i -> substr(tok, CAST(i AS INTEGER), 2)))
+               AS pair
+        FROM toks
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+    doc="BPE merge-pair induction, step one: corpus-wide adjacent "
+    "symbol-pair frequencies at character granularity within "
+    "whitespace tokens — the counting pass a BPE tokenizer trainer "
+    "runs each merge round (the argmax pair becomes the next merge). "
+    "Pairs explode straight from a sequence/substr array expression "
+    "into a partial-aggregated count (map-side combine: pair "
+    "cardinality is tiny vs corpus size), then a TakeOrdered top-50 — "
+    "no Python anywhere, so a 100 TB scan is I/O-bound and the "
+    "shuffle carries only (pair, partial-count) rows.",
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
