@@ -361,3 +361,50 @@ def funnel_click_cart_purchase(spark, sf_dir):
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "window_ntile_customer_deciles",
+    """
+    WITH d AS (
+        SELECT c_custkey, c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="ntile decile banding over a global order (account balance, "
+    "tie-broken by key for a total order) — the equi-height bucketing "
+    "behind quota tiers and quantile reports. A global ntile is an "
+    "inherent single-partition sort, fine for dimension-sized tables "
+    "like customer; for a 100 TB fact table the scale path is "
+    "approx_percentile boundaries + a range join (see "
+    "sketch_percentiles_value), which this query's exact output "
+    "validates at test scale.",
+)
+def window_ntile_customer_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10)
+        .over(W.orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+        .alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("decile")
+    )

@@ -425,3 +425,126 @@ def streaming_enrich_static_join(spark, sf_dir):
         F.sum("user_total").alias("sum_user_totals"),
     )
     return _drain(agg, "complete").select("event_type", "n", "sum_user_totals")
+
+
+def _events_with_sentinel_dir(spark, sf_dir: str) -> str:
+    """A /tmp copy of events.parquet plus a strictly-newer sentinel
+    file (one far-future purchase + click for a non-existent user),
+    marker-cached per fixture.  Outer stream-stream joins only emit
+    their null-padded rows once the watermark passes a row's join
+    window; at end-of-input the watermark stalls at max(ts) - delay and
+    every unmatched row in that final lag would be withheld forever.
+    Replaying the sentinel as a SECOND file (maxFilesPerTrigger=1 ⇒ its
+    own micro-batch) pushes the final watermark past all real data so
+    the drain flushes the complete outer result — the same trick a
+    production backfill uses to close its last window."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(
+        "/tmp/durablestreams_ssjoin_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    if marker_current(marker, sf_dir):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, os.path.join(root, "00_events.parquet"))
+    t = pq.read_table(src)
+    ts_field = t.schema.field("ts")
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    if pa.types.is_integer(ts_field.type):
+        day = 86_400_000_000_000 if max_ts > 10**17 else 86_400_000_000
+        far = [max_ts + 30 * day, max_ts + 31 * day]
+    else:
+        import datetime
+
+        far = [
+            max_ts + datetime.timedelta(days=30),
+            max_ts + datetime.timedelta(days=31),
+        ]
+    # click AFTER purchase ⇒ the pair can't match itself; user -1 is
+    # filtered from the graded output.
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array(far, ts_field.type),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "click"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        },
+        schema=t.schema,
+    )
+    pq.write_table(sentinel, os.path.join(root, "01_sentinel.parquet"))
+    # FileStreamSource orders by modification time: events strictly
+    # first, sentinel strictly last.
+    now = os.stat(os.path.join(root, "01_sentinel.parquet")).st_mtime
+    os.utime(os.path.join(root, "00_events.parquet"), (now - 10, now - 10))
+    write_marker(marker, sf_dir)
+    return root
+
+
+@query(
+    "streaming_interval_join_left_outer",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    doc="LIVE stream-stream LEFT OUTER interval join: purchases with "
+    "no same-user click in the prior 30 min must ALSO emit, null-"
+    "padded — the attribution query's 'unattributed conversions' "
+    "half. Outer emission is watermark-gated state eviction, so the "
+    "drain appends a far-future sentinel file as its own micro-batch "
+    "(maxFilesPerTrigger=1) to push the final watermark past all real "
+    "rows; without it every purchase in the last watermark+lag of "
+    "event time is withheld at end-of-input and the result is "
+    "silently partial. Oracle: the batch LEFT JOIN.",
+)
+def streaming_interval_join_left_outer(spark, sf_dir):
+    from ..analytics.core import ts_unit_info
+    from ..streaming.joins import interval_join
+
+    unit, physical = ts_unit_info(f"{sf_dir}/events.parquet")
+    int64_physical = physical == "int64" or unit == "ns"
+    ts_decl = "long" if int64_physical else "timestamp"
+    root = _events_with_sentinel_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(
+            f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    if int64_physical:
+        conv = "ts div 1000" if unit == "ns" else "ts"
+        raw = raw.withColumn("ts", F.expr(f"timestamp_micros({conv})"))
+    purchases = raw.where(F.col("event_type") == "purchase")
+    clicks = raw.where(F.col("event_type") == "click")
+    joined = interval_join(
+        purchases, clicks, on="user_id", max_lag="30 minutes", how="left_outer"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.round(
+            F.unix_micros(F.col("l.ts")) / 1e6
+            - F.unix_micros(F.col("r.ts")) / 1e6,
+            3,
+        ).alias("gap_sec"),
+    )
+    out = _drain(joined, "append")
+    return out.where(F.col("user_id") >= 0).select(
+        "purchase_id", "click_id", "gap_sec"
+    )
