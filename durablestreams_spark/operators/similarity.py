@@ -324,6 +324,40 @@ def _kmeans_sql() -> str:
     "shuffles on cent_id, cells being the unit of parallelism.",
 )
 def similarity_ivf_topk(spark, sf_dir):
+    ranked = _ivf_ranked(spark, sf_dir)
+    cells = ranked.where(F.col("cr") == 1).select(
+        "vec_id", "emb", "norm", "cent_id"
+    )
+    # Multi-probe: a query searches its IVF_NPROBE nearest cells.
+    q = ranked.where(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % 100 == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("cent_id").alias("qcell"),
+    )
+    scored = (
+        cells.join(q, (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
+    )
+
+
+def _ivf_ranked(spark, sf_dir):
+    """Corpus vectors with their IVF_NPROBE nearest learned centroids:
+    (vec_id, label, emb, norm, cent_id, cr) where cr ranks centroids by
+    cosine — cr=1 is the vector's cell, cr<=NPROBE the probe set.
+    Shared by the cosine-IVF and the IVFPQ searchers."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -378,36 +412,10 @@ def similarity_ivf_topk(spark, sf_dir):
     cn = cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb")))
     sim_to_cent = _dot("emb", "cemb") / (F.col("norm") * F.col("cnorm"))
     wc = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
-    ranked = (
+    return (
         v.crossJoin(F.broadcast(cn))
         .withColumn("csim", sim_to_cent)
         .withColumn("cr", F.row_number().over(wc))
-    )
-    cells = ranked.where(F.col("cr") == 1).select(
-        "vec_id", "emb", "norm", "cent_id"
-    )
-    # Multi-probe: a query searches its IVF_NPROBE nearest cells.
-    q = ranked.where(
-        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % 100 == 0)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("norm").alias("qnorm"),
-        F.col("cent_id").alias("qcell"),
-    )
-    scored = (
-        cells.join(q, (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
-        )
-    )
-    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
 
 
@@ -443,45 +451,48 @@ def _pq_duck_l2(a: str, b: str) -> str:
     )
 
 
-def _pq_kmeans_sql() -> str:
+def _pq_kmeans_sql(p: str = "") -> str:
     """Per-subspace Lloyd refinement, same determinism contract as
     _kmeans_sql: seeded init (the PQ_K lowest-id training vectors'
-    sub-slices), fixed rounds, ascending-vec_id fold-order means."""
+    sub-slices), fixed rounds, ascending-vec_id fold-order means.
+    ``p`` prefixes every CTE name so this chain can be composed with
+    the IVF chain (whose ``cents{{t}}``/``assign{{t}}`` names would
+    otherwise collide) in one oracle."""
     ctes = [
-        f"""trainsub AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0),
-    init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        f"""{p}trainsub AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    {p}init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
                  FROM v WHERE vec_id % {PQ_TRAIN_MOD} = 0
                  ORDER BY vec_id LIMIT {PQ_K}),
-    cents0 AS (SELECT s.sub_id, t.cent_id, s.svec AS cemb
-               FROM sub s JOIN init_ids t USING (vec_id))"""
+    {p}cents0 AS (SELECT s.sub_id, t.cent_id, s.svec AS cemb
+               FROM sub s JOIN {p}init_ids t USING (vec_id))"""
     ]
     for t in range(PQ_ITERS):
         ctes.append(
-            f"""assign{t} AS (
+            f"""{p}assign{t} AS (
         SELECT ts.vec_id, ts.sub_id, ts.svec, c.cent_id,
                row_number() OVER (PARTITION BY ts.vec_id, ts.sub_id
                                   ORDER BY {_pq_duck_l2('ts.svec', 'c.cemb')} ASC,
                                            c.cent_id) AS rn
-        FROM trainsub ts JOIN cents{t} c ON c.sub_id = ts.sub_id),
-    cents{t + 1} AS (
+        FROM {p}trainsub ts JOIN {p}cents{t} c ON c.sub_id = ts.sub_id),
+    {p}cents{t + 1} AS (
         SELECT sub_id, cent_id, list_transform(sums, x -> x / n) AS cemb
         FROM (SELECT sub_id, cent_id,
                      list_reduce(list(svec ORDER BY vec_id),
                                  (acc, x) -> list_transform(range(1, {PQ_SUB + 1}),
                                                             i -> acc[i] + x[i])) AS sums,
                      CAST(count(*) AS DOUBLE) AS n
-              FROM assign{t} WHERE rn = 1 GROUP BY sub_id, cent_id))"""
+              FROM {p}assign{t} WHERE rn = 1 GROUP BY sub_id, cent_id))"""
         )
     # Dense re-key per subspace: a centroid can lose every training
     # point and vanish, which would shift positional ADC lookups —
     # re-number survivors 0..K'-1 in (old cent_id) order, identically
     # in both engines.
     ctes.append(
-        f"""cents AS (
+        f"""{p}cents AS (
         SELECT sub_id,
                row_number() OVER (PARTITION BY sub_id ORDER BY cent_id) - 1 AS cent_id,
                cemb
-        FROM cents{PQ_ITERS})"""
+        FROM {p}cents{PQ_ITERS})"""
     )
     return ",\n    ".join(ctes)
 
@@ -541,6 +552,29 @@ _PQ_ADC_SUM_SPARK = " + ".join(f"dt[{m}][codes[{m}]]" for m in range(PQ_M))
     "and ADC scores bit-identical between Spark and the oracle.",
 )
 def similarity_pq_topk(spark, sf_dir):
+    codes, qdt = _pq_artifacts(spark, sf_dir)
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(qdt))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist"))
+    )
+
+
+def _pq_artifacts(spark, sf_dir):
+    """(codes, qdt): per-vector PQ code arrays and per-query ADC
+    distance lookup tables, from deterministically-learned per-subspace
+    codebooks.  Shared by the whole-corpus PQ searcher and the IVFPQ
+    composite."""
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -654,18 +688,103 @@ def similarity_pq_topk(spark, sf_dir):
             ).alias("dt")
         )
     )
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        codes.crossJoin(F.broadcast(qdt))
-        .where(F.col("vec_id") != F.col("query_id"))
+    return codes, qdt
+
+
+_IVFPQ_SQL = f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    {_kmeans_sql()},
+    assigned AS (
+        SELECT vec_id, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cents{IVF_KMEANS_ITERS}
+    ),
+    cells AS (SELECT vec_id, cent_id FROM assigned WHERE cr = 1),
+    q AS (SELECT vec_id AS query_id, cent_id AS qcell
+          FROM assigned WHERE cr <= {IVF_NPROBE} AND vec_id % 100 = 0),
+    sub AS (SELECT vec_id, s.sub_id,
+                   emb[s.sub_id*{PQ_SUB}+1 : s.sub_id*{PQ_SUB}+{PQ_SUB}] AS svec
+            FROM v, (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS sub_id) s),
+    {_pq_kmeans_sql("pq_")},
+    enc AS (
+        SELECT s.vec_id, s.sub_id, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {_pq_duck_l2('s.svec', 'c.cemb')} ASC,
+                                           c.cent_id) AS rn
+        FROM sub s JOIN pq_cents c ON c.sub_id = s.sub_id),
+    codes AS (SELECT vec_id, list(code ORDER BY sub_id) AS codes
+              FROM enc WHERE rn = 1 GROUP BY vec_id),
+    qd AS (
+        SELECT s.vec_id AS query_id, s.sub_id, c.cent_id,
+               {_pq_duck_l2('s.svec', 'c.cemb')} AS d2
+        FROM sub s JOIN pq_cents c ON c.sub_id = s.sub_id
+        WHERE s.vec_id % {PQ_QUERY_MOD} = 0),
+    qdt AS (SELECT query_id, list(arr ORDER BY sub_id) AS dt
+            FROM (SELECT query_id, sub_id, list(d2 ORDER BY cent_id) AS arr
+                  FROM qd GROUP BY query_id, sub_id)
+            GROUP BY query_id),
+    scored AS (
+        SELECT q.query_id, ce.vec_id AS neighbor_id,
+               {_PQ_ADC_SUM_DUCK} AS adist
+        FROM q
+        JOIN cells ce ON ce.cent_id = q.qcell AND ce.vec_id <> q.query_id
+        JOIN codes c ON c.vec_id = ce.vec_id
+        JOIN qdt t ON t.query_id = q.query_id)
+    SELECT query_id, neighbor_id, rank, round(adist, 4) AS adist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist ASC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "similarity_ivfpq_topk",
+    _IVFPQ_SQL,
+    doc=f"IVFPQ composite ANN (the FAISS IVFPQ layout, non-residual "
+    "variant): the learned IVF coarse quantizer restricts each query "
+    f"to its {IVF_NPROBE} probed cells, and candidates inside them are "
+    f"scored from {PQ_M}x{PQ_K} PQ codebooks via a broadcast ADC "
+    "lookup table — so the search never touches raw vectors AND never "
+    "scans the whole corpus: per-query work is O(nprobe x cell x "
+    f"{PQ_M}-term sums) on ~10 B codes. This is the plan that holds "
+    "at 100 TB, where brute force fails on compute and whole-corpus "
+    "PQ fails on scan volume. Both quantizers reuse the deterministic "
+    "seeded k-means of their standalone queries (prefixed CTE chains "
+    "in the oracle), so every stage stays bit-identical between "
+    "engines.",
+)
+def similarity_ivfpq_topk(spark, sf_dir):
+    ranked = _ivf_ranked(spark, sf_dir)
+    cells = ranked.where(F.col("cr") == 1).select("vec_id", "cent_id")
+    q = ranked.where(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % PQ_QUERY_MOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"))
+    codes, qdt = _pq_artifacts(spark, sf_dir)
+    cand = cells.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qdt), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
         )
-        .withColumn("rank", F.row_number().over(w_rank))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist"))
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist")
+        )
     )
