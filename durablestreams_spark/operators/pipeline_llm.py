@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..analytics.core import query, table
+from ..analytics.core import query, spread, table
 from .dedup import dedup_simhash
 
 # Every doc whose id falls in this residue class plays the role of the
@@ -442,4 +442,123 @@ def pipeline_pack_sequences(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("n_tokens_in"),
         )
         .orderBy("shard", "seq_id")
+    )
+
+
+#: Source-balancing cap: at most this many docs survive per source.
+QUOTA_PER_SOURCE = 120
+#: Top-V corpus vocabulary for the OOV-coverage scorer.
+VOCAB_SIZE = 500
+
+
+@query(
+    "sample_source_quota",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':quota'), 1, 8),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_kept_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_kept_doc
+    FROM ranked
+    WHERE rk <= {QUOTA_PER_SOURCE}
+    GROUP BY source ORDER BY source
+    """,
+    doc=f"Source-balancing quota: keep at most {QUOTA_PER_SOURCE} docs "
+    "per source, chosen by md5-hash order (a reproducible uniform "
+    "draw, not rand() — survives re-runs and repartitioning; same "
+    "policy as split_train_valid_test). This is the domain-mixing cap "
+    "every corpus recipe applies so one crawl can't dominate "
+    "training. One shuffle on source + a per-source top-K window; at "
+    "100 TB skewed sources are exactly why the cap exists, and the "
+    "rank window only materializes K survivors per group.",
+)
+def sample_source_quota(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota"))), 1, 8
+    )
+    w = W.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= QUOTA_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_kept_doc"),
+            F.max("doc_id").cast("long").alias("max_kept_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_vocab_oov",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok LIMIT {VOCAB_SIZE})
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+            WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_tok AS BIGINT) AS n_tok,
+           CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+           round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tok, 4) AS oov_ratio
+    FROM tot t LEFT JOIN oov o ON o.doc_id = t.doc_id
+    """,
+    doc=f"Vocabulary coverage: induce the top-{VOCAB_SIZE} corpus "
+    "vocabulary (frequency order, token tie-break), then score every "
+    "document's out-of-vocabulary token ratio against it — the "
+    "tokenizer-fit / domain-shift signal checked before committing a "
+    "vocab. Two passes over one tokenization: a map-side-combined "
+    "count + TakeOrdered for the vocab (tiny), then a broadcast "
+    "LEFT ANTI join for the OOV counts — the corpus-side scan never "
+    "shuffles by token, only by doc_id for the final per-doc "
+    "aggregate.",
+)
+def text_vocab_oov(spark, sf_dir):
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok")
+    )
+    tot = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return tot.join(oov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tok"), 4
+        ).alias("oov_ratio"),
     )
