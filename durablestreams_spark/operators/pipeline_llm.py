@@ -546,19 +546,21 @@ def text_vocab_oov(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "tok")
         .limit(VOCAB_SIZE)
-        .select("tok")
+        .select("tok", F.lit(1).alias("iv"))
     )
-    tot = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    oov = (
-        toks.join(F.broadcast(vocab), "tok", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_oov"))
-    )
-    return tot.join(oov, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+    # Scoring is ONE corpus pass: mark membership via broadcast left
+    # join, then count total + OOV in a single conditional aggregate
+    # (separate tot/oov branches would re-scan and re-shuffle the
+    # tokenization twice more).
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
         F.round(
-            F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tok"), 4
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
         ).alias("oov_ratio"),
     )

@@ -580,3 +580,75 @@ def test_weighted_sample_is_take_ordered(spark):
     (per-partition heaps + driver merge), never a global sort."""
     df = all_queries()["sample_weighted_topk"].fn(spark, SF_DIR)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_pagerank_lineage_truncated(spark):
+    """Iterative PageRank must NOT replay rounds 1..N-1 in the final
+    plan: after per-round localCheckpoint the graded result is a
+    TakeOrdered over the checkpointed table — zero joins, zero
+    aggregates, zero shuffles left in the plan."""
+    df = all_queries()["graph_pagerank_dup_centrality"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_shard_local(spark):
+    """Concat-and-chunk packing: one hash shuffle by shard for the
+    window cumsum, one for the (shard, seq_id) aggregate — no join,
+    no global sort, no Python."""
+    df = all_queries()["pipeline_pack_sequences"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 3, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert not has_python_eval(df)
+
+
+def test_bpe_pair_counts_partial_agg_topk(spark):
+    """BPE pair counting must partial-aggregate map-side (the shuffle
+    carries (pair, count) partials, not exploded pairs) and take the
+    top-50 as TakeOrdered, not a global sort."""
+    df = all_queries()["text_bpe_pair_counts"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert not has_python_eval(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial_count before the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_vocab_oov_single_scoring_pass(spark):
+    """OOV scoring joins the corpus tokenization against the broadcast
+    vocab ONCE (left join + conditional agg). Separate total/OOV
+    branches would re-scan the corpus: the plan must contain only
+    broadcast joins and at most 4 exchanges (spread + vocab agg +
+    scoring agg, plus the vocab branch's spread)."""
+    df = all_queries()["text_vocab_oov"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_source_quota_windowed_topk(spark):
+    """Per-source quota = one shuffle on source + rank window; no join
+    and no Python in the plan."""
+    df = all_queries()["sample_source_quota"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert not has_python_eval(df)
+
+
+def test_ivfpq_no_cartesian_no_corpus_broadcast(spark):
+    """IVFPQ: candidate restriction joins must hash-join on the cell
+    key with only the tiny query/probe/codebook sides broadcast; a
+    CartesianProduct anywhere means the composite degenerated into
+    all-pairs."""
+    df = all_queries()["similarity_ivfpq_topk"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
