@@ -158,3 +158,100 @@ def layout_zorder_scan(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.min("event_id").alias("min_event"),
     )
+
+
+#: Bucket count for the co-located join demo.  At 100 TB this is the
+#: knob that trades file count against per-bucket size; both sides
+#: must agree on it for the exchange-free join.
+N_BUCKETS = 8
+
+
+def _ddl_schema(df) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem written ONCE per fixture as bucketed parquet
+    (bucketBy + sortBy on the join key, marker-cached under /tmp), then
+    registered in the CURRENT session's catalog as external bucketed
+    tables via DDL.  The files carry Spark's bucket-id naming, and the
+    ``CLUSTERED BY`` DDL is what lets a fresh session trust the layout
+    — bucketing metadata lives in the catalog, not the files."""
+    import os
+    import shutil
+
+    from ..analytics.core import table
+    from .cache_marker import marker_current, write_marker
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join(
+        "/tmp/durablestreams_bucketed_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    specs = {
+        "orders": ("o_orderkey", os.path.join(root, "orders_b")),
+        "lineitem": ("l_orderkey", os.path.join(root, "lineitem_b")),
+    }
+    names = {}
+    if not marker_current(marker, sf_dir, name="orders"):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        for src, (key, path) in specs.items():
+            tmp = f"ds_build_{src}_{sf_tag}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            (
+                table(spark, sf_dir, src)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tmp)
+            )
+            # external table: DROP removes only the catalog entry, the
+            # bucket-id-named files stay for other sessions.
+            spark.sql(f"DROP TABLE {tmp}")
+        write_marker(marker, sf_dir, name="orders")
+    for src, (key, path) in specs.items():
+        name = f"ds_bucketed_{src}_{sf_tag}"
+        schema = _ddl_schema(table(spark, sf_dir, src))
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({schema}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        names[src] = name
+    return names["orders"], names["lineitem"]
+
+
+@query(
+    "layout_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=f"Co-located join over bucketed tables: orders and lineitem "
+    f"are pre-bucketed INTO {N_BUCKETS} BUCKETS on the join key "
+    "(bucketBy + sortBy, built once and registered via CLUSTERED BY "
+    "DDL), so the fact-fact join runs with NO exchange on either side "
+    "— the layout-level answer to the biggest shuffle in any TPC-H-"
+    "shaped workload, and the pattern that keeps a 100 TB fact-fact "
+    "join off the network entirely (plan-audited in "
+    "tests/test_plan_audit.py: zero exchanges under the join vs two "
+    "for the plain-parquet plan). Correctness: must equal the same "
+    "join over the raw tables.",
+)
+def layout_bucketed_join(spark, sf_dir):
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        FROM {ot} JOIN {lt} ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )

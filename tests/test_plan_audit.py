@@ -652,3 +652,30 @@ def test_ivfpq_no_cartesian_no_corpus_broadcast(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert has_broadcast_join(df)
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """The bucketed orders x lineitem join must read both sides'
+    bucket layout from the catalog and sort-merge-join with ZERO
+    exchanges under the join — the full query's only shuffles are the
+    aggregate and the final order (2), where the identical plain-
+    parquet join needs join-side exchanges on top (3+ without its
+    orderBy)."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["layout_bucketed_join"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert shuffle_count(df) == 2, plan
+        o = table(spark, SF_DIR, "orders")
+        li = table(spark, SF_DIR, "lineitem")
+        plain = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert shuffle_count(plain) >= 3
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
