@@ -911,3 +911,76 @@ def canary_event_time_span(spark, sf_dir):
         .unionByName(span("orders", "o_orderdate"))
         .orderBy("tbl")
     )
+
+
+@query(
+    "merge_upsert_user_profiles",
+    """
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+               FROM events),
+    base AS (
+        SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv
+        FROM events, b WHERE epoch_us(ts) <= (b.lo + b.hi) // 2
+        GROUP BY user_id
+    ),
+    delta AS (
+        SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv
+        FROM events, b WHERE epoch_us(ts) > (b.lo + b.hi) // 2
+        GROUP BY user_id
+    )
+    SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+           CAST(coalesce(base.n, 0) + coalesce(delta.n, 0) AS BIGINT)
+               AS n_events,
+           round(coalesce(base.sv, 0) + coalesce(delta.sv, 0), 4)
+               AS sum_value,
+           CASE WHEN base.user_id IS NULL THEN 'inserted'
+                WHEN delta.user_id IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_status
+    FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+    """,
+    doc="MERGE/upsert semantics (the Delta/Iceberg MERGE INTO pattern, "
+    "expressed relationally): a profile table built from the first "
+    "half of event time is merged with a changelog aggregated from "
+    "the second half — WHEN MATCHED update (sum the aggregates), WHEN "
+    "NOT MATCHED insert, target-only rows pass through unchanged, "
+    "each row labeled with its merge action. Both sides partial-"
+    "aggregate on user_id before ONE co-partitioned full-outer join "
+    "(the aggs and the join share hash partitioning, so the merge "
+    "costs a single shuffle family at any scale). The epoch midpoint "
+    "split is integer math, identical in both engines.",
+)
+def merge_upsert_user_profiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "value"
+    )
+    b = ev.agg(F.min("tsu").alias("lo"), F.max("tsu").alias("hi")).collect()[0]
+    mid = (b.lo + b.hi) // 2
+    base = (
+        ev.where(F.col("tsu") <= mid)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")
+        )
+    )
+    delta = (
+        ev.where(F.col("tsu") > mid)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")
+        )
+    )
+    bb = base.alias("b")
+    dd = delta.alias("d")
+    return bb.join(dd, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce("b.user_id", "d.user_id").alias("user_id"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce("b.sv", F.lit(0.0)) + F.coalesce("d.sv", F.lit(0.0)), 4
+        ).alias("sum_value"),
+        F.when(F.col("b.user_id").isNull(), "inserted")
+        .when(F.col("d.user_id").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_status"),
+    )
