@@ -919,16 +919,22 @@ def canary_event_time_span(spark, sf_dir):
     WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
                FROM events),
     base AS (
-        SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv
-        FROM events, b WHERE epoch_us(ts) <= (b.lo + b.hi) // 2
-        GROUP BY user_id
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS sv
+        FROM events, b
+        WHERE epoch_us(ts) <= b.lo + ((b.hi - b.lo) * 90) // 100
+          AND substr(md5(CAST(user_id AS VARCHAR) || ':' || event_type),
+                     1, 1) < 'd'
+        GROUP BY user_id, event_type
     ),
     delta AS (
-        SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv
-        FROM events, b WHERE epoch_us(ts) > (b.lo + b.hi) // 2
-        GROUP BY user_id
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS sv
+        FROM events, b WHERE epoch_us(ts) > b.lo + ((b.hi - b.lo) * 90) // 100
+        GROUP BY user_id, event_type
     )
     SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+           coalesce(base.event_type, delta.event_type) AS event_type,
            CAST(coalesce(base.n, 0) + coalesce(delta.n, 0) AS BIGINT)
                AS n_events,
            round(coalesce(base.sv, 0) + coalesce(delta.sv, 0), 4)
@@ -936,43 +942,67 @@ def canary_event_time_span(spark, sf_dir):
            CASE WHEN base.user_id IS NULL THEN 'inserted'
                 WHEN delta.user_id IS NULL THEN 'unchanged'
                 ELSE 'updated' END AS merge_status
-    FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+    FROM base FULL OUTER JOIN delta
+      ON base.user_id = delta.user_id AND base.event_type = delta.event_type
     """,
     doc="MERGE/upsert semantics (the Delta/Iceberg MERGE INTO pattern, "
-    "expressed relationally): a profile table built from the first "
-    "half of event time is merged with a changelog aggregated from "
-    "the second half — WHEN MATCHED update (sum the aggregates), WHEN "
-    "NOT MATCHED insert, target-only rows pass through unchanged, "
-    "each row labeled with its merge action. Both sides partial-"
-    "aggregate on user_id before ONE co-partitioned full-outer join "
-    "(the aggs and the join share hash partitioning, so the merge "
-    "costs a single shuffle family at any scale). The epoch midpoint "
-    "split is integer math, identical in both engines.",
+    "expressed relationally): a (user, event_type) profile table "
+    "built from the first 90% of event time — covering only the md5 "
+    "hash class a partial backfill would have onboarded (~13/16 of "
+    "keys) — merges with a changelog aggregated from the last 10%. "
+    "WHEN MATCHED update (sum the aggregates), WHEN NOT MATCHED "
+    "insert, target-only rows pass through unchanged, each row "
+    "labeled with its merge action; all three actions occur at every "
+    "SF, so a hash match actually proves each CASE arm. Both sides "
+    "partial-aggregate on the key before ONE co-partitioned "
+    "full-outer join (aggs and join share hash partitioning: a "
+    "single shuffle family at any scale).",
 )
 def merge_upsert_user_profiles(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("tsu"), "value"
+        "user_id", "event_type", F.unix_micros("ts").alias("tsu"), "value"
     )
     b = ev.agg(F.min("tsu").alias("lo"), F.max("tsu").alias("hi")).collect()[0]
-    mid = (b.lo + b.hi) // 2
+    cut = b.lo + (b.hi - b.lo) * 90 // 100
+    onboarded = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "d"
+    )
+    key = ["user_id", "event_type"]
     base = (
-        ev.where(F.col("tsu") <= mid)
-        .groupBy("user_id")
+        ev.where((F.col("tsu") <= cut) & onboarded)
+        .groupBy(*key)
         .agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")
         )
     )
     delta = (
-        ev.where(F.col("tsu") > mid)
-        .groupBy("user_id")
+        ev.where(F.col("tsu") > cut)
+        .groupBy(*key)
         .agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv")
         )
     )
     bb = base.alias("b")
     dd = delta.alias("d")
-    return bb.join(dd, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+    return bb.join(
+        dd,
+        (F.col("b.user_id") == F.col("d.user_id"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    ).select(
         F.coalesce("b.user_id", "d.user_id").alias("user_id"),
+        F.coalesce("b.event_type", "d.event_type").alias("event_type"),
         (
             F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
         ).cast("long").alias("n_events"),
