@@ -1014,3 +1014,48 @@ def merge_upsert_user_profiles(spark, sf_dir):
         .otherwise("updated")
         .alias("merge_status"),
     )
+
+
+@query(
+    "agg_regression_value_trend",
+    """
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo FROM events),
+    x AS (
+        SELECT event_type, value,
+               (epoch_us(ts) - b.lo) / 86400000000.0 AS xd
+        FROM events, b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, xd), 6) AS slope_per_day,
+           round(regr_intercept(value, xd), 6) AS intercept,
+           round(corr(value, xd), 6) AS corr_vt
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Regression aggregates: per event type, the OLS slope/intercept "
+    "of value against event-time (days since corpus start) plus the "
+    "correlation — the drift/trend primitive of any metrics pipeline, "
+    "computed by the built-in regr_* aggregates (covar/var partials: "
+    "map-side combinable, one shuffle of 5 doubles per group, "
+    "identical semantics in both engines).",
+)
+def agg_regression_value_trend(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("tsu")
+    )
+    lo = ev.agg(F.min("tsu")).collect()[0][0]
+    x = ev.select(
+        "event_type",
+        "value",
+        ((F.col("tsu") - F.lit(lo)) / 86400000000.0).alias("xd"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("regr_slope(value, xd)"), 6).alias("slope_per_day"),
+            F.round(F.expr("regr_intercept(value, xd)"), 6).alias("intercept"),
+            F.round(F.corr("value", "xd"), 6).alias("corr_vt"),
+        )
+        .orderBy("event_type")
+    )
