@@ -112,6 +112,10 @@ def graph_pagerank_dup_centrality(spark, sf_dir):
     ew = edges.join(deg, "src").localCheckpoint()
     nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()  # bounded scalar (candidate-graph node count)
+    if n == 0:
+        # No candidate pairs at all (e.g. a dup-free fixture): the
+        # oracle's CTE chain yields zero rows; match its schema exactly.
+        return spark.createDataFrame([], "doc_id long, pagerank double")
     base = (1.0 - PR_DAMPING) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_ITERS):
