@@ -679,3 +679,13 @@ def test_bucketed_join_has_no_join_exchange(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The campaign-days join over the day-partitioned events copy must
+    trigger dynamic partition pruning: the fact scan's PartitionFilters
+    carries a dynamicpruning expression fed by the dim subquery, so
+    only the selected day directories are read."""
+    df = all_queries()["layout_dpp_campaign_days"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
