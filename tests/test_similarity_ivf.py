@@ -147,3 +147,19 @@ def test_ivf_probe_set_is_bounded(spark):
     assert n_cells >= 2
     expected_frac = IVF_NPROBE / n_cells
     assert expected_frac < 0.75
+
+
+def test_ivfpq_recall_floor_vs_brute(spark):
+    """The IVFPQ composite compounds two approximations (cell
+    restriction x ADC quantization), so its recall floor sits below
+    the standalone IVF's — but it must still recover a meaningful
+    fraction of the exact answer, and every query must return a full
+    top-k from its probed cells."""
+    qs = all_queries()
+    brute = _pairs(qs["similarity_knn_brute"].fn(spark, SF_DIR))
+    ivfpq = _pairs(qs["similarity_ivfpq_topk"].fn(spark, SF_DIR))
+    recall = len(brute & ivfpq) / len(brute)
+    assert recall >= 0.3, f"recall@{TOP_K} {recall:.3f} < 0.3"
+    df = qs["similarity_ivfpq_topk"].fn(spark, SF_DIR)
+    per_q = df.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == TOP_K for r in per_q)
