@@ -1059,3 +1059,38 @@ def agg_regression_value_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_value_histogram",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    binned AS (
+        SELECT least(19, CAST(floor((value - b.lo) / (b.hi - b.lo) * 20)
+                              AS BIGINT)) AS bin
+        FROM events, b
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Equal-width 20-bin histogram of event values: bounds from one "
+    "O(1)-row aggregate, bin assignment a row-local expression, counts "
+    "map-side combinable — the distribution primitive behind every "
+    "metrics dashboard, shuffling 20 partial counts per partition "
+    "regardless of corpus size. The max value lands in the last bin "
+    "via least() identically in both engines.",
+)
+def agg_value_histogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    binned = ev.select(
+        F.least(
+            F.lit(19),
+            F.floor((F.col("value") - b.lo) / (b.hi - b.lo) * 20).cast("long"),
+        ).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("bin")
+    )

@@ -788,3 +788,58 @@ def similarity_ivfpq_topk(spark, sf_dir):
             "query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist")
         )
     )
+
+
+@query(
+    "similarity_retrieve_docs",
+    f"""
+    WITH knn AS (
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM v
+              WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qemb, v.emb) AS sim
+            FROM q, v
+            WHERE v.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {TOP_K}
+    )
+    SELECT k.query_id, k.rank, k.neighbor_id, k.cosine,
+           d.source AS neighbor_source, d.lang AS neighbor_lang,
+           substr(d.text, 1, 40) AS snippet
+    FROM knn k JOIN documents d ON d.doc_id = k.neighbor_id
+    ORDER BY k.query_id, k.rank
+    """,
+    doc=f"RAG-style retrieval end-to-end: exact cosine top-{TOP_K} over "
+    "the embedding column, then the neighbor ids join back to the "
+    "documents table for source/lang metadata and a text snippet — "
+    "the ANN-hit-to-payload join every retrieval pipeline ends with. "
+    "The small result set (queries x k rows) broadcasts against the "
+    "corpus scan, so payload fetch costs one pass with no corpus "
+    "shuffle; at 100 TB the same shape holds with the ANN index "
+    "(similarity_ivfpq_topk) as the candidate stage.",
+)
+def similarity_retrieve_docs(spark, sf_dir):
+    knn = similarity_knn_brute(spark, sf_dir).select(
+        "query_id", "rank", "neighbor_id", "cosine"
+    )
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(knn), docs.doc_id == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            F.col("source").alias("neighbor_source"),
+            F.col("lang").alias("neighbor_lang"),
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+        .orderBy("query_id", "rank")
+    )
