@@ -63,6 +63,9 @@ SF1_EXTRA = [
     "text_decontaminate",       # 5-gram benchmark-overlap screen
     "text_unigram_logprob",     # vocab agg + broadcast rejoin scoring
     "text_chunk_windows",       # zero-shuffle 1->N chunk expansion
+    "graph_pagerank_dup_centrality",  # 5 iterative joins over the sf1 LSH graph
+    "similarity_ivfpq_topk",    # IVF cell restriction + PQ ADC scoring
+    "layout_bucketed_join",     # exchange-free fact-fact join (bucketed layout)
 ]
 
 
