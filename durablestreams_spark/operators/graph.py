@@ -42,48 +42,51 @@ PR_ITERS = 5
 PR_TOPK = 100
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain over the
-    same LSH candidate pairs the Spark side computes."""
+def _pagerank_chain(p: str = "") -> str:
+    """The unrolled fixed-iteration PageRank update as a CTE fragment
+    (expects a ``pairs(doc_a, doc_b)`` CTE in scope; final ranks land
+    in ``{p}r{PR_ITERS}(node, r)``).  ``p`` prefixes every CTE name so
+    the chain composes with other pair-graph chains (e.g. the
+    connected-components closure) in one oracle."""
     d = PR_DAMPING
     parts = [
-        f"""
-    WITH pairs AS ({_PAIRS_SQL}),
-    edges AS (
+        f"""{p}edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)
-        """
+    {p}deg AS (SELECT src, count(*) AS d FROM {p}edges GROUP BY src),
+    {p}nodes AS (SELECT DISTINCT src AS node FROM {p}edges),
+    {p}nn AS (SELECT count(*) AS n FROM {p}nodes),
+    {p}r0 AS (SELECT node, 1.0 / {p}nn.n AS r FROM {p}nodes, {p}nn)"""
     ]
     for i in range(1, PR_ITERS + 1):
         parts.append(
-            f""",
-    c{i} AS (
-        SELECT e.dst AS node, sum(r{i - 1}.r / deg.d) AS s
-        FROM edges e
-        JOIN r{i - 1} ON e.src = r{i - 1}.node
-        JOIN deg ON e.src = deg.src
+            f"""{p}c{i} AS (
+        SELECT e.dst AS node, sum({p}r{i - 1}.r / {p}deg.d) AS s
+        FROM {p}edges e
+        JOIN {p}r{i - 1} ON e.src = {p}r{i - 1}.node
+        JOIN {p}deg ON e.src = {p}deg.src
         GROUP BY e.dst
     ),
-    r{i} AS (
-        SELECT n.node, (1 - {d}) / nn.n + {d} * coalesce(c{i}.s, 0.0) AS r
-        FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = n.node
-    )
-            """
+    {p}r{i} AS (
+        SELECT n.node, (1 - {d}) / {p}nn.n + {d} * coalesce({p}c{i}.s, 0.0) AS r
+        FROM {p}nodes n CROSS JOIN {p}nn LEFT JOIN {p}c{i} ON {p}c{i}.node = n.node
+    )"""
         )
-    parts.append(
-        f"""
+    return ",\n    ".join(parts)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain over the
+    same LSH candidate pairs the Spark side computes."""
+    return f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    {_pagerank_chain()}
     SELECT node AS doc_id, round(r, 6) AS pagerank
     FROM r{PR_ITERS}
     ORDER BY round(r, 6) DESC, node
     LIMIT {PR_TOPK}
-        """
-    )
-    return "".join(parts)
+    """
 
 
 @query(
@@ -99,6 +102,19 @@ def _pagerank_oracle() -> str:
     f"unrolled {PR_ITERS}× as a CTE chain.",
 )
 def graph_pagerank_dup_centrality(spark, sf_dir):
+    ranks = _pagerank_ranks(spark, sf_dir)
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank")
+        )
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_ranks(spark, sf_dir):
+    """Full (node, r) rank table after PR_ITERS rounds — shared by the
+    graded top-k and the canonical-keeper composition."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -115,7 +131,7 @@ def graph_pagerank_dup_centrality(spark, sf_dir):
     if n == 0:
         # No candidate pairs at all (e.g. a dup-free fixture): the
         # oracle's CTE chain yields zero rows; match its schema exactly.
-        return spark.createDataFrame([], "doc_id long, pagerank double")
+        return spark.createDataFrame([], "node long, r double")
     base = (1.0 - PR_DAMPING) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_ITERS):
@@ -135,10 +151,72 @@ def graph_pagerank_dup_centrality(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    return ranks
+
+
+@query(
+    "dedup_canonical_by_centrality",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    cc_edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM cc_edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN cc_edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    {_pagerank_chain("pr_")},
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, r.r,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY round(r.r, 6) DESC, c.doc_id) AS rn
+        FROM clusters c JOIN pr_r{PR_ITERS} r ON r.node = c.doc_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc,
+           round(min(CASE WHEN rn = 1 THEN round(r, 6) END), 6) AS keeper_rank
+    FROM ranked
+    GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="The end-to-end dedup decision: connected components turn the "
+    "LSH candidate pairs into clusters, PageRank ranks every member, "
+    "and the highest-centrality doc becomes each cluster's canonical "
+    "keeper (tie → lowest id) — replacing the min-id keeper heuristic "
+    "with 'the doc most-connected to its near-dups', the pick that "
+    "best represents a boilerplate family. Composes the two iterative "
+    "graph operators (shared edge base, each with per-round "
+    "localCheckpoint); the oracle composes the recursive-CTE closure "
+    "with the prefixed PageRank chain over one shared pairs CTE.",
+)
+def dedup_canonical_by_centrality(spark, sf_dir):
+    from .dedup import dedup_connected_components
+
+    clusters = dedup_connected_components(spark, sf_dir)
+    ranks = _pagerank_ranks(spark, sf_dir)
+    joined = clusters.join(ranks, clusters.doc_id == ranks.node).select(
+        "cluster_id", "doc_id", F.round("r", 6).alias("r6")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.col("r6").desc(), "doc_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
     return (
-        ranks.select(
-            F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank")
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keeper_doc"),
+            F.round(
+                F.min(F.when(F.col("rn") == 1, F.col("r6"))), 6
+            ).alias("keeper_rank"),
         )
-        .orderBy(F.col("pagerank").desc(), "doc_id")
-        .limit(PR_TOPK)
+        .orderBy("cluster_id")
     )
