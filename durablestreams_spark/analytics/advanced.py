@@ -284,3 +284,44 @@ def sketch_top_terms(spark, sf_dir):
     return top.join(F.broadcast(sk), "tok", "left").select(
         "tok", "cnt", (F.col("est") == F.col("cnt")).alias("approx_ok")
     )
+
+
+@query(
+    "sketch_distinct_rollup",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS approx_ok
+    FROM events GROUP BY ROLLUP(event_type)
+    ORDER BY event_type
+    """,
+    doc="HLL sketch MERGEABILITY under rollup: approx_count_distinct "
+    "per event_type AND the grand total in one pass — the total's "
+    "sketch is the merge of the per-group partials, which is exactly "
+    "why sketches are the 100 TB distinct path (partial state "
+    "combines across groups and partitions; raw-key shuffles don't). "
+    "Same bounds-gating as sketch_distinct_users: each row emits "
+    "approx_ok = |approx - exact| <= 3*rsd*exact and the oracle "
+    "asserts true, so the merged estimate is hash-gated too.",
+)
+def sketch_distinct_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.02)
+                    - F.count_distinct("user_id")
+                )
+                <= 3 * 0.02 * F.count_distinct("user_id")
+            ).alias("approx_ok"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "approx_ok",
+        )
+        .orderBy("event_type")
+    )
