@@ -879,3 +879,42 @@ def dedup_lsh_recall_report(spark, sf_dir):
             4,
         ).alias("prec"),
     )
+
+
+@query(
+    "dedup_source_overlap",
+    f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.doc_a
+    JOIN src sb ON sb.doc_id = p.doc_b
+    GROUP BY source_x, source_y
+    ORDER BY source_x, source_y
+    """,
+    doc="Cross-source duplication matrix: every LSH near-dup pair "
+    "mapped to its (source, source) cell — the 'which crawls overlap?' "
+    "report that decides which source to drop or down-weight before "
+    "training. The pair set is tiny next to the corpus, so the "
+    "source lookup is two joins of the pair list against a pruned "
+    "(doc_id, source) projection; cells are unordered source pairs "
+    "via least/greatest.",
+)
+def dedup_source_overlap(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
