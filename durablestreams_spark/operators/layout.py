@@ -332,5 +332,14 @@ def layout_dpp_campaign_days(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
+        # The hive-partition read infers `day` as DATE; the join and
+        # group run on that (so DPP keys stay partition-typed) and only
+        # the OUTPUT is formatted, per the repo's dates-as-strings
+        # output policy (analytics.core docstring).
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+        )
         .orderBy("day")
     )
