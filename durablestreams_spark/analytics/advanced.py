@@ -325,3 +325,52 @@ def sketch_distinct_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_value_quartile_buckets",
+    """
+    WITH q AS (
+        SELECT quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events
+    )
+    SELECT CASE WHEN value <= q.q1 THEN 'q1'
+                WHEN value <= q.q2 THEN 'q2'
+                WHEN value <= q.q3 THEN 'q3'
+                ELSE 'q4' END AS quartile,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, q
+    GROUP BY quartile, event_type
+    ORDER BY quartile, event_type
+    """,
+    doc="Quartile classification by computed boundaries — the pattern "
+    "that replaces a global ntile sort at fact scale: the three "
+    "boundaries come from ONE tiny aggregate (here exact interpolated "
+    "percentiles so the oracle agrees bit-for-bit; approx_percentile "
+    "at 100 TB), then classification is a row-local CASE broadcast "
+    "with the scan — no global sort anywhere. Exactly the scale path "
+    "window_ntile_customer_deciles' docstring prescribes, realized "
+    "and oracle-gated.",
+)
+def agg_value_quartile_buckets(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    ).collect()[0]
+    quartile = (
+        F.when(F.col("value") <= q.q1, "q1")
+        .when(F.col("value") <= q.q2, "q2")
+        .when(F.col("value") <= q.q3, "q3")
+        .otherwise("q4")
+    )
+    return (
+        ev.select(quartile.alias("quartile"), "event_type")
+        .groupBy("quartile", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("quartile", "event_type")
+    )

@@ -548,3 +548,32 @@ def streaming_interval_join_left_outer(spark, sf_dir):
     return out.where(F.col("user_id") >= 0).select(
         "purchase_id", "click_id", "gap_sec"
     )
+
+
+@query(
+    "streaming_top_users_by_value",
+    """
+    SELECT user_id, round(sum(value), 4) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    doc="LIVE complete-mode leaderboard: streaming aggregate -> global "
+    "orderBy + limit, the one place Structured Streaming allows a "
+    "streaming sort (complete mode re-emits the full result each "
+    "batch, so the sink sort is over the final aggregate state — "
+    "O(groups), never O(events)). Drained top-10 must equal the batch "
+    "leaderboard.",
+)
+def streaming_top_users_by_value(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+    return _drain(agg, "complete")
