@@ -374,3 +374,42 @@ def agg_value_quartile_buckets(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("quartile", "event_type")
     )
+
+
+@query(
+    "agg_modern_functions",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 50) AS BIGINT) AS n_high,
+           bool_or(value > 99)  AS any_near_max,
+           bool_and(value >= 0) AS all_non_negative,
+           CAST(min_by(user_id, event_id) AS BIGINT) AS first_ingested_user,
+           CAST(max_by(user_id, event_id) AS BIGINT) AS last_ingested_user
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="The modern conditional/argmax aggregate family in one pass: "
+    "count_if, bool_or/bool_and, and min_by/max_by keyed on the unique "
+    "event_id (argmin/argmax with a deterministic total order — "
+    "keying on a non-unique column would be engine-dependent). All "
+    "hash-aggregable with map-side partials; min_by/max_by is the "
+    "shuffle-free replacement for a rank-window argmax (same move as "
+    "text_tfidf_top_term's min_by rewrite).",
+)
+def agg_modern_functions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("count_if(value > 50)").cast("long").alias("n_high"),
+            F.expr("bool_or(value > 99)").alias("any_near_max"),
+            F.expr("bool_and(value >= 0)").alias("all_non_negative"),
+            F.min_by("user_id", "event_id").cast("long").alias(
+                "first_ingested_user"
+            ),
+            F.max_by("user_id", "event_id").cast("long").alias(
+                "last_ingested_user"
+            ),
+        )
+        .orderBy("event_type")
+    )
