@@ -577,3 +577,44 @@ def streaming_top_users_by_value(spark, sf_dir):
         .limit(10)
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "streaming_stateful_user_ewma",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.125 * x + 0.875 * acc), 6)
+               AS ewma_value
+    FROM events GROUP BY user_id
+    """,
+    doc="LIVE order-sensitive stateful streaming: per-user EWMA via "
+    "applyInPandasWithState, drained and compared to the oracle's "
+    "identical (ts, event_id)-ordered fold. The running-totals "
+    "stateful op is commutative and hides ordering/replay bugs; an "
+    "EWMA changes value under any mis-order or double-fold, so this "
+    "is the stateful operator that actually proves per-key ordered, "
+    "exactly-once state evolution. alpha = 1/8 (binary-exact) keeps "
+    "all three engines' IEEE op sequences identical.",
+)
+def streaming_stateful_user_ewma(spark, sf_dir):
+    from ..streaming.stateful import running_user_ewma
+
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = _drain(running_user_ewma(src), "update")
+    # latest emission per user (multi-batch drains emit supersets)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("ewma_value", 6).alias("ewma_value"),
+        )
+    )

@@ -153,3 +153,63 @@ def user_type_histogram(events_df):
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: EWMA smoothing factor — 1/8 is exactly representable in binary, so
+#: the fold is the same IEEE op sequence in Spark, pandas, and the
+#: DuckDB oracle's list_reduce.
+EWMA_ALPHA = 0.125
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_ewma(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Order-sensitive fold: EWMA over the user's events in strict
+    (ts, event_id) order.  Rows arrive in arbitrary partition order
+    within the batch, so the batch is sorted before folding — state
+    then carries the running (count, ewma) across micro-batches.
+    Unlike the commutative running totals, a mis-ordered or replayed
+    fold here CHANGES the value, which is what makes this operator the
+    stronger exactly-once/state test."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    n, ewma = state.get() if state.exists else (0, None)
+    for v in batch["value"]:
+        v = float(v)
+        ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
+        n += 1
+    state.update((n, float(ewma) if ewma is not None else 0.0))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+    )
+
+
+def running_user_ewma(events_df):
+    """Per-user exponentially-weighted moving average of ``value`` over
+    a stream with columns (user_id, ts, event_id, value); one updated
+    row per user per micro-batch, latest row = EWMA over everything
+    ingested so far in event order."""
+    return events_df.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
