@@ -408,3 +408,51 @@ def window_ntile_customer_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    """
+    WITH d AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(value * dt_us) / sum(dt_us), 4) AS twap
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-weighted average (TWAP): each observation holds until the "
+    "user's next event, so its weight is the lead() gap in exact "
+    "microseconds — the standard fix for irregularly-sampled series, "
+    "where a plain avg over-weights bursts. One window (same "
+    "user-partitioned sort every per-user window op shares) + one "
+    "hash aggregate; integer-µs weights keep both engines' products "
+    "identical.",
+)
+def window_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -475,3 +475,71 @@ def log_fanout_shards(spark, sf_dir):
             F.max("offset").alias("last_offset"),
         )
     )
+
+
+def _ingest_events_payload(spark, sf_dir: str):
+    """A stream whose records carry the FULL analytics payload
+    (event_type, value), not just the id — the fixture for querying
+    the log as a table.  Separate cache root: extending the shared
+    ``_ingest_events`` payload would invalidate every offset oracle."""
+    root = os.path.join(
+        "/tmp/durablestreams_logpay_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_ingested")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_payload")
+    if marker_current(marker, sf_dir):
+        return stream
+    shutil.rmtree(root, ignore_errors=True)
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_payload")
+    produce_bulk(
+        stream,
+        table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ),
+        order_by=["ts", "event_id"],
+        batch_records=BATCH,
+        payload_cols=["event_id", "event_type", "value"],
+        segment_rows=2500,
+    )
+    compact(stream)
+    write_marker(marker, sf_dir)
+    return stream
+
+
+@query(
+    "log_analytics_over_stream",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="The log IS a table: events bulk-ingested through the engine "
+    "(durable segments + manifest), read back via the manifest-backed "
+    "scan, JSON payload projected to typed columns, and aggregated "
+    "relationally — the end-to-end claim of the whole design, that a "
+    "stream ingested through the durable log answers the same SQL as "
+    "the original table. Payload floats round-trip exactly "
+    "(shortest-repr JSON serialization parses back to the identical "
+    "double), so the aggregate hashes against the raw-table oracle.",
+)
+def log_analytics_over_stream(spark, sf_dir):
+    stream = _ingest_events_payload(spark, sf_dir)
+    df = stream.to_df(spark)
+    typed = df.select(
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
