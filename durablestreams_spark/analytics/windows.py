@@ -456,3 +456,59 @@ def window_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "cohort_retention_daily",
+    """
+    WITH firstseen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                   AS day_offset
+        FROM events e JOIN firstseen f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Retention cohorts: users grouped by first-seen day, activity "
+    "counted per (cohort, day-offset) for the first week — the classic "
+    "product-analytics triangle. The first-seen dimension derives from "
+    "the fact table itself (one user_id agg), then rejoins it on the "
+    "same key — co-partitioned with the aggregate that produced it, "
+    "so the cohort join adds no new shuffle family; the distinct and "
+    "final count both partial-aggregate.",
+)
+def cohort_retention_daily(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -481,3 +481,59 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@query(
+    "text_zipf_slope",
+    """
+    WITH counts AS (
+        SELECT tok, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+           round(corr(ln(CAST(n AS DOUBLE)),
+                      ln(CAST(rank AS DOUBLE))), 4) AS loglog_corr
+    FROM ranked WHERE rank <= 1000
+    """,
+    doc="Zipf's-law fit: OLS slope of log-frequency against log-rank "
+    "over the top-1000 vocabulary (natural text sits near -1; a "
+    "corpus drifting from its usual slope signals template spam or "
+    "encoding rot — the cheap distribution-shift monitor for corpus "
+    "intake). Token counting partial-aggregates; the top-1000 rank "
+    "window runs on the tiny type table, and the regression is one "
+    "combinable aggregate over 1000 rows.",
+)
+def text_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("n").desc(), "tok"))
+    ).where(F.col("rank") <= 1000)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.corr(ln_n, ln_r), 4).alias("loglog_corr"),
+    )
