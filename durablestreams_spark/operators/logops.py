@@ -543,3 +543,104 @@ def log_analytics_over_stream(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+#: Replica divergence fixture: the replica deterministically loses
+#: every DIVERGE_MOD-th record (by (ts, event_id) rank) — the lost-ack
+#: / partial-replay failure the diff report exists to catch.
+DIVERGE_MOD = 997
+
+
+def _ingest_events_replica(spark, sf_dir: str):
+    """A second, deliberately-diverged copy of the payload stream."""
+    from pyspark.sql import Window as W
+
+    root = os.path.join(
+        "/tmp/durablestreams_logreplica_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_ingested")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_replica")
+    if marker_current(marker, sf_dir):
+        return stream
+    shutil.rmtree(root, ignore_errors=True)
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_replica")
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    rn = F.row_number().over(W.orderBy("ts", "event_id"))
+    kept = (
+        ev.withColumn("rn", rn)
+        .where(F.col("rn") % DIVERGE_MOD != 0)
+        .drop("rn")
+    )
+    produce_bulk(
+        stream,
+        kept,
+        order_by=["ts", "event_id"],
+        batch_records=BATCH,
+        payload_cols=["event_id"],
+        segment_rows=2500,
+    )
+    write_marker(marker, sf_dir)
+    return stream
+
+
+@query(
+    "log_replica_divergence",
+    f"""
+    WITH ranked AS (
+        SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_primary,
+           CAST(count_if(rn % {DIVERGE_MOD} != 0) AS BIGINT) AS n_both,
+           CAST(count_if(rn % {DIVERGE_MOD} = 0) AS BIGINT)
+               AS n_only_primary,
+           CAST(0 AS BIGINT) AS n_only_replica,
+           CAST(min(CASE WHEN rn % {DIVERGE_MOD} = 0 THEN event_id END)
+                AS BIGINT) AS first_missing_event
+    FROM ranked
+    """,
+    doc="Anti-entropy: diff two replicas of the same log by record "
+    "identity — the primary stream against a replica that "
+    f"deterministically lost every {DIVERGE_MOD}-th record (the "
+    "lost-ack / partial-replay failure mode). Both sides read through "
+    "the manifest scan; the diff is two anti-join counts plus the "
+    "first missing id, and the oracle recomputes the expected "
+    "divergence arithmetically. At scale this is the consistency "
+    "check replicated logs run continuously; the join keys are "
+    "fixed-width ids, never payloads.",
+)
+def log_replica_divergence(spark, sf_dir):
+    primary = _ingest_events(spark, sf_dir)
+    replica = _ingest_events_replica(spark, sf_dir)
+    pid = primary.to_df(spark).select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+    rid = replica.to_df(spark).select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+    only_p = pid.join(rid, "event_id", "left_anti")
+    only_r = rid.join(pid, "event_id", "left_anti")
+    n_primary = pid.agg(F.count(F.lit(1)).cast("long").alias("n_primary"))
+    n_only_p = only_p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_only_primary"),
+        F.min("event_id").cast("long").alias("first_missing_event"),
+    )
+    n_only_r = only_r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_only_replica")
+    )
+    return (
+        n_primary.crossJoin(n_only_p)
+        .crossJoin(n_only_r)
+        .select(
+            "n_primary",
+            (F.col("n_primary") - F.col("n_only_primary"))
+            .cast("long")
+            .alias("n_both"),
+            "n_only_primary",
+            "n_only_replica",
+            "first_missing_event",
+        )
+    )
