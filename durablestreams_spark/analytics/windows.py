@@ -512,3 +512,51 @@ def cohort_retention_daily(spark, sf_dir):
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst, count(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src), 4) AS p
+    FROM c ORDER BY src, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() pairs each event with the user's next, counts "
+    "aggregate per (src, dst), and row-normalizing gives the "
+    "transition probabilities — the behavioral model behind "
+    "next-action prediction and anomaly scoring. One user-partitioned "
+    "window (the sort every per-user op shares) + one partial "
+    "aggregate; the normalizing window runs on the TYPES x TYPES "
+    "matrix, O(25) rows regardless of corpus size.",
+)
+def markov_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wseq).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wnorm = W.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 4).alias(
+            "p"
+        ),
+    ).orderBy("src", "dst")

@@ -843,3 +843,72 @@ def similarity_retrieve_docs(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "similarity_label_cohesion",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cents AS (
+        SELECT label, list_transform(sums, s -> s / n) AS cemb
+        FROM (SELECT label,
+                     list_reduce(list(emb ORDER BY vec_id),
+                                 (acc, x) -> list_transform(range(1, {DIM + 1}),
+                                                            i -> acc[i] + x[i])) AS sums,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM v GROUP BY label)
+    )
+    SELECT v.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(list_cosine_similarity(v.emb, c.cemb)), 4)
+               AS avg_cos_to_centroid
+    FROM v JOIN cents c ON c.label = v.label
+    GROUP BY v.label ORDER BY v.label
+    """,
+    doc="Per-label centroid cohesion: each ground-truth cluster's mean "
+    "vector (ascending-id fold order, the repo's deterministic-sum "
+    "contract) and the average member-to-centroid cosine — the "
+    "embedding-space health metric that catches collapsed or drifted "
+    "clusters before they poison dedup thresholds. Centroids are "
+    "O(labels) rows built by one combinable-shaped aggregate over a "
+    "bounded per-label fold; scoring broadcasts them against a single "
+    "corpus pass.",
+)
+def similarity_label_cohesion(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = (
+        v.groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "emb"))).alias("xs"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            "label",
+            F.transform(
+                F.aggregate(
+                    "xs",
+                    F.array_repeat(F.lit(0.0), DIM),
+                    lambda acc, x: F.zip_with(acc, x["emb"], lambda a, b: a + b),
+                ),
+                lambda s: s / F.col("n"),
+            ).alias("cemb"),
+        )
+    )
+    joined = v.join(F.broadcast(cents), "label").select(
+        "label",
+        (
+            _dot("emb", "cemb")
+            / (F.sqrt(_dot("emb", "emb")) * F.sqrt(_dot("cemb", "cemb")))
+        ).alias("cos"),
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
