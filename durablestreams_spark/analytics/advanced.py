@@ -413,3 +413,75 @@ def agg_modern_functions(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "audit_referential_integrity",
+    """
+    SELECT 'dup_orderkeys' AS check_name,
+           CAST((SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphans',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphans',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Constraint audit (the dbt-tests pattern as one query): FK "
+    "orphan counts via anti joins (lineitem→orders, orders→customer), "
+    "key-uniqueness violations, and null-key counts — the checks a "
+    "pipeline runs after every load. Each check is an independent "
+    "partial-aggregated count; anti joins broadcast the key side "
+    "projections at dimension scale and shuffle-join beyond, exactly "
+    "like the production joins they guard.",
+)
+def audit_referential_integrity(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("c").cast("long").alias("n_bad"),
+        )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nullu = ev.where(F.col("user_id").isNull()).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    li_orph = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    o_orph = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        row("dup_orderkeys", dup)
+        .unionByName(row("events_null_user", nullu))
+        .unionByName(row("lineitem_orphans", li_orph))
+        .unionByName(row("orders_orphans", o_orph))
+        .orderBy("check_name")
+    )

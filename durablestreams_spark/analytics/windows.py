@@ -560,3 +560,46 @@ def markov_event_transitions(spark, sf_dir):
             "p"
         ),
     ).orderBy("src", "dst")
+
+
+@query(
+    "window_cumulative_users",
+    """
+    WITH firstseen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT first_day, count(*) AS n_new FROM firstseen GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM per_day ORDER BY day
+    """,
+    doc="Exact running distinct-user count per day via the first-touch "
+    "transform: distinct-to-date(d) equals the running sum of "
+    "first-seen counts — one user_id aggregate plus a cumsum over the "
+    "O(days) series, replacing the quadratic per-day COUNT(DISTINCT "
+    "WHERE ts <= d) rescan. The global window runs on the tiny daily "
+    "series, never the fact table.",
+)
+def window_cumulative_users(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = firstseen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
