@@ -445,7 +445,7 @@ def _events_with_sentinel_dir(spark, sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     root = os.path.join(
-        "/tmp/durablestreams_ssjoin_v1",
+        "/tmp/durablestreams_ssjoin_v3",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     marker = os.path.join(root, "_built")
@@ -460,31 +460,41 @@ def _events_with_sentinel_dir(spark, sf_dir: str) -> str:
     max_ts = pa.compute.max(t.column("ts")).as_py()
     if pa.types.is_integer(ts_field.type):
         day = 86_400_000_000_000 if max_ts > 10**17 else 86_400_000_000
-        far = [max_ts + 30 * day, max_ts + 31 * day]
+        far = [max_ts + (30 + i) * day for i in range(3)]
     else:
         import datetime
 
-        far = [
-            max_ts + datetime.timedelta(days=30),
-            max_ts + datetime.timedelta(days=31),
-        ]
-    # click AFTER purchase ⇒ the pair can't match itself; user -1 is
-    # filtered from the graded output.
-    sentinel = pa.table(
-        {
-            "event_id": pa.array([-1, -2], pa.int64()),
-            "ts": pa.array(far, ts_field.type),
-            "user_id": pa.array([-1, -1], pa.int64()),
-            "event_type": pa.array(["purchase", "click"], pa.string()),
-            "value": pa.array([0.0, 0.0], pa.float64()),
-            "props": pa.array(["{}", "{}"], pa.string()),
-        },
-        schema=t.schema,
-    )
-    pq.write_table(sentinel, os.path.join(root, "01_sentinel.parquet"))
+        far = [max_ts + datetime.timedelta(days=30 + i) for i in range(3)]
+    # Sentinels are 1 day apart and alternate type, so they can't match
+    # each other in the interval join; user -1 is filtered from every
+    # graded output.  THREE sentinel FILES (= three micro-batches under
+    # maxFilesPerTrigger=1): cascaded stateful operators flush one
+    # layer per batch, and — measured, not just theorized — the
+    # DOWNSTREAM layer's watermark advances from the upstream
+    # operator's EMITTED rows, so each chained layer needs one more
+    # sentinel batch to flow through the one above it.  One file was
+    # enough for single-layer joins; two still stranded the last day
+    # of a two-layer chained aggregation.
+    for i, (eid, ts_v, etype) in enumerate(
+        [(-1, far[0], "purchase"), (-2, far[1], "click"), (-3, far[2], "purchase")]
+    ):
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([eid], pa.int64()),
+                "ts": pa.array([ts_v], ts_field.type),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array([etype], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            },
+            schema=t.schema,
+        )
+        pq.write_table(sentinel, os.path.join(root, f"0{i + 1}_sentinel.parquet"))
     # FileStreamSource orders by modification time: events strictly
-    # first, sentinel strictly last.
-    now = os.stat(os.path.join(root, "01_sentinel.parquet")).st_mtime
+    # first, then the sentinels in order.
+    now = os.stat(os.path.join(root, "03_sentinel.parquet")).st_mtime
+    os.utime(os.path.join(root, "02_sentinel.parquet"), (now - 3, now - 3))
+    os.utime(os.path.join(root, "01_sentinel.parquet"), (now - 6, now - 6))
     os.utime(os.path.join(root, "00_events.parquet"), (now - 10, now - 10))
     write_marker(marker, sf_dir)
     return root
@@ -617,4 +627,80 @@ def streaming_stateful_user_ewma(spark, sf_dir):
             "n_events",
             F.round("ewma_value", 6).alias("ewma_value"),
         )
+    )
+
+
+@query(
+    "streaming_chained_windows",
+    """
+    WITH w1 AS (
+        SELECT epoch_us(ts) // 21600000000 AS b6, user_id,
+               count(*) AS n
+        FROM events GROUP BY b6, user_id
+    )
+    SELECT strftime(to_timestamp((b6 * 21600000000 // 86400000000)
+                                 * 86400), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_user_windows,
+           CAST(max(n) AS BIGINT) AS max_user_6h,
+           CAST(sum(n) AS BIGINT) AS total_events
+    FROM w1 GROUP BY day ORDER BY day
+    """,
+    doc="LIVE chained event-time window aggregation (Spark >= 3.4): a "
+    "6-hour per-user count feeds a second, daily aggregation INSIDE "
+    "the same streaming query — two stateful operators back to back, "
+    "the pattern that previously forced an intermediate sink and a "
+    "second job. Append-mode, so the second agg only sees FINALIZED "
+    "6h windows; the far-future sentinel micro-batch pushes the final "
+    "watermark past all real data, flushing both state layers at "
+    "end-of-input. Oracle: the same two-level bucket arithmetic in "
+    "plain SQL (Spark windows are epoch-aligned, so integer division "
+    "reproduces them exactly).",
+)
+def streaming_chained_windows(spark, sf_dir):
+    from ..analytics.core import ts_unit_info
+
+    unit, physical = ts_unit_info(f"{sf_dir}/events.parquet")
+    int64_physical = physical == "int64" or unit == "ns"
+    ts_decl = "long" if int64_physical else "timestamp"
+    root = _events_with_sentinel_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(
+            f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    if int64_physical:
+        conv = "ts div 1000" if unit == "ns" else "ts"
+        raw = raw.withColumn("ts", F.expr(f"timestamp_micros({conv})"))
+    # The sentinels flow through BOTH aggregation layers (the
+    # downstream layer's watermark advances from the rows the upstream
+    # layer emits — filtering them out before w1 leaves the last real
+    # day stranded in w2's state forever); they are removed at the END
+    # via the min(user_id) probe, which only sentinel-days trip.
+    w1 = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w6"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = (
+        w1.groupBy(F.window(F.window_time("w6"), "1 day").alias("wd"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_windows"),
+            F.max("n").cast("long").alias("max_user_6h"),
+            F.sum("n").cast("long").alias("total_events"),
+            F.min("user_id").alias("min_user"),
+        )
+    )
+    out = _drain(w2, "append")
+    return (
+        out.where(F.col("min_user") >= 0)
+        .select(
+            F.date_format(F.col("wd.start"), "yyyy-MM-dd").alias("day"),
+            "n_user_windows",
+            "max_user_6h",
+            "total_events",
+        )
+        .orderBy("day")
     )
