@@ -689,3 +689,51 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     df = all_queries()["layout_dpp_campaign_days"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_markov_normalizing_window_after_agg(spark):
+    """The transition matrix normalizes over the TYPES x TYPES result
+    of the aggregate, not the event stream: plan = one user-partitioned
+    window + one partial-aggregated count + one tiny window, no join,
+    no Python."""
+    df = all_queries()["markov_event_transitions"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert not has_python_eval(df)
+    assert plan.count("Window") >= 2, plan
+
+
+def test_retrieval_broadcasts_ann_hits(spark):
+    """The retrieval payload join must broadcast the tiny ANN hit set
+    against one corpus pass — a sort-merge join here would shuffle the
+    documents table for a queries x k row probe."""
+    df = all_queries()["similarity_retrieve_docs"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_integrity_audit_uses_anti_joins(spark):
+    """The FK checks must plan as anti joins (semi-join family), never
+    a full outer or cartesian comparison."""
+    df = all_queries()["audit_referential_integrity"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan or "ExistenceJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ewma_runs_pandas_state_operator(spark):
+    """The EWMA query must execute the real applyInPandasWithState
+    operator (state-store-backed), not a batch rewrite."""
+    from durablestreams_spark.streaming.stateful import running_user_ewma
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    sdf = running_user_ewma(src)
+    assert "FlatMapGroupsInPandasWithState" in sdf._jdf.queryExecution().analyzed().toString()
