@@ -403,3 +403,33 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
             pass
         return None
     return meta
+
+
+def apply_retention(stream: Stream, cutoff_offset: str) -> list[SegmentMeta]:
+    """Offset/time-based retention (the Kafka ``retention.ms`` analog,
+    driven through the reference's own time-travel offsets: a wall-
+    clock policy converts to a cutoff via ``offsets.offset_for_time``):
+    drop every segment that lies WHOLLY below the cutoff.  Partial
+    segments survive untouched — retention is a metadata operation,
+    never a rewrite.
+
+    The swap is one guarded manifest commit with an empty ``add`` set:
+    victims become tombstones and their bytes are reclaimed later by
+    ``clean_tombstones`` under the usual grace window, so in-flight
+    reads planned against the old manifest stay valid — the exact
+    lifecycle compaction rewrites already use."""
+    state = stream.refresh()
+    victims = [
+        s for s in state.active_sorted() if s.last_offset < cutoff_offset
+    ]
+    if not victims:
+        return []
+    stream._commit(
+        {
+            "add": [],
+            "remove": [s.name for s in victims],
+            "removed_ms": int(time.time() * 1000),
+        },
+        guard=lambda st: all(s.name in st.active for s in victims),
+    )
+    return victims

@@ -644,3 +644,132 @@ def log_replica_divergence(spark, sf_dir):
             "first_missing_event",
         )
     )
+
+
+#: Retention fixture geometry: segments of RET_SEG_ROWS records, cutoff
+#: at the record-count midpoint — whole segments below it are dropped.
+RET_SEG_ROWS = 2500
+
+
+@query(
+    "log_retention_trim",
+    f"""
+    WITH n AS (SELECT count(*) AS total FROM events),
+    ranked AS (
+        SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id FROM ranked, n
+    WHERE rn > ((n.total // 2 - 1) // {RET_SEG_ROWS}) * {RET_SEG_ROWS}
+    """,
+    doc="Offset-based retention (the Kafka retention analog over the "
+    "reference's time-travel offsets): a fresh stream is trimmed at "
+    "the midpoint cutoff — every segment WHOLLY below it becomes a "
+    "tombstone in one guarded manifest commit (no rewrite; bytes "
+    "reclaimed later under the tombstone grace window), partial "
+    "segments survive. The consume afterwards must return exactly the "
+    "records of the surviving segments, which the oracle recomputes "
+    "from the segment geometry.",
+)
+def log_retention_trim(spark, sf_dir):
+    from ..maintenance import apply_retention
+    from ..offsets import serialize_offset
+
+    root = os.path.join(
+        "/tmp/durablestreams_retention_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_ret")
+    if not marker_current(marker, sf_dir):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(root)
+        stream = cat.stream("events_ret")
+        ev = table(spark, sf_dir, "events").select("event_id", "ts")
+        n = ev.count()
+        produce_bulk(
+            stream,
+            ev,
+            order_by=["ts", "event_id"],
+            batch_records=BATCH,
+            payload_cols=["event_id"],
+            segment_rows=RET_SEG_ROWS,
+        )
+        # cutoff = the offset of the midpoint record (1-based rank
+        # n//2): epoch = batch index + 1, counter = within-batch rank.
+        mid = max(1, n // 2)
+        cutoff = serialize_offset((mid - 1) // BATCH + 1, (mid - 1) % BATCH)
+        apply_retention(stream, cutoff)
+        write_marker(marker, sf_dir)
+    df = stream.to_df(spark)
+    return df.select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )
+
+
+@query(
+    "log_schema_evolution",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events),
+    ranked AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN rn <= n.total // 2 THEN NULL
+                ELSE round(value, 4) END AS value
+    FROM ranked, n
+    """,
+    doc="Schema-on-read evolution (SURVEY.md §1.2-1.3 schemaless data "
+    "model): the stream's first half carries v1 payloads {event_id}, "
+    "the second half v2 payloads {event_id, value} — one typed_view "
+    "over the evolved schema reads BOTH, with the missing v1 field "
+    "surfacing as NULL, exactly the reference's heterogenous-records-"
+    "are-legal contract. No migration, no rewrite: evolution costs a "
+    "schema string.",
+)
+def log_schema_evolution(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.payload import typed_view
+
+    root = os.path.join(
+        "/tmp/durablestreams_schemaevo_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_evo")
+    if not marker_current(marker, sf_dir):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(root)
+        stream = cat.stream("events_evo")
+        ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+        n = ev.count()
+        rn = F.row_number().over(W.orderBy("ts", "event_id"))
+        with_rn = ev.withColumn("rn", rn)
+        v1 = with_rn.where(F.col("rn") <= n // 2).drop("rn")
+        v2 = with_rn.where(F.col("rn") > n // 2).drop("rn")
+        produce_bulk(
+            stream,
+            v1,
+            order_by=["ts", "event_id"],
+            batch_records=BATCH,
+            payload_cols=["event_id"],
+            segment_rows=RET_SEG_ROWS,
+        )
+        produce_bulk(
+            stream,
+            v2,
+            order_by=["ts", "event_id"],
+            batch_records=BATCH,
+            payload_cols=["event_id", "value"],
+            segment_rows=RET_SEG_ROWS,
+        )
+        write_marker(marker, sf_dir)
+    typed = typed_view(
+        stream.to_df(spark), "event_id long, value double", keep=()
+    )
+    return typed.select("event_id", F.round("value", 4).alias("value"))

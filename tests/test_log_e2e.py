@@ -222,3 +222,29 @@ def test_schemaless_heterogeneous_payloads(catalog):
     s.produce(payloads)
     recs = s.consume("-", limit=10)
     assert [r.data for r in recs] == payloads
+
+
+def test_retention_trims_whole_segments_only(catalog):
+    """apply_retention drops segments wholly below the cutoff as
+    tombstones (no rewrite), leaves partial segments intact, and is
+    idempotent at the same cutoff."""
+    from durablestreams_spark.maintenance import apply_retention
+
+    s = catalog.stream(uuid.uuid4().hex)
+    s.produce([{"value": "a"}, {"value": "b"}])
+    s.produce([{"value": "c"}, {"value": "d"}])
+    s.produce([{"value": "e"}])
+    state = s.refresh()
+    assert len(state.active) == 3
+    segs = state.active_sorted()
+    # cutoff strictly above segment 1's last offset but inside seg 2's
+    # range: only seg 1 is wholly below it.
+    cutoff = segs[1].last_offset
+    victims = apply_retention(s, cutoff)
+    assert [v.name for v in victims] == [segs[0].name]
+    state = s.refresh()
+    assert len(state.active) == 2
+    assert segs[0].name in state.tombstones
+    assert _values(s.consume("-", limit=100)) == ["c", "d", "e"]
+    # idempotent: same cutoff again trims nothing
+    assert apply_retention(s, cutoff) == []
