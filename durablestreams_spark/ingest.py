@@ -113,6 +113,7 @@ def produce_bulk(
     payload_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     segment_rows: int | None = None,
+    exact_segments: bool = False,
 ) -> int:
     """Write a whole DataFrame into ``stream`` as offset-assigned
     segments; returns the number of segment files committed.
@@ -181,13 +182,18 @@ def produce_bulk(
         n_files = max(1, -(-total // segment_rows))
         n_parts = with_offsets._ds_nparts  # type: ignore[attr-defined]
         max_records_per_file = segment_rows
-        if n_files >= n_parts:
+        if n_files >= n_parts and not exact_segments:
             # Partitions are at least segment-sized: keep the existing
             # range partitioning and let the writer split each task's
             # sorted run at segment_rows boundaries.  Zero extra
             # shuffle — the plan a 100 TB ingest needs.  (File count
             # is ceil per partition, so up to n_parts files more than
-            # the exact target; sizes never exceed segment_rows.)
+            # the exact target; sizes never exceed segment_rows.  The
+            # seam file at each partition boundary is SHORT, so callers
+            # needing arithmetically-predictable segment geometry —
+            # e.g. the retention audit's oracle — pass
+            # ``exact_segments=True`` to force the repartition path
+            # below at the cost of its extra shuffle.)
             writer_df = assigned.sortWithinPartitions("offset")
         else:
             # Many small partitions → merge into exactly n_files.  The

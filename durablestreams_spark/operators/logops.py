@@ -695,6 +695,11 @@ def log_retention_trim(spark, sf_dir):
             batch_records=BATCH,
             payload_cols=["event_id"],
             segment_rows=RET_SEG_ROWS,
+            # the oracle recomputes the trim from segment GEOMETRY, so
+            # the fixture needs arithmetically-exact segment sizing
+            # (the default fast path leaves short seam files at range-
+            # partition boundaries once partitions outgrow segments)
+            exact_segments=True,
         )
         # cutoff = the offset of the midpoint record (1-based rank
         # n//2): epoch = batch index + 1, counter = within-batch rank.
