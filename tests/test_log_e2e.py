@@ -248,3 +248,40 @@ def test_retention_trims_whole_segments_only(catalog):
     assert _values(s.consume("-", limit=100)) == ["c", "d", "e"]
     # idempotent: same cutoff again trims nothing
     assert apply_retention(s, cutoff) == []
+
+
+def test_fork_stream_is_independent_zero_copy(catalog):
+    """fork_stream hardlinks segments (no data copy), carries clock +
+    fencing forward, and the branches evolve independently: appends to
+    the fork are invisible to the source, and destroying the fork
+    leaves the source's data intact (shared inodes survive unlink)."""
+    import os
+
+    from durablestreams_spark.maintenance import fork_stream
+
+    s = catalog.stream(uuid.uuid4().hex)
+    s.produce([{"value": v} for v in ["a", "b", "c"]])
+    fork_name = uuid.uuid4().hex
+    f = fork_stream(catalog, s.name, fork_name)
+    # zero-copy: same inode behind both directory entries
+    seg = s.refresh().active_sorted()[0].name
+    st_src = os.stat(os.path.join(s.segments_dir, seg))
+    st_dst = os.stat(os.path.join(f.segments_dir, seg))
+    assert st_src.st_ino == st_dst.st_ino
+    # fork sees history; append diverges; source unchanged
+    assert _values(f.consume("-", limit=10)) == ["a", "b", "c"]
+    f.produce([{"value": "fork-only"}])
+    assert _values(f.consume("-", limit=10)) == ["a", "b", "c", "fork-only"]
+    assert _values(s.consume("-", limit=10)) == ["a", "b", "c"]
+    # offsets on the fork continued past the shared history
+    offs = [r.offset for r in f.consume("-", limit=10)]
+    assert offs == sorted(offs) and len(set(offs)) == 4
+    # destroying the fork must not damage the source
+    f.destroy()
+    assert _values(s.consume("-", limit=10)) == ["a", "b", "c"]
+    # fencing token carried forward: stale version rejected on the fork
+    s2 = catalog.stream(uuid.uuid4().hex)
+    s2.produce([{"value": "x"}], version=5)
+    f2 = fork_stream(catalog, s2.name, uuid.uuid4().hex)
+    with pytest.raises(FencingError):
+        f2.produce([{"value": "y"}], version=4)
