@@ -176,13 +176,21 @@ class Manifest:
         out.sort()
         return out
 
-    def load(self) -> StreamState:
+    def load(self, as_of: int | None = None) -> StreamState:
         """Fold the log into a StreamState (recovery path — the analogue
         of the reference's ``buildIndexFromStorage``,
-        ``src/stream_manager.ts:503-511``)."""
+        ``src/stream_manager.ts:503-511``).
+
+        ``as_of`` replays only commits with version <= as_of — VERSION
+        AS OF time travel.  Validity window: an old version's segments
+        exist only until tombstone GC reclaims them, the same contract
+        as Delta VACUUM; readers needing longer horizons fork or raise
+        the tombstone retention."""
         entries = self._entries()
+        if as_of is not None:
+            entries = [e for e in entries if e[0] <= as_of]
         st = StreamState()
-        # Start from the latest checkpoint, replay the tail.
+        # Start from the latest (eligible) checkpoint, replay the tail.
         start = 0
         for i, (ver, kind, path) in enumerate(entries):
             if kind == "checkpoint":

@@ -829,3 +829,53 @@ def log_fork_branch(spark, sf_dir):
     return fork.to_df(spark).select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
     )
+
+
+@query(
+    "log_version_time_travel",
+    """
+    SELECT event_id FROM events
+    """,
+    doc="Manifest VERSION AS OF time travel (the Delta-style snapshot "
+    "read, complementing the reference's offset-based 'now-30d' "
+    "travel): the stream is bulk-ingested (one commit), then receives "
+    "later appends — reading AS OF the bulk commit's version must "
+    "return exactly the original event set, with the later records "
+    "invisible. Snapshot folding replays the txn log only up to the "
+    "pinned version (checkpoint-accelerated); validity window = the "
+    "tombstone retention, the same contract as Delta VACUUM. Oracle: "
+    "the plain events table.",
+)
+def log_version_time_travel(spark, sf_dir):
+    root = os.path.join(
+        "/tmp/durablestreams_asof_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    vfile = os.path.join(root, "_pinned_version")
+    cat = StreamCatalog(root)
+    stream = cat.stream("events_asof")
+    if not marker_current(marker, sf_dir):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = StreamCatalog(root)
+        stream = cat.stream("events_asof")
+        produce_bulk(
+            stream,
+            table(spark, sf_dir, "events").select("event_id", "ts"),
+            order_by=["ts", "event_id"],
+            batch_records=BATCH,
+            payload_cols=["event_id"],
+            segment_rows=2500,
+        )
+        pinned = stream.refresh().version
+        # later history the snapshot must NOT see
+        stream.produce([{"event_id": -(i + 1)} for i in range(50)])
+        with open(vfile, "w") as f:
+            f.write(str(pinned))
+        write_marker(marker, sf_dir)
+    with open(vfile) as f:
+        pinned = int(f.read().strip())
+    df = stream.to_df(spark, as_of_version=pinned)
+    return df.select(
+        F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
+    )

@@ -358,15 +358,31 @@ class Stream:
 
     # -- Spark surface ------------------------------------------------------
 
-    def segment_paths(self, after_offset: str | None = None) -> list[str]:
-        """Manifest-pruned file list for a scan starting after ``after_offset``."""
-        state = self._load()
+    def segment_paths(
+        self,
+        after_offset: str | None = None,
+        as_of_version: int | None = None,
+    ) -> list[str]:
+        """Manifest-pruned file list for a scan starting after
+        ``after_offset``; ``as_of_version`` reads the manifest VERSION
+        AS OF that commit (snapshot time travel — valid within the
+        tombstone retention window, the Delta-VACUUM contract)."""
+        state = (
+            self._load()
+            if as_of_version is None
+            else self.manifest.load(as_of=as_of_version)
+        )
         segs = state.active_sorted()
         if after_offset and after_offset != BEGINNING:
             segs = [s for s in segs if s.last_offset > after_offset]
         return [os.path.join(self.segments_dir, s.name) for s in segs]
 
-    def to_df(self, spark, after_offset: str | None = None):
+    def to_df(
+        self,
+        spark,
+        after_offset: str | None = None,
+        as_of_version: int | None = None,
+    ):
         """The stream as a batch DataFrame (offset, ts, data).
 
         File pruning happens here via the manifest; within the scan,
@@ -384,7 +400,7 @@ class Stream:
                 T.StructField("data", T.StringType(), False),
             ]
         )
-        paths = self.segment_paths(after_offset)
+        paths = self.segment_paths(after_offset, as_of_version)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)

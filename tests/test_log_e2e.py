@@ -285,3 +285,25 @@ def test_fork_stream_is_independent_zero_copy(catalog):
     f2 = fork_stream(catalog, s2.name, uuid.uuid4().hex)
     with pytest.raises(FencingError):
         f2.produce([{"value": "y"}], version=4)
+
+
+def test_version_as_of_snapshot_reads(catalog):
+    """VERSION AS OF: each historical manifest version replays exactly
+    its prefix of produces — including across a checkpoint boundary,
+    where the checkpoint newer than the pinned version must be
+    ignored."""
+    from durablestreams_spark.manifest import CHECKPOINT_INTERVAL
+
+    s = catalog.stream(uuid.uuid4().hex)
+    versions = []
+    n = CHECKPOINT_INTERVAL + 5
+    for i in range(n):
+        s.produce([{"value": f"v{i}"}])
+        versions.append(s.refresh().version)
+    for pick in (0, 2, CHECKPOINT_INTERVAL - 1, CHECKPOINT_INTERVAL + 2, n - 1):
+        st = s.manifest.load(as_of=versions[pick])
+        total = sum(m.records for m in st.active.values())
+        assert total == pick + 1, (pick, total)
+    # as_of beyond head == head
+    st = s.manifest.load(as_of=versions[-1] + 100)
+    assert sum(m.records for m in st.active.values()) == n
