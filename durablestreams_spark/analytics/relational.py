@@ -1094,3 +1094,37 @@ def agg_value_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("bin")
     )
+
+
+@query(
+    "lateral_top_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+    FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_custkey % 100 = 0
+    ORDER BY c_custkey, price DESC, o_orderkey
+    """,
+    doc="Correlated LATERAL subquery (the SQL-standard per-row derived "
+    "table): each sampled customer pulls its own top-2 orders by "
+    "price. Catalyst decorrelates the per-customer ORDER BY/LIMIT "
+    "into a ranked window over one join — the same plan the "
+    "hand-written window form produces, but arrived at from the "
+    "LATERAL spelling users actually write; DuckDB executes the "
+    "identical SQL as the oracle.",
+)
+def lateral_top_orders_per_customer(spark, sf_dir):
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        FROM customer,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey % 100 = 0
+        ORDER BY c_custkey, price DESC, o_orderkey
+        """
+    )
