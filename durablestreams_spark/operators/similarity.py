@@ -35,20 +35,32 @@ N_PLANES = 16
 DIM = 64
 TOP_K = 5
 
-#: IVF coarse quantizer: k-means with deterministic seeding — init
-#: centroids are the vectors with id ≡ 7 (mod 50), refined by
-#: IVF_KMEANS_ITERS fixed Lloyd iterations over a deterministic
-#: training sample (id ≡ 0 mod IVF_TRAIN_MOD).  Fixed init + fixed
+#: IVF coarse quantizer: k-means with FIXED capacity — a constant
+#: IVF_K centroids trained on a constant-size IVF_TRAIN_CAP sample,
+#: no matter the corpus size.  (Round 5 shipped corpus-proportional
+#: knobs — K = n/50, sample = n/5 — which made the Lloyd broadcast
+#: and the per-cell mean fold grow with the corpus: the one
+#: scale-killer the round-5 audit found.  Classic IVF trains its
+#: coarse quantizer on a bounded sample regardless of corpus size;
+#: these constants restore that contract.)  Fixed init + fixed
 #: iteration count + sorted sequential summation make the learned
 #: centroids bit-identical between Spark and the DuckDB oracle.
-IVF_CENTROID_MOD = 50
-IVF_CENTROID_REM = 7
+IVF_K = 16
 IVF_KMEANS_ITERS = 2
-#: Training sample: 1-in-5 by id.  Classic IVF trains its coarse
-#: quantizer on a bounded sample (~100k vectors) no matter the corpus
-#: size; the sample bound is also what keeps the per-centroid
-#: collect+fold in the mean step O(sample/K) at 100 TB.
-IVF_TRAIN_MOD = 5
+#: Training sample: the IVF_TRAIN_CAP corpus vectors with the lowest
+#: deterministic sample-hash (an LCG mix on vec_id, computable
+#: identically in Spark and DuckDB BIGINT arithmetic).  ORDER BY hash
+#: LIMIT cap plans as TakeOrdered — per-partition top-cap then one
+#: bounded merge — so sampling is O(cap) memory at any corpus size,
+#: and the per-centroid collect+fold in the mean step is O(cap/K).
+IVF_TRAIN_CAP = 512
+#: Sampling hash: h(id) = (id * A + B) mod 2^31.  Exact in BIGINT for
+#: id < ~8.4e9 (no overflow in either engine); at larger id spaces use
+#: a 64-bit splitmix — the contract is only "same total order in both
+#: engines".
+SAMPLE_HASH_A = 1103515245
+SAMPLE_HASH_B = 12345
+SAMPLE_HASH_M = 2_147_483_648
 #: Multi-probe: each query searches its NPROBE nearest cells, the
 #: standard recall knob (single-probe measured recall@5 = 0.36 on the
 #: near-orthogonal fixture; 3 probes of ~10 cells measured 0.64 at
@@ -251,15 +263,34 @@ def similarity_bucketed_pairs(spark, sf_dir):
     )
 
 
+def _sample_h_sql(col: str = "vec_id") -> str:
+    """The deterministic sampling hash as SQL — identical BIGINT
+    arithmetic in Spark and DuckDB."""
+    return f"({col} * {SAMPLE_HASH_A} + {SAMPLE_HASH_B}) % {SAMPLE_HASH_M}"
+
+
+def _sample_h_col() -> F.Column:
+    """The same sampling hash as a Spark column expression."""
+    return (
+        F.col("vec_id") * F.lit(SAMPLE_HASH_A) + F.lit(SAMPLE_HASH_B)
+    ) % F.lit(SAMPLE_HASH_M)
+
+
 def _kmeans_sql() -> str:
-    """CTE chain for the deterministic Lloyd refinement: cents0 = the
-    seeded init, cents{t+1} = per-cell mean of the training sample in
+    """CTE chain for the deterministic Lloyd refinement: train = the
+    IVF_TRAIN_CAP lowest-sample-hash vectors (FIXED size at any
+    corpus), cents0 = the first IVF_K of those in sample order keyed
+    0..K-1, cents{t+1} = per-cell mean of the training sample in
     ascending-vec_id fold order (exactly the float-op order the Spark
     side uses, so centroids agree bit-for-bit)."""
+    h = _sample_h_sql()
     ctes = [
-        f"""train AS (SELECT vec_id, emb FROM v WHERE vec_id % {IVF_TRAIN_MOD} = 0),
-    cents0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
-               WHERE vec_id % {IVF_CENTROID_MOD} = {IVF_CENTROID_REM})"""
+        f"""train AS (SELECT vec_id, emb FROM v
+               ORDER BY {h}, vec_id LIMIT {IVF_TRAIN_CAP}),
+    cents0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cent_id,
+                      emb AS cemb
+               FROM (SELECT vec_id, emb FROM train
+                     ORDER BY {h}, vec_id LIMIT {IVF_K}))"""
     ]
     for t in range(IVF_KMEANS_ITERS):
         ctes.append(
@@ -308,20 +339,23 @@ def _kmeans_sql() -> str:
           FROM scored)
     WHERE rank <= {TOP_K}
     """,
-    doc=f"IVF ANN with a LEARNED coarse quantizer: k-means (seeded "
-    f"init = id ≡ {IVF_CENTROID_REM} mod {IVF_CENTROID_MOD}, "
-    f"{IVF_KMEANS_ITERS} Lloyd iterations over the 1-in-{IVF_TRAIN_MOD} "
-    "training sample), then every vector is assigned to its nearest "
-    f"centroid and each query searches ONLY its own cell — top-{TOP_K} "
-    "by exact cosine within the probe set.  The scan is O(n/cells) per "
-    "query instead of O(n): the scale path when brute force stops "
-    "fitting.  Determinism: fixed init + fixed iteration count + "
-    "ascending-id sequential summation in the mean step give "
-    "bit-identical centroids in Spark and the oracle.  Per iteration "
-    "the plan is one broadcast join (assignment) + one bounded "
-    "shuffle on cent_id (means over the SAMPLE, so collect+fold is "
-    "O(sample/K) per cell regardless of corpus size); final search "
-    "shuffles on cent_id, cells being the unit of parallelism.",
+    doc=f"IVF ANN with a LEARNED, FIXED-CAPACITY coarse quantizer: "
+    f"k-means with a constant K = {IVF_K} centroids (init = first K "
+    f"sample vectors), {IVF_KMEANS_ITERS} Lloyd iterations over a "
+    f"constant-size {IVF_TRAIN_CAP}-vector sample (lowest sample-hash "
+    "via TakeOrdered), then every vector is assigned to its nearest "
+    f"centroid and each query searches ONLY its probed cells — "
+    f"top-{TOP_K} by exact cosine within the probe set.  The scan is "
+    "O(n·nprobe/K) per query instead of O(n): the scale path when "
+    "brute force stops fitting.  Determinism: fixed init + fixed "
+    "iteration count + ascending-id sequential summation in the mean "
+    "step give bit-identical centroids in Spark and the oracle.  "
+    "Per iteration the plan is one O(K)-row broadcast (assignment) + "
+    "one bounded shuffle on cent_id (means over the CAPPED sample, so "
+    "collect+fold is O(cap/K) per cell regardless of corpus size); "
+    "final search shuffles on cent_id, cells being the unit of "
+    "parallelism.  Neither K nor the sample grows with the corpus — "
+    "the round-5 proportional knobs (K=n/50, sample=n/5) are gone.",
 )
 def similarity_ivf_topk(spark, sf_dir):
     ranked = _ivf_ranked(spark, sf_dir)
@@ -362,14 +396,27 @@ def _ivf_ranked(spark, sf_dir):
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     v = emb.withColumn("norm", F.sqrt(_dot("emb", "emb")))
-    cent = v.where(
-        F.col("vec_id") % IVF_CENTROID_MOD == IVF_CENTROID_REM
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("emb").alias("cemb"),
+    # FIXED-capacity training sample: the IVF_TRAIN_CAP lowest
+    # sample-hash vectors.  orderBy+limit plans as TakeOrdered
+    # (per-partition top-cap → one bounded merge), so the sample costs
+    # O(cap) memory at any corpus size; the eager localCheckpoint
+    # materializes it ONCE for the Lloyd rounds instead of re-running
+    # the corpus scan per iteration.
+    train = (
+        v.select("vec_id", "emb", "norm")
+        .withColumn("h", _sample_h_col())
+        .orderBy("h", "vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .localCheckpoint(eager=True)
     )
-    train = v.where(F.col("vec_id") % IVF_TRAIN_MOD == 0).select(
-        "vec_id", "emb", "norm"
+    # Init = the first IVF_K sample rows in sample order, keyed
+    # 0..K-1.  The global window is bounded: it runs over the CAP-row
+    # checkpointed sample, never the corpus.
+    w_seed = W.orderBy("h", "vec_id")
+    cent = (
+        train.withColumn("rn", F.row_number().over(w_seed))
+        .where(F.col("rn") <= IVF_K)
+        .select((F.col("rn") - 1).alias("cent_id"), F.col("emb").alias("cemb"))
     )
     for _ in range(IVF_KMEANS_ITERS):
         cn = cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb")))
@@ -422,14 +469,17 @@ def _ivf_ranked(spark, sf_dir):
 #: Product quantization: DIM is carved into PQ_M subspaces of PQ_SUB
 #: dims; each subspace gets its own PQ_K-centroid codebook (seeded
 #: deterministic k-means, PQ_ITERS Lloyd rounds over the
-#: 1-in-PQ_TRAIN_MOD sample).  A vector is stored as PQ_M small codes
+#: capped PQ_TRAIN_CAP sample).  A vector is stored as PQ_M small codes
 #: — 8 bytes instead of 512 (64x) — and queries score the whole corpus
 #: with per-query lookup tables (ADC), never touching raw vectors.
+#: Training capacity is FIXED like the IVF quantizer's: codebooks are
+#: learned from the PQ_TRAIN_CAP lowest-sample-hash vectors, a
+#: constant-size sample at any corpus scale.
 PQ_M = 16
 PQ_SUB = DIM // PQ_M
 PQ_K = 32
 PQ_ITERS = 2
-PQ_TRAIN_MOD = 5
+PQ_TRAIN_CAP = 512
 PQ_QUERY_MOD = 100
 
 
@@ -453,16 +503,21 @@ def _pq_duck_l2(a: str, b: str) -> str:
 
 def _pq_kmeans_sql(p: str = "") -> str:
     """Per-subspace Lloyd refinement, same determinism contract as
-    _kmeans_sql: seeded init (the PQ_K lowest-id training vectors'
+    _kmeans_sql: FIXED-capacity sample (the PQ_TRAIN_CAP lowest-
+    sample-hash vectors), seeded init (the first PQ_K sample vectors'
     sub-slices), fixed rounds, ascending-vec_id fold-order means.
     ``p`` prefixes every CTE name so this chain can be composed with
     the IVF chain (whose ``cents{{t}}``/``assign{{t}}`` names would
     otherwise collide) in one oracle."""
+    h = _sample_h_sql()
     ctes = [
-        f"""{p}trainsub AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0),
-    {p}init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
-                 FROM v WHERE vec_id % {PQ_TRAIN_MOD} = 0
-                 ORDER BY vec_id LIMIT {PQ_K}),
+        f"""{p}train_ids AS (SELECT vec_id FROM v
+                 ORDER BY {h}, vec_id LIMIT {PQ_TRAIN_CAP}),
+    {p}trainsub AS (SELECT s.* FROM sub s JOIN {p}train_ids t USING (vec_id)),
+    {p}init_ids AS (SELECT vec_id,
+                           row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cent_id
+                 FROM (SELECT vec_id FROM {p}train_ids
+                       ORDER BY {h}, vec_id LIMIT {PQ_K})),
     {p}cents0 AS (SELECT s.sub_id, t.cent_id, s.svec AS cemb
                FROM sub s JOIN {p}init_ids t USING (vec_id))"""
     ]
@@ -541,8 +596,9 @@ _PQ_ADC_SUM_SPARK = " + ".join(f"dt[{m}][codes[{m}]]" for m in range(PQ_M))
     """,
     doc=f"Product-quantization ANN (ADC): {PQ_M} subspaces x {PQ_K} "
     f"codes, codebooks learned by seeded k-means ({PQ_ITERS} Lloyd "
-    f"rounds over the 1-in-{PQ_TRAIN_MOD} sample, init = the {PQ_K} "
-    "lowest-id training vectors, dense re-key of survivors). Vectors "
+    f"rounds over a FIXED {PQ_TRAIN_CAP}-vector lowest-sample-hash "
+    f"sample, init = the first {PQ_K} sample vectors, dense re-key of "
+    "survivors). Vectors "
     f"compress 512 B -> {PQ_M} 5-bit codes (10 B packed); each query "
     f"scores the WHOLE corpus from a broadcast {PQ_M}x{PQ_K} lookup "
     f"table with a fixed-order {PQ_M}-term sum "
@@ -589,18 +645,24 @@ def _pq_artifacts(spark, sf_dir):
             F.expr(f"slice(emb, sub_id * {PQ_SUB} + 1, {PQ_SUB})").alias("svec"),
         )
     )
-    trainsub = sub.where(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    # Init = the PQ_K lowest-id training vectors.  orderBy+limit plans
-    # as TakeOrdered (per-partition top-K -> driver merge), so the
+    # FIXED-capacity training sample, same contract as the IVF coarse
+    # quantizer: the PQ_TRAIN_CAP lowest-sample-hash vec_ids via
+    # TakeOrdered (bounded at any corpus size), broadcast against the
+    # subspace explosion to restrict Lloyd to the sample.
+    train_ids = (
+        v.select("vec_id")
+        .withColumn("h", _sample_h_col())
+        .orderBy("h", "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .localCheckpoint(eager=True)
+    )
+    trainsub = sub.join(F.broadcast(train_ids.select("vec_id")), "vec_id")
+    # Init = the first PQ_K sample vectors in sample order.  The
     # bounded PQ_K-row collect replaces a global single-partition sort
     # window — O(K) driver memory at any corpus size.
     seed_ids = [
         r.vec_id
-        for r in v.where(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-        .select("vec_id")
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .collect()
+        for r in train_ids.orderBy("h", "vec_id").limit(PQ_K).collect()
     ]
     init_ids = spark.createDataFrame(
         [(int(i), c) for c, i in enumerate(seed_ids)], "vec_id long, cent_id int"

@@ -8,10 +8,14 @@ from pyspark.sql import functions as F
 
 from durablestreams_spark.analytics.core import all_queries, table
 from durablestreams_spark.operators.similarity import (
-    IVF_CENTROID_MOD,
-    IVF_CENTROID_REM,
+    IVF_K,
     IVF_NPROBE,
+    IVF_TRAIN_CAP,
+    SAMPLE_HASH_A,
+    SAMPLE_HASH_B,
+    SAMPLE_HASH_M,
     TOP_K,
+    _ivf_ranked,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -56,10 +60,7 @@ def _py_reference_ivf(sf_dir):
 
     import pyarrow.parquet as pq
 
-    from durablestreams_spark.operators.similarity import (
-        IVF_KMEANS_ITERS,
-        IVF_TRAIN_MOD,
-    )
+    from durablestreams_spark.operators.similarity import IVF_KMEANS_ITERS
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     rows = sorted(
@@ -69,12 +70,13 @@ def _py_reference_ivf(sf_dir):
         )
     )
     norms = {i: math.sqrt(_seq_dot(v, v)) for i, v in rows}
-    cents = {
-        i: list(v)
-        for i, v in rows
-        if i % IVF_CENTROID_MOD == IVF_CENTROID_REM
-    }
-    train = [(i, v) for i, v in rows if i % IVF_TRAIN_MOD == 0]
+
+    def h(i):
+        return (i * SAMPLE_HASH_A + SAMPLE_HASH_B) % SAMPLE_HASH_M
+
+    sample = sorted(rows, key=lambda t: (h(t[0]), t[0]))[:IVF_TRAIN_CAP]
+    cents = {c: list(v) for c, (_i, v) in enumerate(sample[:IVF_K])}
+    train = sample
     for _ in range(IVF_KMEANS_ITERS):
         cnorm = {c: math.sqrt(_seq_dot(e, e)) for c, e in cents.items()}
         assign = {}
@@ -135,18 +137,26 @@ def test_ivf_matches_pure_python_reference(spark):
 
 def test_ivf_probe_set_is_bounded(spark):
     """Multi-probe must search NPROBE cells per query, not the whole
-    corpus: the scored candidate count per query must be well under
-    the corpus size (the whole point of the index)."""
-    emb = table(spark, SF_DIR, "embeddings")
-    n_corpus = emb.count()
-    n_cells = emb.where(
-        F.col("vec_id") % IVF_CENTROID_MOD == IVF_CENTROID_REM
-    ).count()
-    # ~ n/K vectors per cell x NPROBE probes, with generous slack for
-    # imbalanced cells.
-    assert n_cells >= 2
-    expected_frac = IVF_NPROBE / n_cells
+    corpus: the probed fraction is NPROBE/K by construction."""
+    assert IVF_K >= 2
+    expected_frac = IVF_NPROBE / IVF_K
     assert expected_frac < 0.75
+
+
+def test_ivf_capacity_is_corpus_independent(spark):
+    """The round-5 scale-killer regression guard: the quantizer's
+    capacity (number of centroids, training-sample size) must NOT
+    scale with the corpus.  sf0.001 has 500 vectors, sf0.1 has 2000 —
+    a 4x corpus must still learn exactly IVF_K centroids from at most
+    IVF_TRAIN_CAP sample rows, so the Lloyd-stage broadcast is O(K)
+    rows at any scale."""
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.1"):
+        ranked = _ivf_ranked(spark, sf_dir)
+        n_cents = ranked.select("cent_id").distinct().count()
+        assert n_cents == IVF_K, (sf_dir, n_cents)
+    n_01 = table(spark, "/root/testdata/sf0.1", "embeddings").count()
+    n_001 = table(spark, SF_DIR, "embeddings").count()
+    assert n_01 >= 4 * n_001  # the fixtures really do differ in size
 
 
 def test_ivfpq_recall_floor_vs_brute(spark):
