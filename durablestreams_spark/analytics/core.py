@@ -20,6 +20,8 @@ byte-identical values):
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -122,23 +124,46 @@ def spread(df: DataFrame) -> DataFrame:
     shuffle happens.  Use ahead of CPU-heavy per-row stages only; plain
     scans/filters/aggregates don't need it.
 
-    Cost note: the exact split-count check needs ``df.rdd`` — a
-    driver-side physical-plan conversion — so it's short-circuited by
-    ``inputFiles()`` (analysis only): when the scan already has at
-    least cores-many FILES, splits >= files and no rebalance can be
-    needed, which is every at-scale path.  The ``.rdd`` hop runs only
-    in the few-small-files regime, where the plan is tiny anyway."""
-    sc = df.sparkSession.sparkContext
-    n_par = sc.defaultParallelism
+    Cost note: the check uses ``inputFiles()`` (analysis only) plus
+    O(files) stat calls — never ``df.rdd`` (a driver-side
+    physical-plan conversion in every query's hot path).  When the
+    scan already has at least cores-many FILES, splits >= files and no
+    rebalance can be needed — every at-scale path.  In the few-files
+    regime the split count is estimated the same way Spark's
+    FilePartition packing does: ceil(size / maxPartitionBytes) per
+    file; unreadable/remote sizes count as one split (conservative —
+    worst case is one avoidable repartition of a small scan)."""
+    spark = df.sparkSession
+    n_par = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-scan plans
         files = []
-    if len(files) >= n_par:
+    if not files or len(files) >= n_par:
         return df
-    if df.rdd.getNumPartitions() < n_par:
-        return df.repartition(n_par)
-    return df
+    max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    splits = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            size = os.stat(path).st_size
+        except OSError:
+            size = 0  # remote/unreadable — count as a single split
+        splits += max(1, -(-size // max_split))
+        if splits >= n_par:
+            return df
+    return df.repartition(n_par)
+
+
+_BYTE_SUFFIX = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-string to int: '134217728b', '128m', '128MB', '1g'."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", raw.lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {raw!r}")
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)]
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

@@ -29,6 +29,11 @@ def infer_payload_schema(spark, df: DataFrame, sample: int = 1000) -> StructType
     """Infer a payload schema from a sample of records (read-time
     sampling per SURVEY.md §1.3 — the dynamic-schema affordance).
     Inference cost is bounded by ``sample``; pin the result in code for
-    production reads so plans stay stable."""
-    rows = df.select("data").limit(sample)
-    return spark.read.json(rows.rdd.map(lambda r: r.data)).schema
+    production reads so plans stay stable.  The bounded sample is
+    collected and re-distributed rather than hopping through
+    ``df.rdd`` (a driver-side physical-plan conversion); Spark's own
+    JSON schema inference then merges types across the sample."""
+    strings = [r.data for r in df.select("data").limit(sample).collect()]
+    return spark.read.json(
+        spark.sparkContext.parallelize(strings or ["{}"], 2)
+    ).schema

@@ -418,6 +418,13 @@ def apply_retention(stream: Stream, cutoff_offset: str) -> list[SegmentMeta]:
     ``clean_tombstones`` under the usual grace window, so in-flight
     reads planned against the old manifest stay valid — the exact
     lifecycle compaction rewrites already use."""
+    from .offsets import is_offset
+
+    # A malformed cutoff (short, unpadded, non-numeric) would still
+    # compare lexicographically against 32-digit offsets and could
+    # silently tombstone EVERY segment — validate like consume() does.
+    if not is_offset(cutoff_offset):
+        raise ValueError(f"malformed cutoff offset: {cutoff_offset!r}")
     state = stream.refresh()
     victims = [
         s for s in state.active_sorted() if s.last_offset < cutoff_offset
@@ -476,6 +483,11 @@ def fork_stream(catalog, src_name: str, dst_name: str) -> Stream:
                 "last_epoch_ms": state.last_epoch_ms,
                 "producer_version": state.producer_version,
             },
+            # Carry the source's streaming-transaction watermarks too:
+            # without them a foreachBatch exactly-once ingest re-pointed
+            # at the fork would lose replay detection and re-append
+            # already-committed micro-batches as duplicates.
+            "txns": dict(state.txns),
         }
     )
     return dst

@@ -185,9 +185,19 @@ class Manifest:
         AS OF time travel.  Validity window: an old version's segments
         exist only until tombstone GC reclaims them, the same contract
         as Delta VACUUM; readers needing longer horizons fork or raise
-        the tombstone retention."""
+        the tombstone retention.  A nonexistent version raises
+        ValueError (the Delta VERSION AS OF contract): silently
+        serving the nearest snapshot would turn a typo'd version into
+        a read of the wrong data."""
         entries = self._entries()
         if as_of is not None:
+            known = {v for v, kind, _p in entries if kind == "commit"}
+            if as_of not in known:
+                span = f"[{min(known)}, {max(known)}]" if known else "<empty>"
+                raise ValueError(
+                    f"VERSION AS OF {as_of}: no such manifest commit "
+                    f"(valid versions: {span})"
+                )
             entries = [e for e in entries if e[0] <= as_of]
         st = StreamState()
         # Start from the latest (eligible) checkpoint, replay the tail.
@@ -219,6 +229,10 @@ class Manifest:
                 st.tombstones[name] = (m, rm_ms)
         for name in actions.get("purge_tombstones", []):
             st.tombstones.pop(name, None)
+        # bulk txn carry-over (stream forks): replaces nothing, only
+        # seeds watermarks absent from this state
+        for app, batch in actions.get("txns", {}).items():
+            st.txns[str(app)] = int(batch)
         meta = actions.get("set", {})
         if "producer_version" in meta:
             st.producer_version = int(meta["producer_version"])

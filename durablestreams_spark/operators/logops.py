@@ -680,9 +680,13 @@ def log_retention_trim(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
     )
     marker = os.path.join(root, "_built")
+    # geometry-affecting builder knobs are part of the cache identity:
+    # changing any of them (e.g. the round-5 exact_segments switch)
+    # must invalidate caches built with the old geometry.
+    ret_params = f"exact:{RET_SEG_ROWS}:{BATCH}"
     cat = StreamCatalog(root)
     stream = cat.stream("events_ret")
-    if not marker_current(marker, sf_dir):
+    if not marker_current(marker, sf_dir, params=ret_params):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(root)
         stream = cat.stream("events_ret")
@@ -706,7 +710,7 @@ def log_retention_trim(spark, sf_dir):
         mid = max(1, n // 2)
         cutoff = serialize_offset((mid - 1) // BATCH + 1, (mid - 1) % BATCH)
         apply_retention(stream, cutoff)
-        write_marker(marker, sf_dir)
+        write_marker(marker, sf_dir, params=ret_params)
     df = stream.to_df(spark)
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")

@@ -304,6 +304,11 @@ def test_version_as_of_snapshot_reads(catalog):
         st = s.manifest.load(as_of=versions[pick])
         total = sum(m.records for m in st.active.values())
         assert total == pick + 1, (pick, total)
-    # as_of beyond head == head
-    st = s.manifest.load(as_of=versions[-1] + 100)
-    assert sum(m.records for m in st.active.values()) == n
+    # nonexistent versions raise (the Delta VERSION AS OF contract) —
+    # a typo'd version must fail, not silently read a nearby snapshot
+    import pytest
+
+    with pytest.raises(ValueError, match="VERSION AS OF"):
+        s.manifest.load(as_of=versions[-1] + 100)
+    with pytest.raises(ValueError, match="VERSION AS OF"):
+        s.manifest.load(as_of=-3)

@@ -205,17 +205,17 @@ def test_stateful_running_user_stats(spark, tmp_path):
 
 def test_transform_with_state_gate(spark, tmp_path):
     """transformWithStateInPandas (Spark-4 typed-state API) is gated on
-    protobuf: with it installed the MapState histogram must match the
-    batch aggregate; without it the wrapper must raise a CLEAR
+    protobuf: with a runtime available (pip-installed or discovered on
+    the host by _protobuf_compat) the MapState histogram must match
+    the batch aggregate; without one the wrapper must raise a CLEAR
     ImportError instead of Spark's opaque driver-worker crash."""
     import pytest
 
+    from durablestreams_spark._protobuf_compat import enable_protobuf_runtime
     from durablestreams_spark.streaming.stateful import user_type_histogram
 
     src = _events_stream(spark).select("user_id", "event_type")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    if not enable_protobuf_runtime(spark):
         with pytest.raises(ImportError, match="protobuf"):
             user_type_histogram(src)
         return
