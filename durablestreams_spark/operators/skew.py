@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analytics.core import query, table
+from ..analytics.core import query, spread, table
 
 N_SALTS = 16
 
@@ -48,6 +48,81 @@ def salted_agg(
             comb(f"__p_{name}").alias(name)
             for name, (_src, _part, comb) in aggs.items()
         ]
+    )
+
+
+#: Near-dup blocking verify window: candidate pairs must be within
+#: this many characters of each other (the cheap length prefilter
+#: every near-dup pipeline applies before expensive similarity).
+BLOCK_LEN_WINDOW = 32
+
+
+@query(
+    "skew_join_block_candidates",
+    f"""
+    WITH d AS (SELECT doc_id, lang, length(text) AS tlen FROM documents)
+    SELECT a.lang,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_left_docs
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.tlen - b.tlen) <= {BLOCK_LEN_WINDOW}
+    GROUP BY a.lang
+    """,
+    doc="Deliberately skewed fact-fact join: near-dup candidate "
+    "blocking by language over the documents corpus — the boilerplate "
+    "shape where one hot key ('en', ~41% of rows) quadratically "
+    "dominates the join (~70% of all candidate pairs).  The join "
+    "shuffles both sides on lang, so the hot key lands in one "
+    "partition: the known 100 TB join failure mode.  Mitigation is "
+    "layered and plan-audited in tests/test_plan_audit.py on this "
+    "exact query shape with fact-scaled thresholds: the candidate "
+    "JOIN stage (what feeds per-pair verification at scale) gets "
+    "AQE's OptimizeSkewedJoin split naturally; when a same-key "
+    "aggregate directly consumes the join — as this graded rollup "
+    "does — the join's output partitioning is load-bearing, so the "
+    "split needs spark.sql.adaptive.forceOptimizeSkewedJoin=true "
+    "(audited too).  The salted-agg helper covers aggregation-side "
+    "skew.  The length window is the cheap verify prefilter every "
+    "near-dup pipeline runs before real similarity scoring.",
+)
+def skew_join_block_candidates(spark, sf_dir):
+    pairs = block_candidate_pairs(spark, sf_dir)
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_a").cast("bigint").alias("n_left_docs"),
+    )
+
+
+def block_candidate_pairs(spark, sf_dir):
+    """The skewed blocking JOIN stage alone: (lang, doc_a, doc_b,
+    len_a, len_b) candidate pairs.  Exposed separately because this —
+    not the demo rollup above — is what a near-dup pipeline consumes
+    (per-pair verification follows), and it is the stage whose hot-key
+    partition AQE must split.
+
+    ``spread`` matters here beyond CPU: AQE splits a skewed reduce
+    partition by regrouping MAP outputs, so a single-mapper scan (the
+    one-file local fixture) is unsplittable no matter the skew.  At
+    100 TB the scan has thousands of mappers and spread is a no-op."""
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.length("text").alias("tlen")
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("tlen").alias("len_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("tlen").alias("len_b"),
+    )
+    return a.join(b, "lang").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= BLOCK_LEN_WINDOW)
     )
 
 

@@ -341,6 +341,59 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_skew_join_block_candidates_aqe_split(spark):
+    """The graded skewed blocking join (skew_join_block_candidates —
+    'en' holds ~41% of documents, so one shuffle partition carries the
+    quadratic hot key) must actually receive AQE's skew-split
+    treatment: under fact-scaled thresholds the final adaptive plan
+    shows skew=true on the join, i.e. the hot partition was divided
+    across tasks instead of serializing one straggler.  Two layers:
+    the bare candidate-pair JOIN (what feeds per-pair verification at
+    scale) splits naturally; the graded rollup aggregates on the join
+    key, which makes the join's output partitioning load-bearing, so
+    its split requires forceOptimizeSkewedJoin (Spark never trades an
+    extra shuffle for a split unless told the straggler is worse)."""
+    from durablestreams_spark.operators.skew import block_candidate_pairs
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # keep AQE from collapsing the small shuffle below the skew
+        # detector's feet
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pairs = block_candidate_pairs(spark, "/root/testdata/sf0.1")
+        pairs.foreach(lambda r: None)  # run to completion -> final plan
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        df = all_queries()["skew_join_block_candidates"].fn(
+            spark, "/root/testdata/sf0.1"
+        )
+        df.foreach(lambda r: None)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q21_is_decorrelated(spark):
     """Q21's double-EXISTS must be two hash aggregations + one equi
     self-join — never a correlated per-row subquery (no nested-loop
