@@ -133,6 +133,69 @@ def _burn(n: int) -> int:
     return x
 
 
+#: Self-maintained env-probe history (the driver's BENCH_r*.json
+#: wrapper truncates our JSON line, so prior env probes live here).
+#: One JSON line per bench run: {"round_hint", "env", "totals"}.
+HISTORY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+)
+
+
+def _last_history() -> dict | None:
+    try:
+        with open(HISTORY) as f:
+            lines = [ln for ln in f if ln.strip()]
+        return json.loads(lines[-1]) if lines else None
+    except (OSError, ValueError):
+        return None
+
+
+def append_history(env: dict, totals: dict) -> None:
+    try:
+        with open(HISTORY, "a") as f:
+            f.write(
+                json.dumps({"ts": time.time(), "env": env, "totals": totals})
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
+def compare_env(env: dict) -> dict:
+    """Self-diagnosing drift check: ratio of this run's machine probes
+    to the previous bench run's (bench_history.jsonl), with a one-line
+    verdict.  Ratios > 1 on cpu_single/fsync mean THIS box is slower
+    than the box that produced the previous numbers — scale
+    cross-round query deltas by these before calling anything a
+    regression."""
+    prev = _last_history()
+    if prev is None or not env or "error" in env:
+        return {"note": "no prior bench history or no env probes"}
+    prev_env = prev.get("env", {})
+    out = {"vs": "bench_history.jsonl[-1]"}
+    ratios = {}
+    for key, invert in (
+        ("cpu_single_sec", False),  # bigger = slower box
+        ("fsync_ms", False),        # bigger = slower disk sync
+        ("disk_write_mb_s", True),  # bigger = FASTER disk, so invert
+    ):
+        a, b = env.get(key), prev_env.get(key)
+        if a and b:
+            r = (b / a) if invert else (a / b)
+            ratios[key] = round(r, 2)
+    out["slowdown_ratio"] = ratios
+    worst = max(ratios.values(), default=1.0)
+    best = min(ratios.values(), default=1.0)
+    if worst <= 1.15 and best >= 0.85:
+        out["verdict"] = "environment comparable to previous round"
+    else:
+        out["verdict"] = (
+            "environment drifted vs previous round — divide query "
+            "deltas by these ratios before reading them as plan changes"
+        )
+    return out
+
+
 def bench_log_ops() -> dict[str, float]:
     """The reference's own latency surface (BASELINE.md derived targets):
     produce→durable-ack, offset-addressed consume, tail delivery after a
@@ -373,9 +436,14 @@ def main() -> None:
     # ---- sf1 section: shuffle-heavy plans change regime with size, so
     # sf0.1 headroom can be an artifact.  Build (once, cached in /tmp)
     # a 10x key-offset replication of sf0.1 and time the heaviest
-    # queries there.  Never allowed to break the main output.
+    # queries there.  Same min-of-k + spread methodology as the
+    # headline section (the sf1 numbers carry the scale claims, so
+    # they need the variance treatment MOST): run 1 is the warm pass
+    # for these plans' unique codegen, runs 2..k are timed.  Never
+    # allowed to break the main output.
     sf1_timings: dict[str, float] = {}
     sf1_extra: dict[str, float] = {}
+    sf1_spread: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             from tools_make_sf1 import build as _build_sf1
@@ -384,17 +452,73 @@ def main() -> None:
             _build_sf1(sf1_dir, sf_dir, 10)
             for name in SF1_HEAVY + SF1_EXTRA:
                 try:
-                    t0 = time.perf_counter()
-                    n = specs[name].fn(spark, sf1_dir).count()
-                    dt = round(time.perf_counter() - t0, 3)
+                    times = []
+                    n = 0
+                    for _ in range(3):  # run 0 = warm (codegen), discarded
+                        t0 = time.perf_counter()
+                        n = specs[name].fn(spark, sf1_dir).count()
+                        times.append(time.perf_counter() - t0)
+                    dt = round(min(times[1:]), 3)
                     (sf1_timings if name in SF1_HEAVY else sf1_extra)[name] = dt
-                    print(f"# sf1 {name}: {dt}s rows={n}", file=sys.stderr)
+                    sf1_spread[name] = [
+                        round(min(times[1:]), 3), round(max(times[1:]), 3)
+                    ]
+                    print(
+                        f"# sf1 {name}: {dt}s rows={n} runs="
+                        f"{[round(t, 2) for t in times]}",
+                        file=sys.stderr,
+                    )
                 except Exception as e:  # noqa: BLE001
                     failures[f"sf1:{name}"] = f"{type(e).__name__}: {e}"
                     print(f"# sf1 FAILED {name}: {e}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             failures["sf1:build"] = f"{type(e).__name__}: {e}"
             print(f"# sf1 build FAILED: {e}", file=sys.stderr)
+
+    # ---- sf3 section: iterative-graph round-count scaling, MEASURED.
+    # CC's cost model is rounds x (join+agg shuffle); the only way to
+    # know whether rounds or per-round cost grow with data is to time
+    # each round on a bigger replication.  30x sf0.1 (~sf3) fits
+    # memory; the LSH candidate build is setup (checkpointed,
+    # untimed).  PageRank is intentionally absent: its rounds are
+    # fused into one post-unroll-checkpointed plan (measured 1.6x
+    # faster at sf1), so "per-round time" is not an observable there.
+    sf3: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF3", "1") != "0":
+        try:
+            from tools_make_sf1 import build as _build_sf1
+
+            from durablestreams_spark.operators.dedup import (
+                connected_components_star,
+                dedup_minhash_lsh_pairs,
+            )
+
+            sf3_dir = "/tmp/spark_graft_sf3"
+            _build_sf1(sf3_dir, sf_dir, 30)
+            pairs = dedup_minhash_lsh_pairs(spark, sf3_dir).localCheckpoint()
+            n_edges = pairs.count()
+            round_times: list[float] = []
+            t0 = time.perf_counter()
+            labels, n_rounds = connected_components_star(
+                pairs, round_times=round_times
+            )
+            n_nodes = labels.count()
+            total_cc = round(time.perf_counter() - t0, 3)
+            sf3 = {
+                "cc_star_edges": n_edges,
+                "cc_star_nodes": n_nodes,
+                "cc_star_rounds": n_rounds,
+                "cc_star_round_sec": round_times,
+                "cc_star_total_sec": total_cc,
+            }
+            print(
+                f"# sf3 cc_star: edges={n_edges} rounds={n_rounds} "
+                f"per-round={round_times} total={total_cc}s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            failures["sf3:cc_star"] = f"{type(e).__name__}: {e}"
+            print(f"# sf3 FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -426,13 +550,28 @@ def main() -> None:
         "with single queries swinging 3x run-to-run and fsync-bound "
         "ops consistently ~1.5-2x r2 — environment drift (noisy "
         "CPU, slower disk), not plan regressions.  Compare the 'env' "
-        "probes across rounds before reading query deltas as real."
+        "probes across rounds before reading query deltas as real; "
+        "'env_vs_prev' below does that comparison automatically."
+    )
+    result["env_vs_prev"] = compare_env(result.get("env", {}))
+    append_history(
+        result.get("env", {}),
+        {
+            "headline_total": total,
+            "sf1_total": round(sum(sf1_timings.values()), 3)
+            if sf1_timings
+            else None,
+        },
     )
     if sf1_timings:
         result["sf1_queries"] = sf1_timings
         result["sf1_total"] = round(sum(sf1_timings.values()), 3)
     if sf1_extra:
         result["sf1_extra"] = sf1_extra
+    if sf1_spread:
+        result["sf1_spread"] = sf1_spread
+    if sf3:
+        result["sf3_extra"] = sf3
     if aux:
         result["aux"] = aux
     if failures:

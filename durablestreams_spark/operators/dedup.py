@@ -462,7 +462,9 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
-def connected_components_star(pairs, a="doc_a", b="doc_b", max_rounds=50):
+def connected_components_star(
+    pairs, a="doc_a", b="doc_b", max_rounds=50, round_times=None
+):
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
     100 TB variant of min-label propagation: convergence in
@@ -479,7 +481,14 @@ def connected_components_star(pairs, a="doc_a", b="doc_b", max_rounds=50):
     (iterative-Spark failure mode); convergence = (count, hash-sum)
     signature of the edge set stable across a round, O(1) driver data.
 
+    ``round_times``: optional list; when given, the wall-clock seconds
+    of each round (large-star + small-star + convergence signature,
+    all materialized by the per-round eager localCheckpoint) are
+    appended — the bench uses this to MEASURE round-count scaling at
+    replicated SFs instead of asserting it.
+
     Returns (labels_df[node, label], rounds)."""
+    import time as _time
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     e = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -490,6 +499,7 @@ def connected_components_star(pairs, a="doc_a", b="doc_b", max_rounds=50):
     prev = None
     rounds = 0
     while rounds < max_rounds:
+        t_round = _time.perf_counter()
         # large-star: for each u, attach its larger neighbors to
         # m = min(neighbors ∪ u).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -534,6 +544,8 @@ def connected_components_star(pairs, a="doc_a", b="doc_b", max_rounds=50):
             F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         cur = (sig_row["c"], sig_row["h"])
+        if round_times is not None:
+            round_times.append(round(_time.perf_counter() - t_round, 3))
         if cur == prev:
             break
         prev = cur
