@@ -631,6 +631,62 @@ def streaming_stateful_user_ewma(spark, sf_dir):
 
 
 @query(
+    "streaming_tws_type_histogram",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    doc="LIVE transformWithStateInPandas (Spark-4 typed-state API): "
+    "per-user event-type histogram in typed MapState — per-key state "
+    "I/O is O(types touched per batch), not O(total state), the "
+    "property that matters when keys accumulate wide state over long "
+    "streams.  Drained with availableNow on the RocksDB state store; "
+    "the final emission per user must equal the batch aggregate, "
+    "which IS the oracle.  The protobuf runtime TWS workers need is "
+    "discovered on the host (_protobuf_compat); when none exists the "
+    "query degrades to the applyInPandasWithState JSON-blob fallback "
+    "with the identical output contract (documented trade: fallback "
+    "state I/O is O(total state) per batch).",
+)
+def streaming_tws_type_histogram(spark, sf_dir):
+    from .._protobuf_compat import enable_protobuf_runtime
+    from ..streaming.stateful import (
+        user_type_histogram,
+        user_type_histogram_fallback,
+    )
+
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    if enable_protobuf_runtime(spark):
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = _drain(user_type_histogram(src), "update")
+        finally:
+            if old is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, old)
+    else:
+        out = _drain(user_type_histogram_fallback(src), "update")
+    # latest emission per user (multi-batch drains emit supersets)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_types")
+    )
+
+
+@query(
     "streaming_chained_windows",
     """
     WITH w1 AS (

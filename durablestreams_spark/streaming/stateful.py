@@ -159,6 +159,59 @@ def user_type_histogram(events_df):
     )
 
 
+_HIST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+    ]
+)
+
+#: The histogram state is one JSON blob per key: {event_type: count}.
+#: This is exactly the row-shaped-blob limitation typed MapState
+#: removes — kept as the dependency-free fallback and as the
+#: documented contrast.
+_HIST_STATE_SCHEMA = T.StructType([T.StructField("hist_json", T.StringType())])
+
+
+def _update_type_histogram(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import json as _json
+
+    hist = _json.loads(state.get()[0]) if state.exists else {}
+    for pdf in pdfs:
+        for etype, cnt in pdf["event_type"].value_counts().items():
+            hist[str(etype)] = hist.get(str(etype), 0) + int(cnt)
+    state.update((_json.dumps(hist, sort_keys=True),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [int(sum(hist.values()))],
+            "n_types": [len(hist)],
+        }
+    )
+
+
+def user_type_histogram_fallback(events_df):
+    """Per-user (total events, distinct event types) with the same
+    output contract as ``user_type_histogram``, built on
+    ``applyInPandasWithState`` — no protobuf dependency.  The whole
+    histogram serializes as one JSON state blob per key, so per-key
+    state I/O is O(total state) per batch: correct everywhere,
+    but the typed-MapState variant is the one that scales when keys
+    accumulate wide state (its updates cost O(types touched))."""
+    return events_df.groupBy("user_id").applyInPandasWithState(
+        _update_type_histogram,
+        outputStructType=_HIST_OUT_SCHEMA,
+        stateStructType=_HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: EWMA smoothing factor — 1/8 is exactly representable in binary, so
 #: the fold is the same IEEE op sequence in Spark, pandas, and the
 #: DuckDB oracle's list_reduce.

@@ -250,6 +250,43 @@ def test_transform_with_state_gate(spark, tmp_path):
     assert last == batch
 
 
+def test_type_histogram_fallback_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState JSON-blob histogram (the no-protobuf
+    fallback behind streaming_tws_type_histogram) must produce the
+    same per-user (n_events, n_types) as the batch aggregate — the
+    identical contract the TWS MapState variant is graded against."""
+    from durablestreams_spark.streaming.stateful import (
+        user_type_histogram_fallback,
+    )
+
+    src = _events_stream(spark).select("user_id", "event_type")
+    q = (
+        user_type_histogram_fallback(src)
+        .writeStream.format("memory")
+        .queryName("hist_fb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    last = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in spark.sql("SELECT * FROM hist_fb").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert last == batch
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join (purchase ⟕ clicks within
     30 min before, same user) == the identical batch join."""
