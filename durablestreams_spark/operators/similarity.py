@@ -907,6 +907,189 @@ def similarity_retrieve_docs(spark, sf_dir):
     )
 
 
+#: MMR re-ranking: candidates per query, greedy picks, relevance/
+#: diversity trade-off.  All three are CONSTANTS — rerank cost is
+#: O(queries × CAND × K) regardless of corpus size; at scale the
+#: candidate stage is the ANN index instead of brute force.
+MMR_CAND = 10
+MMR_K = 3
+MMR_LAMBDA = 0.5
+
+
+def _mmr_oracle() -> str:
+    lam = MMR_LAMBDA
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM v
+          WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS cid, v.emb AS cemb,
+               list_cosine_similarity(q.qemb, v.emb) AS sim
+        FROM q, v WHERE v.vec_id <> q.query_id),
+    cand AS (SELECT query_id, cid, cemb, sim
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY sim DESC, cid) AS rn
+                   FROM scored)
+             WHERE rn <= {MMR_CAND}),
+    s1 AS (SELECT query_id, cid, cemb, {lam} * sim AS score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY {lam} * sim DESC, cid) AS rk
+                 FROM cand)
+           WHERE rk = 1),
+    st2 AS (SELECT c.query_id, c.cid, c.cemb,
+                   {lam} * c.sim
+                   - {1 - lam} * list_cosine_similarity(c.cemb, s.cemb)
+                       AS score
+            FROM cand c JOIN s1 s
+              ON s.query_id = c.query_id AND c.cid <> s.cid),
+    s2 AS (SELECT query_id, cid, cemb, score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, cid) AS rk
+                 FROM st2)
+           WHERE rk = 1),
+    sel2 AS (SELECT query_id, cid, cemb FROM s1
+             UNION ALL SELECT query_id, cid, cemb FROM s2),
+    st3 AS (SELECT c.query_id, c.cid,
+                   {lam} * c.sim
+                   - {1 - lam} * max(list_cosine_similarity(c.cemb, s.cemb))
+                       AS score
+            FROM cand c
+            JOIN sel2 s ON s.query_id = c.query_id
+            LEFT JOIN sel2 x
+              ON x.query_id = c.query_id AND x.cid = c.cid
+            WHERE x.cid IS NULL
+            GROUP BY c.query_id, c.cid, c.sim),
+    s3 AS (SELECT query_id, cid, score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, cid) AS rk
+                 FROM st3)
+           WHERE rk = 1)
+    SELECT query_id, 1 AS pick, cid AS neighbor_id,
+           round(score, 4) AS mmr_score FROM s1
+    UNION ALL
+    SELECT query_id, 2, cid, round(score, 4) FROM s2
+    UNION ALL
+    SELECT query_id, 3, cid, round(score, 4) FROM s3
+    """
+
+
+@query(
+    "similarity_mmr_rerank",
+    _mmr_oracle(),
+    doc=f"Maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
+    f"1998), the diverse-retrieval stage of a RAG pipeline: top-"
+    f"{MMR_CAND} cosine candidates per query, then {MMR_K} greedy "
+    f"picks maximizing λ·sim(q,c) − (1−λ)·max_s sim(c,s) with "
+    f"λ = {MMR_LAMBDA}.  The greedy loop is unrolled: each step is a "
+    "bounded join (CAND rows per query) + per-query argmax — "
+    "O(queries × CAND × K) with all three constant, so rerank cost "
+    "is corpus-independent; at 100 TB the candidate stage is the ANN "
+    "index (similarity_ivfpq_topk) instead of brute force.  "
+    "Determinism: identical IEEE op order in both engines (same "
+    "sequential-fold cosine), ties broken by neighbor id.",
+)
+def similarity_mmr_rerank(spark, sf_dir):
+    lam = MMR_LAMBDA
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = spread(emb).withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    q = v.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    w_cand = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "cid")
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("norm").alias("cnorm"),
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cand))
+        .where(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        # bounded: queries x MMR_CAND rows; materialize once for the
+        # K unrolled selection steps
+        .localCheckpoint(eager=True)
+    )
+
+    def argmax(df):
+        wk = W.partitionBy("query_id").orderBy(F.col("score").desc(), "cid")
+        return (
+            df.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    cc_cos = _dot("cemb", "semb") / (F.col("cnorm") * F.col("snorm"))
+    s1 = argmax(cand.withColumn("score", F.lit(lam) * F.col("sim")))
+    sel1 = s1.select(
+        "query_id",
+        F.col("cid").alias("sid"),
+        F.col("cemb").alias("semb"),
+        F.col("cnorm").alias("snorm"),
+    )
+    st2 = (
+        cand.join(F.broadcast(sel1), "query_id")
+        .where(F.col("cid") != F.col("sid"))
+        .withColumn("score", F.lit(lam) * F.col("sim") - F.lit(1 - lam) * cc_cos)
+    )
+    s2 = argmax(st2.select("query_id", "cid", "cemb", "cnorm", "sim", "score"))
+    sel2 = sel1.unionByName(
+        s2.select(
+            "query_id",
+            F.col("cid").alias("sid"),
+            F.col("cemb").alias("semb"),
+            F.col("cnorm").alias("snorm"),
+        )
+    )
+    st3 = (
+        cand.join(F.broadcast(sel2), "query_id")
+        .join(
+            sel2.select("query_id", F.col("sid").alias("cid")),
+            ["query_id", "cid"],
+            "left_anti",
+        )
+        .withColumn("cc", cc_cos)
+        .groupBy("query_id", "cid", "sim")
+        .agg(F.max("cc").alias("pen"))
+        .withColumn(
+            "score", F.lit(lam) * F.col("sim") - F.lit(1 - lam) * F.col("pen")
+        )
+    )
+    s3 = argmax(st3)
+    return (
+        s1.select(
+            "query_id",
+            F.lit(1).alias("pick"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("score", 4).alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id",
+                F.lit(2).alias("pick"),
+                F.col("cid").alias("neighbor_id"),
+                F.round("score", 4).alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id",
+                F.lit(3).alias("pick"),
+                F.col("cid").alias("neighbor_id"),
+                F.round("score", 4).alias("mmr_score"),
+            )
+        )
+    )
+
+
 @query(
     "similarity_label_cohesion",
     f"""
