@@ -34,26 +34,34 @@ from .dedup import dedup_simhash
 _BENCH_MOD = 97
 
 
-def _shingle5(docs):
-    """(doc_id, sh) distinct 5-word shingles; split once per doc into a
-    words array in its own projection so CollapseProject can't inline
-    the O(words) split per shingle (same guard as dedup._shingle_rows).
-    """
+def _shingle5_arrays(docs):
+    """(doc_id, shs) where shs = the doc's DISTINCT 5-word shingles as
+    an array.  The per-doc dedup is ``array_distinct`` — row-local,
+    inside the scan stage, ZERO shuffle — where a global
+    ``.distinct()`` on exploded (doc_id, shingle-string) rows would
+    shuffle every full 5-gram string (and get recomputed per
+    consumer: the round-6 profile showed that distinct dominating the
+    sf1 cost ×3).  Split once per doc into a words array in its own
+    projection so CollapseProject can't inline the O(words) split per
+    shingle (same guard as dedup._shingle_rows)."""
     words = docs.select("doc_id", F.split("text", r"\s+").alias("w")).where(
         F.size("w") >= 5
     )
-    return (
-        words.repartition("doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 5), i -> "
-                    "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    return words.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w) - 5), i -> "
+                "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+            )
+        ).alias("shs"),
+    )
+
+
+def _shingle5(docs):
+    """(doc_id, sh) distinct 5-word shingles, exploded."""
+    return _shingle5_arrays(docs).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -96,17 +104,23 @@ _DUCK_SHINGLE5 = """
     "the (doc_id % 97 == 0) eval set, with their overlap fraction. The "
     "benchmark shingle set is tiny relative to the corpus, so it is "
     "BROADCAST — the corpus-side scan is the only big pass, and the "
-    "per-doc counts shuffle fixed-width (doc_id, counts) only.",
+    "per-doc counts shuffle fixed-width (doc_id, counts) only.  "
+    "Per-doc shingle dedup is array_distinct inside the scan stage "
+    "(shuffle-free); n_shingles is the array size, so the totals leg "
+    "never explodes at all.",
 )
 def text_decontaminate(spark, sf_dir):
-    shingles = _shingle5(table(spark, sf_dir, "documents"))
+    arrays = _shingle5_arrays(table(spark, sf_dir, "documents"))
     bench = (
-        shingles.where(F.col("doc_id") % _BENCH_MOD == 0).select("sh").distinct()
+        arrays.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
     )
-    corpus = shingles.where(F.col("doc_id") % _BENCH_MOD != 0)
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    corpus = arrays.where(F.col("doc_id") % _BENCH_MOD != 0)
+    totals = corpus.select("doc_id", F.size("shs").alias("n_shingles"))
     hits = (
-        corpus.join(F.broadcast(bench), "sh")
+        corpus.select("doc_id", F.explode("shs").alias("sh"))
+        .join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
