@@ -907,6 +907,76 @@ def similarity_retrieve_docs(spark, sf_dir):
     )
 
 
+@query(
+    "similarity_ivf_recall_report",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    {_kmeans_sql()},
+    assigned AS (
+        SELECT vec_id, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cents{IVF_KMEANS_ITERS}
+    ),
+    cells AS (SELECT vec_id, emb, cent_id FROM assigned WHERE cr = 1),
+    iq AS (SELECT vec_id AS query_id, emb AS qemb, cent_id AS qcell
+           FROM assigned WHERE cr <= {IVF_NPROBE} AND vec_id % 100 = 0),
+    iscored AS (
+        SELECT iq.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(iq.qemb, c.emb) AS sim
+        FROM iq JOIN cells c ON c.cent_id = iq.qcell AND c.vec_id <> iq.query_id),
+    ivf AS (SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY sim DESC, neighbor_id) AS rk
+                  FROM iscored)
+            WHERE rk <= {TOP_K}),
+    bq AS (SELECT vec_id AS query_id, emb AS qemb FROM v
+           WHERE vec_id % 100 = 0),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(bq.qemb, v.emb) AS sim
+        FROM bq, v WHERE v.vec_id <> bq.query_id),
+    brute AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, neighbor_id) AS rk
+                    FROM bscored)
+              WHERE rk <= {TOP_K})
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / {TOP_K}.0, 4) AS recall_at_{TOP_K}
+    FROM brute b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc=f"ANN quality as a GRADED number: per-query recall@{TOP_K} of "
+    "the fixed-capacity multi-probe IVF against the exact brute-force "
+    "answer, both recomputed by the oracle — the recall that unit "
+    "tests only floor-check at sf0.001 becomes a hash-checked value "
+    "at every graded SF.  The audit itself is cheap: both top-k sets "
+    "are queries × k rows, joined on (query, neighbor).  This is the "
+    "index-health report an ANN deployment runs after every "
+    "(re)build; at 100 TB it runs on a sampled query set exactly "
+    "like this one (every 100th vector).",
+)
+def similarity_ivf_recall_report(spark, sf_dir):
+    brute = similarity_knn_brute(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / TOP_K, 4).alias(f"recall_at_{TOP_K}"),
+        )
+    )
+
+
 #: MMR re-ranking: candidates per query, greedy picks, relevance/
 #: diversity trade-off.  All three are CONSTANTS — rerank cost is
 #: O(queries × CAND × K) regardless of corpus size; at scale the
