@@ -516,6 +516,25 @@ def main() -> None:
                 f"per-round={round_times} total={total_cc}s",
                 file=sys.stderr,
             )
+            # PageRank at sf3 too (the other iterative-graph operator);
+            # its rounds are fused into one post-unroll-checkpointed
+            # plan BY DESIGN (1.6x faster than per-round checkpoints at
+            # sf1), so the recorded observable is total + iteration
+            # count, amortized per-round cost = total / iters.
+            from durablestreams_spark.operators.graph import PR_ITERS
+
+            t0 = time.perf_counter()
+            n_pr = specs["graph_pagerank_dup_centrality"].fn(
+                spark, sf3_dir
+            ).count()
+            sf3["pagerank_total_sec"] = round(time.perf_counter() - t0, 3)
+            sf3["pagerank_iters"] = PR_ITERS
+            sf3["pagerank_rows"] = n_pr
+            print(
+                f"# sf3 pagerank: {sf3['pagerank_total_sec']}s "
+                f"({PR_ITERS} fused rounds, rows={n_pr})",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001
             failures["sf3:cc_star"] = f"{type(e).__name__}: {e}"
             print(f"# sf3 FAILED: {e}", file=sys.stderr)
