@@ -631,6 +631,81 @@ def streaming_stateful_user_ewma(spark, sf_dir):
 
 
 @query(
+    "streaming_tws_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events),
+    g AS (
+        SELECT user_id, us,
+               sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+        FROM o)
+    SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) AS BIGINT) AS end_us,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="LIVE transformWithStateInPandas sessionization with "
+    "EVENT-TIME TIMERS — the Spark-4 capability applyInPandasWithState "
+    "cannot express: a 30-min-gap session closes (and emits exactly "
+    "once) when the WATERMARK passes last-event+gap via "
+    "handleExpiredTimer, not when a later event happens to arrive.  "
+    "Stale timers from extended sessions are ignored by re-checking "
+    "expiry against state.  The drain appends far-future sentinel "
+    "files (maxFilesPerTrigger=1) so the final watermark advance "
+    "fires every remaining close timer — without it the last open "
+    "session per user is silently withheld at end-of-input.  Oracle: "
+    "the batch gaps-and-islands sessionization.",
+)
+def streaming_tws_sessionize(spark, sf_dir):
+    from ..analytics.core import ts_unit_info
+    from ..streaming.stateful import user_sessions_tws
+
+    unit, physical = ts_unit_info(f"{sf_dir}/events.parquet")
+    int64_physical = physical == "int64" or unit == "ns"
+    ts_decl = "long" if int64_physical else "timestamp"
+    root = _events_with_sentinel_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(
+            f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    if int64_physical:
+        conv = "ts div 1000" if unit == "ns" else "ts"
+        raw = raw.withColumn("ts", F.expr(f"timestamp_micros({conv})"))
+    src = (
+        raw.select(
+            "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+        )
+        .withWatermark("ts", "1 hour")
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _drain(user_sessions_tws(src), "update")
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    return out.where(F.col("user_id") >= 0).select(
+        "user_id", "start_us", "end_us", "n_events"
+    )
+
+
+@query(
     "streaming_tws_type_histogram",
     """
     SELECT user_id,

@@ -159,6 +159,101 @@ def user_type_histogram(events_df):
     )
 
 
+#: Session gap for the timer-based sessionizer (µs / ms forms).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1000
+
+
+class UserSessionizer(StatefulProcessor):
+    """Per-user 30-minute-gap sessionization with EVENT-TIME TIMERS —
+    the Spark-4 capability neither ``applyInPandasWithState`` nor
+    window functions offer: a session is closed (and emitted exactly
+    once) when the WATERMARK passes last-event + gap, not when the
+    next event happens to arrive.
+
+    State: one ValueState (start_us, last_us, n) = the open session.
+    Per batch: fold the user's rows in (ts, event_id) order, emitting
+    any sessions closed by in-batch gaps, then register a close timer
+    at last + gap.  Timers are not deleted on extension — stale ones
+    are ignored at expiry by re-checking ``expiry >= last + gap``
+    against current state (cheaper than listTimers/deleteTimer per
+    batch, and idempotent).  ``handleExpiredTimer`` closes the open
+    session once the check passes and clears state, so state size is
+    O(users with an open session), never O(events).
+    """
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._cur = handle.getValueState(
+            "cur", "start_us long, last_us long, n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        cur = list(self._cur.get()) if self._cur.exists() else None
+        closed = []
+        for ts in batch["ts_us"]:
+            ts = int(ts)
+            if cur is None:
+                cur = [ts, ts, 1]
+            elif ts - cur[1] > SESSION_GAP_US:
+                closed.append((key[0], cur[0], cur[1], cur[2]))
+                cur = [ts, ts, 1]
+            else:
+                cur[1] = ts
+                cur[2] += 1
+        self._cur.update(tuple(cur))
+        self._handle.registerTimer(cur[1] // 1000 + SESSION_GAP_MS + 1)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self._cur.exists():
+            return
+        start, last, n = self._cur.get()
+        # stale timer from a since-extended session: ignore
+        if expiredTimerInfo.getExpiryTimeInMs() < last // 1000 + SESSION_GAP_MS:
+            return
+        self._cur.clear()
+        yield pd.DataFrame(
+            [(key[0], start, last, n)],
+            columns=["user_id", "start_us", "end_us", "n_events"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_sessions_tws(events_df):
+    """Per-user closed sessions over a stream with columns
+    (user_id, event_id, ts, ts_us) via ``transformWithStateInPandas``
+    in EventTime mode.  The input must carry a watermark on ``ts``;
+    each emitted row is one closed session (user_id, start_us,
+    end_us, n_events).  Requires the protobuf runtime + RocksDB state
+    store (see ``user_type_histogram``)."""
+    from .._protobuf_compat import enable_protobuf_runtime
+
+    if not enable_protobuf_runtime(events_df.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "it is not installed and no host runtime was found"
+        )
+    return events_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserSessionizer(),
+        outputStructType="user_id long, start_us long, end_us long, "
+        "n_events long",
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
 _HIST_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -287,6 +287,42 @@ def test_type_histogram_fallback_matches_batch(spark, tmp_path):
     assert last == batch
 
 
+def test_tws_sessionize_matches_session_window(spark):
+    """The timer-based TWS sessionizer must produce exactly the
+    sessions Spark's own batch session_window computes — including
+    each user's LAST session, which only emits because the sentinel
+    batches advance the watermark and fire the close timers."""
+    from durablestreams_spark.analytics.core import all_queries
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in all_queries()["streaming_tws_sessionize"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in batch.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    # every user's max-end session is present (the timer-flush proof)
+    by_user_last = {}
+    for u, s, e, n in want:
+        if u not in by_user_last or e > by_user_last[u][1]:
+            by_user_last[u] = (s, e, n)
+    for u, (s, e, n) in by_user_last.items():
+        assert (u, s, e, n) in got
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join (purchase ⟕ clicks within
     30 min before, same user) == the identical batch join."""
