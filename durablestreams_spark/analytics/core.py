@@ -106,10 +106,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # empty arrays just produce zero rows, so the inference buys
     # nothing.  Runtime-settable, so vanilla grading sessions get the
     # same plan.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    _rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    _prev = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _rule not in _prev:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{_prev},{_rule}" if _prev else _rule,
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Belt over the suspenders: if a cached plan / changed conf still
     # yields int64-nanos or TIMESTAMP_NTZ, rewrite per-column.
