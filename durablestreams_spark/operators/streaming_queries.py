@@ -762,6 +762,78 @@ def streaming_tws_type_histogram(spark, sf_dir):
 
 
 @query(
+    "streaming_cdc_apply",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, CAST(us AS BIGINT) AS last_ts_us,
+           event_id AS last_event_id, round(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND del = 0
+    """,
+    doc="LIVE CDC materialization (the Debezium 'apply changelog to "
+    "table' pattern): events reinterpreted as a keyed changelog "
+    "('error' = delete, else upsert), folded last-writer-wins into a "
+    "one-row-per-user snapshot via transformWithStateInPandas "
+    "ValueState; deletes become retained tombstones so out-of-order "
+    "upserts cannot resurrect a deleted key, and the max-(ts,event_id) "
+    "fold is robust to cross-batch disorder by construction.  Oracle: "
+    "batch QUALIFY rn=1 last-value-wins with delete filtering.  "
+    "Degrades to the applyInPandasWithState fallback (identical "
+    "contract) when no protobuf runtime exists on the host.",
+)
+def streaming_cdc_apply(spark, sf_dir):
+    from .._protobuf_compat import enable_protobuf_runtime
+    from ..streaming.stateful import cdc_apply_fallback, cdc_apply_tws
+
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    if enable_protobuf_runtime(spark):
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = _drain(cdc_apply_tws(src), "update")
+        finally:
+            if old is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, old)
+    else:
+        out = _drain(cdc_apply_fallback(src), "update")
+    # latest emission per user (multi-batch drains emit supersets)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("deleted") == 0))
+        .select(
+            "user_id",
+            "last_ts_us",
+            "last_event_id",
+            F.round("last_value", 4).alias("last_value"),
+        )
+    )
+
+
+@query(
     "streaming_chained_windows",
     """
     WITH w1 AS (

@@ -254,6 +254,150 @@ def user_sessions_tws(events_df):
     )
 
 
+class CdcApply(StatefulProcessor):
+    """Last-writer-wins CDC apply: fold a keyed changelog of
+    upsert/delete operations into a one-row-per-key snapshot (the
+    Debezium/Kafka-Connect "table materialization" pattern; the
+    reference's key-compaction analog — ``src/stream_manager.ts``
+    compaction keeps the log, this keeps the TABLE).
+
+    State: one ValueState holding the winning change
+    (ts_us, event_id, value, deleted).  Per batch only the max
+    (ts_us, event_id) row per key can win, so the fold is O(1) state
+    I/O per key per batch and — unlike an arrival-order fold — is
+    ROBUST to cross-batch disorder: a late batch with older changes
+    cannot overwrite a newer winner.  Deletes are retained as
+    tombstone state (not cleared) so an out-of-order upsert older
+    than the delete cannot resurrect the key; callers filter
+    ``deleted = 1`` rows from the final snapshot.  State size is
+    O(live keys + tombstoned keys); pair with TTLConfig in
+    production to reap tombstones after the max expected disorder.
+    """
+
+    def init(self, handle) -> None:
+        self._last = handle.getValueState(
+            "last", "ts_us long, event_id long, value double, deleted long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        tail = batch.iloc[-1]
+        cand = (
+            int(tail["ts_us"]),
+            int(tail["event_id"]),
+            float(tail["value"]),
+            1 if tail["op"] == "delete" else 0,
+        )
+        cur = tuple(self._last.get()) if self._last.exists() else None
+        if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+            cur = cand
+            self._last.update(cur)
+        yield pd.DataFrame(
+            [(key[0],) + cur],
+            columns=[
+                "user_id",
+                "last_ts_us",
+                "last_event_id",
+                "last_value",
+                "deleted",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cdc_apply_tws(changes_df):
+    """Materialize a keyed changelog stream with columns
+    (user_id, ts_us, event_id, value, op['upsert'|'delete']) into a
+    last-writer-wins snapshot via ``transformWithStateInPandas``; one
+    updated (user_id, last_ts_us, last_event_id, last_value, deleted)
+    row per key per micro-batch.  Requires the protobuf runtime +
+    RocksDB state store (see ``user_type_histogram``)."""
+    from .._protobuf_compat import enable_protobuf_runtime
+
+    if not enable_protobuf_runtime(changes_df.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "it is not installed and no host runtime was found"
+        )
+    return changes_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CdcApply(),
+        outputStructType="user_id long, last_ts_us long, "
+        "last_event_id long, last_value double, deleted long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_CDC_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("deleted", T.LongType()),
+    ]
+)
+
+_CDC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("deleted", T.LongType()),
+    ]
+)
+
+
+def _apply_cdc_fallback(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Same last-writer-wins fold as ``CdcApply`` over the legacy
+    GroupState API (see that class for the disorder/tombstone
+    reasoning)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    tail = batch.iloc[-1]
+    cand = (
+        int(tail["ts_us"]),
+        int(tail["event_id"]),
+        float(tail["value"]),
+        1 if tail["op"] == "delete" else 0,
+    )
+    cur = tuple(state.get) if state.exists else None
+    if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+        cur = cand
+        state.update(cur)
+    yield pd.DataFrame(
+        [(key[0],) + cur],
+        columns=[
+            "user_id",
+            "last_ts_us",
+            "last_event_id",
+            "last_value",
+            "deleted",
+        ],
+    )
+
+
+def cdc_apply_fallback(changes_df):
+    """``cdc_apply_tws`` over ``applyInPandasWithState`` — identical
+    output contract, no protobuf dependency."""
+    return changes_df.groupBy("user_id").applyInPandasWithState(
+        _apply_cdc_fallback,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _HIST_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

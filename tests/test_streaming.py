@@ -555,3 +555,68 @@ def test_seeded_tail_bridges_compaction_gap(spark, catalog, tmp_path):
     rows = spark.sql("SELECT data, offset FROM seeded_tail_sink").collect()
     assert [_json.loads(r["data"])["v"] for r in rows] == [99]
     assert all(r["offset"] > cursor for r in rows)
+
+
+def test_cdc_apply_cross_batch_disorder(spark, tmp_path):
+    """Last-writer-wins CDC apply must be robust to a LATE micro-batch
+    carrying OLDER changes: a stale upsert cannot overwrite a newer
+    value, and a stale upsert cannot resurrect a tombstoned key.
+    Batch order is forced with maxFilesPerTrigger=1 + explicit mtimes
+    (FileStreamSource picks files oldest-first)."""
+    import pandas as pd
+
+    from durablestreams_spark.streaming.stateful import cdc_apply_fallback
+
+    src_dir = str(tmp_path / "cdcsrc")
+    os.makedirs(src_dir)
+    # batch 0 (newer changes), batch 1 (older, late-arriving changes)
+    batches = [
+        [
+            {"user_id": 1, "ts_us": 100, "event_id": 10, "value": 1.0, "op": "upsert"},
+            {"user_id": 2, "ts_us": 200, "event_id": 20, "value": 3.0, "op": "delete"},
+            {"user_id": 3, "ts_us": 10, "event_id": 1, "value": 2.0, "op": "upsert"},
+        ],
+        [
+            {"user_id": 1, "ts_us": 50, "event_id": 5, "value": 9.9, "op": "upsert"},
+            {"user_id": 2, "ts_us": 150, "event_id": 15, "value": 8.8, "op": "upsert"},
+            {"user_id": 3, "ts_us": 500, "event_id": 50, "value": 7.5, "op": "upsert"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src_dir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, value double, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    q = (
+        cdc_apply_fallback(src)
+        .writeStream.format("memory")
+        .queryName("cdc_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM cdc_t").toPandas()
+    # two emissions per key (one per batch); the final one is the
+    # max-(ts_us, event_id) winner regardless of arrival order
+    final = (
+        out.sort_values(["user_id", "last_ts_us", "last_event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    # key 1: stale upsert ignored — newer (100, 10, 1.0) survives
+    assert tuple(final.loc[1][["last_ts_us", "last_event_id", "last_value", "deleted"]]) == (100, 10, 1.0, 0)
+    # key 2: tombstone retained — stale upsert cannot resurrect
+    assert final.loc[2]["deleted"] == 1
+    # key 3: genuinely newer change wins
+    assert tuple(final.loc[3][["last_ts_us", "last_event_id", "last_value", "deleted"]]) == (500, 50, 7.5, 0)
