@@ -537,3 +537,120 @@ def text_zipf_slope(spark, sf_dir):
         ),
         F.round(F.corr(ln_n, ln_r), 4).alias("loglog_corr"),
     )
+
+
+#: PII patterns shared verbatim by engine and oracle — lookaround-free
+#: so Java-regex (Spark) and RE2 (DuckDB) agree byte for byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.0.'
+                            || ((doc_id * 7) % 256)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents),
+    red AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g'),
+                   '{PII_IP_RE}', '[IP]', 'g') AS r
+        FROM red_src)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT)
+               AS n_ips,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           md5(r) AS redacted_md5
+    FROM red
+"""
+
+
+@query(
+    "text_pii_redact",
+    _PII_ORACLE.replace("red_src", "aug"),
+    doc="PII detection + redaction (the scrub pass every training-data "
+    "pipeline runs before anything else): emails, North-American "
+    "phone numbers, and IPv4 addresses are counted with "
+    "regexp_extract_all and masked with a regexp_replace chain — "
+    "pure JVM column expressions, whole-stage codegen, so the 100 TB "
+    "scan is I/O-bound.  The synthetic corpus carries no PII, so the "
+    "query first derives deterministic contact lines from doc_id "
+    "(identical CASE arithmetic in engine and oracle) — the counts "
+    "are then non-trivial and row-varying, and the md5 of the "
+    "redacted text proves the masking is byte-identical across "
+    "engines, not just the counts.  Patterns are lookaround-free by "
+    "construction so Java regex and RE2 agree.",
+)
+def text_pii_redact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
