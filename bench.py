@@ -66,6 +66,9 @@ SF1_EXTRA = [
     "graph_pagerank_dup_centrality",  # 5 iterative joins over the sf1 LSH graph
     "similarity_ivfpq_topk",    # IVF cell restriction + PQ ADC scoring
     "layout_bucketed_join",     # exchange-free fact-fact join (bucketed layout)
+    "dedup_exact_substring",    # 8-token gram explode + 2-exchange distinct agg
+    "text_pii_redact",          # regex scrub scan: pure codegen, I/O-bound
+    "streaming_cdc_apply",      # TWS ValueState changelog fold, drained
 ]
 
 

@@ -790,3 +790,31 @@ def test_ewma_runs_pandas_state_operator(spark):
     )
     sdf = running_user_ewma(src)
     assert "FlatMapGroupsInPandasWithState" in sdf._jdf.queryExecution().analyzed().toString()
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    """The PII scrub is a pure regexp column pipeline — a Python eval
+    node would turn an I/O-bound 100 TB scan into a CPU-bound one."""
+    df = all_queries()["text_pii_redact"].fn(spark, SF_DIR)
+    assert not has_python_eval(df), "text_pii_redact fell off the JVM path"
+    plan = formatted_plan(df)
+    # projection must prune the scan to the two columns used
+    cols = scan_read_columns(df)
+    assert any(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_exact_substring_explode_in_scan_stage(spark):
+    """The 8-token-gram explode must be a Generate fused before the
+    FIRST exchange (1->N expansion inside the scan stage — no shuffle
+    of raw documents), the aggregation must map-side combine, and the
+    top-100 must be TakeOrderedAndProject, never a global sort."""
+    df = all_queries()["dedup_exact_substring"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Generate" in plan and "explode" in plan, plan
+    # Generate appears below (after in text order) the exchanges:
+    # formatted_plan prints the tree root-first, so scan-stage nodes
+    # come LAST; the first Exchange must precede Generate in the tree.
+    assert plan.index("Exchange") < plan.index("Generate"), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert not has_python_eval(df)
