@@ -485,3 +485,73 @@ def audit_referential_integrity(spark, sf_dir):
         .unionByName(row("orders_orphans", o_orph))
         .orderBy("check_name")
     )
+
+
+#: Columns profiled by ``audit_column_profile`` — chosen so min/max
+#: render identically as strings in Spark and DuckDB (doubles stay
+#: under 1e7, where Spark's shortest-round-trip cast would switch to
+#: scientific notation and DuckDB's would not).
+PROFILE_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_quantity",
+    "l_discount",
+    "l_shipdate",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM lineitem"""
+    for c in PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@query(
+    "audit_column_profile",
+    _PROFILE_ORACLE,
+    doc="Per-column data profile (the SUMMARIZE / dbt-docs staple every "
+    "ingestion pipeline runs first): row count, null count, exact "
+    "distinct count, min and max for a fixed column set, computed in "
+    "ONE pass over the table — the multi-column distinct lowers to "
+    "one Expand + partial-agg shuffle rather than N table scans.  At "
+    "100 TB the Expand's N-fold row replication is the documented "
+    "cost knob: swap count_distinct for approx_count_distinct (HLL, "
+    "no Expand) when exactness isn't required — one-line change, "
+    "same output shape.  min/max are cast AFTER aggregation so the "
+    "comparison runs on the native type, not lexicographically.",
+)
+def audit_column_profile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    profile_rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(profile_rows).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

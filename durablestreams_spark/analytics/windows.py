@@ -603,3 +603,66 @@ def window_cumulative_users(spark, sf_dir):
         F.col("n_new").cast("long").alias("n_new_users"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+#: Event-sequence pattern for ``sequence_pattern_match``: a click,
+#: then any run of views/errors, then a purchase.  Lookaround-free and
+#: single-ended, so Java regex (Spark) and RE2 (DuckDB) find the same
+#: non-overlapping matches.
+SEQ_PATTERN = "c[ve]*p"
+
+
+@query(
+    "sequence_pattern_match",
+    f"""
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           CAST(len(regexp_extract_all(journey, '{SEQ_PATTERN}'))
+                AS BIGINT) AS n_matches
+    FROM j
+    WHERE len(regexp_extract_all(journey, '{SEQ_PATTERN}')) >= 1
+    """,
+    doc="MATCH_RECOGNIZE-style event-sequence pattern matching (CEP "
+    "over a batch log): each user's events collapse to an ordered "
+    "initial-letter journey string ('cvevp...'), and a regex counts "
+    "non-overlapping occurrences of click -> (view|error)* -> "
+    "purchase.  This is the funnel generalized to arbitrary regular "
+    "patterns — the trick that turns sequence queries into string "
+    "queries, keeping everything JVM-side (array_sort + transform + "
+    "regexp_count; no Python, no self-joins, no N-way window "
+    "passes).  One shuffle (the groupBy).  Per-user state is that "
+    "user's event count — at 100 TB bound it by windowing journeys "
+    "per (user, day) or capping with slice() before the join; "
+    "cross-engine parity holds because the pattern is "
+    "lookaround-free, so Java regex and RE2 agree on matches.  Ref: "
+    "reference consumer-group event routing README.md:149 is "
+    "per-event; this is the per-sequence analytics the reference "
+    "cannot express.",
+)
+def sequence_pattern_match(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    n_matches = F.regexp_count("journey", F.lit(SEQ_PATTERN))
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        n_matches.cast("long").alias("n_matches"),
+    ).where(F.col("n_matches") >= 1)

@@ -883,3 +883,66 @@ def log_version_time_travel(spark, sf_dir):
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
     )
+
+
+@query(
+    "log_incremental_mv",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental materialized-view maintenance over the durable "
+    "log (the Kafka-Streams/Materialize pattern the reference's "
+    "consume-from-offset exists to power, README.md:96-108): the MV "
+    "is first built from the log prefix up to a mid-log checkpoint "
+    "offset, then the consumer RESUMES from that offset — "
+    "to_df(after_offset) prunes already-consumed segments via the "
+    "manifest, exclusive-start — and the delta page is folded in by "
+    "a partial-aggregate merge (sum-of-sums / sum-of-counts; avg is "
+    "derived AFTER the merge, the avg-of-avgs trap made "
+    "unmakeable).  The merged MV must equal the oracle's full "
+    "recompute — if the page split dropped or double-delivered one "
+    "record at the seam, counts and sums shift and the hash gate "
+    "catches it.  Checkpoint choice is metadata-only (middle active "
+    "segment's max_offset from the manifest).  At 100 TB each "
+    "incremental fold touches only new segments (manifest-pruned "
+    "scan) + the O(groups) MV — never the full history.",
+)
+def log_incremental_mv(spark, sf_dir):
+    stream = _ingest_events_payload(spark, sf_dir)
+    segs = stream.manifest.load().active_sorted()
+    # metadata-only checkpoint: consume page 1 up to the middle
+    # segment's end, resume page 2 from there (exclusive start)
+    cutoff = segs[len(segs) // 2].last_offset
+
+    def typed(df):
+        return df.select(
+            F.get_json_object("data", "$.event_type").alias("event_type"),
+            F.get_json_object("data", "$.value").cast("double").alias("value"),
+        )
+
+    def partial(df):
+        return typed(df).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+        )
+
+    page1 = stream.to_df(spark).where(F.col("offset") <= cutoff)
+    page2 = stream.to_df(spark, after_offset=cutoff).where(
+        F.col("offset") > cutoff
+    )
+    mv = (
+        partial(page1)
+        .unionByName(partial(page2))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_total"), F.sum("s").alias("s_total"))
+    )
+    return mv.select(
+        "event_type",
+        F.col("n_total").cast("long").alias("n_events"),
+        F.round("s_total", 4).alias("sum_value"),
+        F.round(F.col("s_total") / F.col("n_total"), 6).alias("avg_value"),
+    ).orderBy("event_type")
