@@ -578,3 +578,156 @@ def text_vocab_oov(spark, sf_dir):
             4,
         ).alias("oov_ratio"),
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (
+        SELECT sum(n) AS n_corpus,
+               sum(CAST(floor(sqrt(n)) AS BIGINT)) AS s_w
+        FROM counts),
+    keyed AS (
+        SELECT d.doc_id, d.source, c.n, t.n_corpus, t.s_w,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                       || ':tempmix'), 1, 8) AS BIGINT) AS u
+        FROM documents d
+        JOIN counts c USING (source)
+        CROSS JOIN tot t)
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN CAST(u AS HUGEINT) * 2 * s_w * n
+                          < CAST(n_corpus AS HUGEINT)
+                            * CAST(floor(sqrt(n)) AS BIGINT) * 4294967296
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed GROUP BY source ORDER BY source
+    """,
+    doc="Temperature-weighted source mixing (alpha = 0.5, the "
+    "multilingual/Pile rebalancing recipe): source i with n_i docs is "
+    "sampled at rate C*sqrt(n_i)/n_i with C chosen so the expected "
+    "kept corpus is half the input — small sources are upweighted, "
+    "dominant crawls downweighted.  The keep decision is EXACT "
+    "INTEGER arithmetic end to end: u*2*S*n_i < N*w_i*2^32 with "
+    "w_i = floor(sqrt(n_i)) and S = sum(w_i), so no IEEE threshold "
+    "exists to flip under different summation orders across engines "
+    "(doubles would differ in the last ulp between Spark's and the "
+    "oracle's aggregation order; a hash gate turns that into a red "
+    "row).  The rate>=1 clamp falls out of u < 2^32 for free.  "
+    "Plan: one count agg, one 5-row broadcast, one row-local integer "
+    "predicate — a single corpus scan at any scale.",
+)
+def sample_temperature_mixture(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = F.floor(F.sqrt(F.col("n"))).cast("long")
+    tot = counts.agg(
+        F.sum("n").alias("n_corpus"), F.sum(w).alias("s_w")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tempmix"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    kept = (
+        F.col("u").cast(dec) * 2 * F.col("s_w") * F.col("n")
+        < F.col("n_corpus").cast(dec)
+        * F.floor(F.sqrt(F.col("n"))).cast("long")
+        * F.lit(4294967296).cast("long")
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_token_budget",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_tok,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8) AS u
+        FROM documents),
+    tot AS (SELECT sum(n_tok) * 2 // 5 AS budget FROM toks),
+    c AS (
+        SELECT *, sum(n_tok) OVER (ORDER BY u, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM c, tot WHERE cum <= budget
+    GROUP BY source ORDER BY source
+    """,
+    doc="Token-budget truncation (take a hash-shuffled corpus prefix "
+    "until the training budget — 40% of total tokens, integer "
+    "arithmetic — is spent).  The oracle's naive form is a GLOBAL "
+    "ordered cumsum — a single-partition window at 100 TB; the "
+    "engine instead runs the two-phase scalable plan: docs bucket by "
+    "the first 2 hex chars of their hash key (256 ordered buckets — "
+    "the bucket is a PREFIX of the sort key, so bucket-major order "
+    "IS the global hash order), per-bucket token totals roll into "
+    "256-row bucket bases (bounded single-partition window), and the "
+    "per-doc cumsum runs partitioned WITHIN each bucket — the only "
+    "big window is distributed, and each row's global cumulative "
+    "position is base + within-bucket cumsum.  Both forms keep "
+    "exactly the same docs; the hash gate proves it.",
+)
+def sample_token_budget(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    u = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))), 1, 8
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        u.alias("u"),
+    ).withColumn("bucket", F.substring("u", 1, 2))
+    btot = d.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    # 256 rows: the bounded single-partition window + the budget scalar
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bases = btot.select(
+        "bucket",
+        (F.sum("btok").over(wb) - F.col("btok")).alias("base"),
+        F.sum("btok").over(
+            W.orderBy("bucket").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    ).withColumn("budget", (F.col("total") * 2 / 5).cast("long"))
+    wd = W.partitionBy("bucket").orderBy("u", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    joined = d.join(F.broadcast(bases.select("bucket", "base", "budget")), "bucket")
+    cum = F.col("base") + F.sum("n_tok").over(wd)
+    return (
+        joined.withColumn("cum", cum)
+        .where(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
