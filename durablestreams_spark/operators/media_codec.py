@@ -353,3 +353,71 @@ def resize_nearest(w: int, h: int, rgb: bytes, ow: int, oh: int) -> bytes:
     ys = (np.arange(oh) * h) // oh
     xs = (np.arange(ow) * w) // ow
     return a[ys][:, xs].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# audio — canonical RIFF/WAVE 16-bit mono PCM
+# ---------------------------------------------------------------------------
+
+
+def build_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """A valid 44-byte-header RIFF/WAVE file with 16-bit mono PCM.
+    Samples are the deterministic integer sequence
+    ``s_k = ((seed*31 + k*997) % 2001) - 1000`` so every PCM-level
+    statistic (sum, peak) is restatable arithmetically in the SQL
+    oracle while the decoder parses real bytes."""
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", ((seed * 31 + k * 997) % 2001) - 1000)
+        for k in range(n_samples)
+    )
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE blob: walk the chunk list (not a fixed-44
+    assumption — handles extra chunks like LIST/INFO), read the fmt
+    chunk's sample rate, then fold the data chunk's 16-bit samples to
+    (n_samples, sample_rate, sum_amplitude, peak_amplitude).  Raises
+    ValueError on non-WAV bytes."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = None
+    bits = None
+    channels = None
+    pcm = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"expected 16-bit mono, got {bits}-bit x{channels}")
+    n = len(pcm) // 2
+    samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+    total = sum(samples)
+    peak = max((abs(s) for s in samples), default=0)
+    return n, sample_rate, total, peak

@@ -259,3 +259,32 @@ def test_lzw_clear_resets_dictionary():
     if bits:
         data.append(acc & 0xFF)
     assert _lzw_decode(2, bytes(data), 7) == bytes((1, 2, 1, 3, 3, 3))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """build_wav → decode_wav round-trips; the parser is a real chunk
+    walker, so an extra LIST chunk between fmt and data must not
+    confuse it, and malformed inputs raise."""
+    import struct
+
+    import pytest
+
+    from durablestreams_spark.operators.media_codec import build_wav, decode_wav
+
+    b = build_wav(37, 8000, 123)
+    n, rate, total, peak = decode_wav(b)
+    exp = [((123 * 31 + k * 997) % 2001) - 1000 for k in range(37)]
+    assert (n, rate, total, peak) == (37, 8000, sum(exp), max(map(abs, exp)))
+
+    # odd-length LIST chunk injected between fmt and data: the walker
+    # must skip it (with word-alignment padding) and still find data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    patched = b[:fmt_end] + extra + b[fmt_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (n, rate, total, peak)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense bytes")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
