@@ -620,3 +620,74 @@ def test_cdc_apply_cross_batch_disorder(spark, tmp_path):
     assert final.loc[2]["deleted"] == 1
     # key 3: genuinely newer change wins
     assert tuple(final.loc[3][["last_ts_us", "last_event_id", "last_value", "deleted"]]) == (500, 50, 7.5, 0)
+
+
+def test_cdc_apply_tws_cross_batch_disorder(spark, tmp_path):
+    """Same disorder scenario as the fallback test, driven through the
+    PRIMARY path: transformWithStateInPandas ValueState on RocksDB.
+    Skipped only when no protobuf runtime exists on the host."""
+    import pandas as pd
+
+    from durablestreams_spark._protobuf_compat import enable_protobuf_runtime
+    from durablestreams_spark.streaming.stateful import cdc_apply_tws
+
+    if not enable_protobuf_runtime(spark):
+        pytest.skip("no protobuf runtime on this host")
+
+    src_dir = str(tmp_path / "cdctws")
+    os.makedirs(src_dir)
+    batches = [
+        [
+            {"user_id": 1, "ts_us": 100, "event_id": 10, "value": 1.0, "op": "upsert"},
+            {"user_id": 2, "ts_us": 200, "event_id": 20, "value": 3.0, "op": "delete"},
+        ],
+        [
+            {"user_id": 1, "ts_us": 50, "event_id": 5, "value": 9.9, "op": "upsert"},
+            {"user_id": 2, "ts_us": 150, "event_id": 15, "value": 8.8, "op": "upsert"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src_dir, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, value double, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            cdc_apply_tws(src)
+            .writeStream.format("memory")
+            .queryName("cdc_tws_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    out = spark.sql("SELECT * FROM cdc_tws_t").toPandas()
+    final = (
+        out.sort_values(["user_id", "last_ts_us", "last_event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    assert tuple(final.loc[1][["last_ts_us", "last_event_id", "last_value", "deleted"]]) == (100, 10, 1.0, 0)
+    assert final.loc[2]["deleted"] == 1
