@@ -1128,3 +1128,108 @@ def lateral_top_orders_per_customer(spark, sf_dir):
         ORDER BY c_custkey, price DESC, o_orderkey
         """
     )
+
+
+@query(
+    "join_asof_tolerance_1h",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN c.event_id END AS click_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN round(epoch(p.ts) - epoch(c.ts), 3) END AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    doc="As-of join with a TOLERANCE window via the reusable library "
+    "operator (functions/asof.py asof_join): for each purchase, the "
+    "latest strictly-earlier click by the same user, nulled when it "
+    "is more than 1 hour stale — pandas merge_asof semantics (every "
+    "left row survives; the match is dropped, not the row).  Same "
+    "single-pass union+window plan as join_asof_purchase_prior_click "
+    "— no join node, one exchange — now exercised through the "
+    "general-purpose function with direction/tolerance/tiebreak "
+    "knobs.  Oracle: DuckDB ASOF LEFT JOIN + CASE tolerance nulling.",
+)
+def join_asof_tolerance(spark, sf_dir):
+    from ..functions.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        direction="backward",
+        tolerance_us=3_600_000_000,
+        strict=True,
+        tiebreak=["click_id"],
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id_right").alias("click_id"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_right")) / 1e6, 3
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "join_asof_forward_next_purchase",
+    """
+    SELECT c.event_id AS click_id,
+           c.user_id  AS user_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 7200
+                THEN p.event_id END AS purchase_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 7200
+                THEN round(epoch(p.ts) - epoch(c.ts), 3) END AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts < p.ts
+    """,
+    doc="FORWARD-direction as-of join via the library operator: for "
+    "each click, the EARLIEST strictly-later purchase by the same "
+    "user within 2 hours (the time-to-conversion lookup).  Forward "
+    "as-of is the window mirrored: first(ignorenulls) over "
+    "currentRow..unboundedFollowing — still no join node, still one "
+    "exchange.  Oracle: DuckDB ASOF LEFT JOIN with the inequality "
+    "reversed (picks the smallest later purchase), same tolerance "
+    "nulling.",
+)
+def join_asof_forward(spark, sf_dir):
+    from ..functions.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance_us=7_200_000_000,
+        strict=True,
+        tiebreak=["purchase_id"],
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("purchase_id_right").alias("purchase_id"),
+        F.round(
+            (F.unix_micros("ts_right") - F.unix_micros("ts")) / 1e6, 3
+        ).alias("gap_sec"),
+    )
