@@ -620,3 +620,64 @@ def audit_column_profile_approx(spark, sf_dir):
     return (
         both.select(F.explode(rows).alias("p")).select("p.*").orderBy("col_name")
     )
+
+
+@query(
+    "scan_corrupt_records",
+    """
+    WITH mangled AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS p
+        FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract(p, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_k_valid
+    FROM mangled GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Corrupt-record tolerance (the schema-on-read contract a real "
+    "ingest needs: malformed payloads must be COUNTED and QUARANTINED, "
+    "never crash the scan and never silently vanish): every 7th "
+    "record's JSON payload is deterministically truncated in-query, "
+    "then parsed with from_json under PERMISSIVE semantics with a "
+    "columnNameOfCorruptRecord quarantine column — malformed input "
+    "lands there verbatim (PERMISSIVE returns a null-FIELDED struct, "
+    "not a null struct, so a naive is-null check sees nothing; the "
+    "quarantine column is the idiomatic detector), and the "
+    "aggregation splits per-type corrupt/valid counts plus the "
+    "valid-only sum.  The "
+    "oracle re-derives the same split with json_valid, so a parser "
+    "that crashed, dropped, or mis-bucketed one row is a hash "
+    "mismatch.  Row-local expressions only — the corruption screen "
+    "adds zero shuffles to the scan.",
+)
+def scan_corrupt_records(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        mangled,
+        "k bigint, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("p._corrupt").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(F.coalesce(F.col("p.k"), F.lit(0)))
+            .cast("long")
+            .alias("sum_k_valid"),
+        )
+        .orderBy("event_type")
+    )
