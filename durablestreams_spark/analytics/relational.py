@@ -25,12 +25,17 @@ from .core import query, register_views, table
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE)                                                  AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))), 2) AS DOUBLE)             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(38,6))), 2) AS DOUBLE)             AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4)                                             AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 6)                                             AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -39,22 +44,40 @@ from .core import query, register_views, table
     doc="TPC-H Q1 shape: filtered scan → hash aggregate. The filter and "
     "2-column grouping push to the scan; partial agg is map-side so the "
     "shuffle carries one row per (flag,status) per partition — O(groups), "
-    "not O(rows), at 100 TB.",
+    "not O(rows), at 100 TB.  Money sums run in DECIMAL(38,6): each "
+    "per-row double expression casts to decimal identically in every "
+    "engine (no double is ever an exact decimal .5 tie at 6dp, so the "
+    "cast rounding cannot diverge), and the decimal sum is EXACT and "
+    "order-independent — at sf1 the raw double sums are ~1e10+ where "
+    "summation-order ULP noise flips round(.,2) cents between engines; "
+    "TPC-H itself specifies these columns as DECIMAL.",
 )
 def q1_pricing_summary(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_extendedprice").cast(dec)), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast(dec)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast(dec)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(dec)).cast("double") / n, 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast(dec)).cast("double") / n, 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -562,20 +585,26 @@ def window_lag(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS lvl,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS sum_price,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="ROLLUP — Catalyst expands to one Expand + single hash agg "
-    "(not one pass per grouping set).",
+    "(not one pass per grouping set).  The grand-total money sum is "
+    "~3e11 at sf1, squarely in the regime where double summation "
+    "order flips round(.,2) — summed in exact DECIMAL (see "
+    "q1_pricing_summary).",
 )
 def rollup_sales(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     lvl = F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         lvl.alias("lvl"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -835,9 +864,13 @@ def subquery_above_avg(spark, sf_dir):
     """
     WITH wide AS (
         SELECT l_returnflag,
-               round(sum(l_extendedprice), 2)                 AS base,
-               round(sum(l_extendedprice * l_discount), 2)    AS discount,
-               round(sum(l_extendedprice * l_tax), 2)         AS tax
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS base,
+               CAST(round(sum(CAST(l_extendedprice * l_discount
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS discount,
+               CAST(round(sum(CAST(l_extendedprice * l_tax
+                                  AS DECIMAL(38,6))), 2) AS DOUBLE) AS tax
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, component, amount
@@ -854,12 +887,19 @@ def subquery_above_avg(spark, sf_dir):
 )
 def unpivot_price_components(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("base"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "discount"
-        ),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias("tax"),
+        F.round(F.sum(F.col("l_extendedprice").cast(dec)), 2)
+        .cast("double")
+        .alias("base"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(dec)), 2
+        )
+        .cast("double")
+        .alias("discount"),
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_tax")).cast(dec)), 2)
+        .cast("double")
+        .alias("tax"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
