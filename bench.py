@@ -538,6 +538,19 @@ def main() -> None:
                 f"({PR_ITERS} fused rounds, rows={n_pr})",
                 file=sys.stderr,
             )
+            # exact-substring dedup at sf3 (30x docs => ~90M gram
+            # occurrences): the op's cost is the gram shuffle, which
+            # scales linearly with the corpus — measure it rather than
+            # assert it.  Scan+explode+2-level agg, no iteration.
+            t0 = time.perf_counter()
+            n_sub = specs["dedup_exact_substring"].fn(spark, sf3_dir).count()
+            sf3["substring_total_sec"] = round(time.perf_counter() - t0, 3)
+            sf3["substring_rows"] = n_sub
+            print(
+                f"# sf3 substring: {sf3['substring_total_sec']}s "
+                f"(rows={n_sub})",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001
             failures["sf3:cc_star"] = f"{type(e).__name__}: {e}"
             print(f"# sf3 FAILED: {e}", file=sys.stderr)

@@ -63,7 +63,9 @@ def main():
         SparkSession.builder.master(f"local[{os.environ.get('MIRROR_CPUS', '8')}]")
         .config("spark.sql.shuffle.partitions", os.environ.get("MIRROR_CPUS", "8"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory", os.environ.get("MIRROR_DRIVER_MEM", "8g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
