@@ -907,3 +907,72 @@ def streaming_chained_windows(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "streaming_tws_lastn",
+    """
+    WITH lastn AS (
+        SELECT user_id, ts, event_id, value, epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    g AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               CAST(max(us) AS BIGINT) AS max_ts_us
+        FROM lastn WHERE rn <= 5 GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_buf,
+           round(list_reduce(vals, (acc, x) -> acc + x) / len(vals), 6)
+               AS lastn_mean,
+           max_ts_us
+    FROM g
+    """,
+    doc="LIVE transformWithStateInPandas ListState (the third Spark-4 "
+    "typed-state primitive, completing Value/Map/List + timers "
+    "coverage): a per-user rolling last-5-events buffer merged BY "
+    "EVENT TIME each batch, so late batches with older events cannot "
+    "evict newer ones — the buffer converges to the true event-time "
+    "last-N under any batch order, O(N) state per key forever.  The "
+    "mean folds the buffer in ascending (ts, event_id) order and the "
+    "oracle replays the identical ordered fold (list_reduce), so "
+    "summation order cannot diverge.  Oracle: batch top-5-per-user "
+    "window.",
+)
+def streaming_tws_lastn(spark, sf_dir):
+    from ..streaming.stateful import user_lastn_tws
+
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _drain(user_lastn_tws(src), "update")
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    # latest emission per user (multi-batch drains emit supersets)
+    w = W.partitionBy("user_id").orderBy(F.col("max_ts_us").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_buf",
+            F.round("lastn_mean", 6).alias("lastn_mean"),
+            "max_ts_us",
+        )
+    )

@@ -519,3 +519,73 @@ def running_user_ewma(events_df):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Rolling-buffer size for the ListState processor.
+LASTN = 5
+
+
+class UserLastN(StatefulProcessor):
+    """Per-user rolling last-N-events buffer in typed ListState — the
+    third Spark-4 state primitive (ValueState: CdcApply, MapState:
+    UserTypeHistogram, timers: UserSessionizer).  ListState appends
+    without rewriting unrelated entries; here each batch merges the
+    buffer with the batch's rows BY EVENT TIME (not arrival order),
+    truncates to the newest N, and rewrites — so a late batch with
+    older events cannot evict newer ones, and the buffer converges to
+    the true event-time last-N regardless of batch order.  State is
+    O(N) per key, forever."""
+
+    def init(self, handle) -> None:
+        self._buf = handle.getListState(
+            "buf", "ts_us long, event_id long, value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        batch = pd.concat(list(rows), ignore_index=True)
+        entries = [tuple(t) for t in self._buf.get()]
+        entries += [
+            (int(t), int(e), float(v))
+            for t, e, v in zip(
+                batch["ts_us"], batch["event_id"], batch["value"]
+            )
+        ]
+        entries.sort()
+        entries = entries[-LASTN:]
+        self._buf.put(entries)
+        vals = [v for _, _, v in entries]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_buf": [len(vals)],
+                "lastn_mean": [sum(vals) / len(vals)],
+                "max_ts_us": [entries[-1][0]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_lastn_tws(events_df):
+    """Per-user last-5 rolling mean over a stream with columns
+    (user_id, ts_us, event_id, value) via ``transformWithStateInPandas``
+    ListState; one updated row per user per micro-batch.  Requires the
+    protobuf runtime + RocksDB state store (see
+    ``user_type_histogram``)."""
+    from .._protobuf_compat import enable_protobuf_runtime
+
+    if not enable_protobuf_runtime(events_df.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "it is not installed and no host runtime was found"
+        )
+    return events_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserLastN(),
+        outputStructType="user_id long, n_buf long, lastn_mean double, "
+        "max_ts_us long",
+        outputMode="Update",
+        timeMode="None",
+    )
