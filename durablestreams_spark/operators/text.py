@@ -654,3 +654,74 @@ def text_pii_redact(spark, sf_dir):
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH tl AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents),
+    toks AS (
+        SELECT doc_id, t[i] AS tok, i AS pos
+        FROM tl, unnest(range(1, len(t) + 1)) AS u(i)),
+    bi AS (
+        SELECT doc_id, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM toks),
+    b2 AS (SELECT * FROM bi WHERE nxt IS NOT NULL),
+    uc AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    bc AS (SELECT tok, nxt, count(*) AS c2 FROM b2 GROUP BY tok, nxt),
+    v AS (SELECT count(*) AS vs FROM uc)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c2 + 0.5) / (c1 + 0.5 * vs))), 4) AS avg_logprob
+    FROM b2 d JOIN bc USING (tok, nxt) JOIN uc USING (tok) CROSS JOIN v
+    GROUP BY d.doc_id
+    """,
+    doc="Bigram language-model quality scoring (the CCNet recipe one "
+    "order up from text_unigram_logprob): an add-0.5-smoothed bigram "
+    "LM is trained on the corpus itself — bigram and unigram count "
+    "tables are vocabulary-bounded, so they BROADCAST back to the "
+    "scoring pass regardless of corpus size — and every document is "
+    "scored by its average bigram log-probability, the standard "
+    "fluency/outlier signal for filtering.  Two corpus scans (count, "
+    "score), one window for bigram formation, broadcast joins only; "
+    "ln() may differ by 1 ulp across libms, absorbed by round(.,4) "
+    "over sums 10+ orders of magnitude larger.",
+)
+def text_bigram_logprob(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    bi = (
+        toks.withColumn(
+            "nxt", F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos"))
+        )
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "tok", "nxt")
+    )
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    bc = bi.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c2"))
+    v = uc.agg(F.count(F.lit(1)).alias("vs"))
+    logp = F.log(
+        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("vs"))
+    )
+    return (
+        bi.join(F.broadcast(bc), ["tok", "nxt"])
+        .join(F.broadcast(uc), "tok")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
