@@ -95,3 +95,19 @@ def test_plan_has_no_join_single_exchange(spark, frames):
     assert "Join" not in plan, plan
     assert shuffle_count(j) == 1, plan
     assert "Window" in plan
+
+
+def test_forward_nonstrict_includes_same_instant(spark, frames):
+    left, right = frames
+    got = _result(
+        asof_join(
+            left,
+            right,
+            on="ts",
+            by=["k"],
+            direction="forward",
+            strict=False,
+            tiebreak=["rval"],
+        )
+    )
+    assert got["L1"] == "R2"
