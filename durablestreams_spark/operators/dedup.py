@@ -943,6 +943,70 @@ def dedup_source_overlap(spark, sf_dir):
 SUBSTR_NGRAM = 8
 
 
+def _substring_tokens(spark, sf_dir):
+    """documents -> (doc_id, toks) with short docs dropped."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    return docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= SUBSTR_NGRAM
+    )
+
+
+def _substring_grams(df, cols):
+    """Explode every overlapping SUBSTR_NGRAM-token gram (fused in the
+    scan stage — a 1->N flatMap, no shuffle)."""
+    return df.select(
+        *cols,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("toks") - F.lit(SUBSTR_NGRAM - 1)
+                ),
+                lambda i: F.array_join(
+                    F.slice("toks", i, SUBSTR_NGRAM), " "
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+#: The oracle-portable fixed-width shuffle key (both engines compute
+#: substr(md5(gram), 1, 16) identically, so the top-100 boundary can
+#: tie-break on the key itself).
+_SUBSTRING_GH = F.substring(F.md5("gram"), 1, 16)
+
+
+def substring_top_plan(spark, sf_dir):
+    """The heavy subplan of ``dedup_exact_substring``, exposed for plan
+    audits: ONE shuffle — repartition by the hash key, after which BOTH
+    grouping levels (per-(hash, doc) occurrence counts and the per-hash
+    rollup) are satisfied by the same HashPartitioning(gh) and run
+    exchange-free (grouping by (gh, doc_id) is clustered by gh alone).
+    A naive two-stage groupBy would shuffle twice, and the mixed
+    countDistinct form pays Expand row-doubling; this pays neither.
+    min(doc_id) rides along as a free 8-byte representative for string
+    recovery."""
+    d = _substring_tokens(spark, sf_dir)
+    return (
+        _substring_grams(d, ["doc_id"])
+        .select("doc_id", _SUBSTRING_GH.alias("gh"))
+        .repartition("gh")
+        .groupBy("gh", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gh"
+        )
+        .limit(100)
+    )
+
+
 @query(
     "dedup_exact_substring",
     f"""
@@ -961,46 +1025,61 @@ SUBSTR_NGRAM = 8
            CAST(count(*) AS BIGINT) AS n_occurrences
     FROM grams
     GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-    ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 100
+    ORDER BY n_docs DESC, n_occurrences DESC, substr(md5(gram), 1, 16)
+    LIMIT 100
     """,
     doc="Exact-substring (duplicated-span) detection, the Lee-et-al. "
     "suffix-array dedup re-expressed as overlapping fixed-length "
-    "n-grams: every 8-token gram of every document, groupBy gram, "
-    "keep grams appearing in >= 2 distinct documents — these are "
-    "exactly the duplicated training spans (boilerplate, licenses, "
-    "quoted corpora) that exact-doc and MinHash dedup both miss.  "
-    "Shuffle-wise the gram explode is a 1->N flatMap inside the scan "
-    "stage (no shuffle) and the groupBy benefits from map-side "
-    "partial aggregation (word-soup corpora repeat grams heavily "
-    "within partitions); at 100 TB you'd shuffle xxhash64(gram) "
-    "8-byte keys instead of gram strings and re-attach one "
-    "representative string per surviving hash afterwards — the "
-    "string form is kept here for oracle-portable grading.  Top-100 "
-    "by (n_docs, n_occurrences, gram) is a total order, so the limit "
-    "boundary is deterministic.",
+    "n-grams: every 8-token gram of every document, grouped, keeping "
+    "grams that appear in >= 2 distinct documents — exactly the "
+    "duplicated training spans (boilerplate, licenses, quoted "
+    "corpora) that exact-doc and MinHash dedup both miss.  Shuffle "
+    "shape (the engine's single heaviest query): the gram explode is "
+    "a 1->N flatMap fused in the scan stage, and the heavy groupBy "
+    "shuffles a FIXED 16-byte md5-prefix key — never the ~50-byte "
+    "gram strings — as a two-stage agg (per-(hash, doc) partial "
+    "counts, then per-hash rollup) with no Expand duplication.  The "
+    "rollup also carries min(doc_id) as a representative, so string "
+    "recovery explodes ONLY the <= 100 winning representatives "
+    "(broadcast-filtered scan), not the corpus.  The top-100 "
+    "boundary is tie-broken by the hash key itself, which both "
+    "engines compute identically (substr(md5(gram), 1, 16)), making "
+    "the winner SET deterministic and oracle-portable without a "
+    "threshold probe; the driver compare is row-order-insensitive.  "
+    "A 64-bit prefix collision would merge two grams' counts "
+    "(~1e-12 at 10^7 grams; a graded hash mismatch would expose "
+    "one), and the min(gram) fold on the tiny recovery join keeps "
+    "even that case deterministic.",
 )
 def dedup_exact_substring(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    d = docs.select("doc_id", toks.alias("toks")).where(
-        F.size("toks") >= SUBSTR_NGRAM
+    d = _substring_tokens(spark, sf_dir)
+    top = substring_top_plan(spark, sf_dir)
+    # Materialize the <= 100 winners ONCE — referencing `top` lazily
+    # from both recovery joins would re-execute the whole heavy agg
+    # per broadcast subtree.  O(100) rows on the driver, the same
+    # bounded-collect pattern as the ANN codebooks.
+    top_rows = top.collect()
+    if not top_rows:
+        return d.select(
+            F.lit("").alias("gram"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        ).limit(0)
+    winners = spark.createDataFrame(
+        top_rows,
+        "gh string, n_docs long, n_occurrences long, rep_doc long",
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - F.lit(SUBSTR_NGRAM - 1)),
-                lambda i: F.array_join(F.slice("toks", i, SUBSTR_NGRAM), " "),
-            )
-        ).alias("gram"),
+    # String recovery: explode only the representatives' documents.
+    # The IDs are literals, so the predicate pushes into the parquet
+    # scan (row-group pruning; no full-corpus text read, no join).
+    rep_ids = sorted({r["rep_doc"] for r in top_rows})
+    rep_docs = d.where(F.col("doc_id").isin(rep_ids))
+    rep_grams = _substring_grams(rep_docs, []).select(
+        "gram", _SUBSTRING_GH.alias("gh")
     )
     return (
-        grams.groupBy("gram")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        )
-        .where(F.col("n_docs") >= 2)
-        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gram")
-        .limit(100)
+        rep_grams.join(F.broadcast(winners), "gh")
+        .groupBy("gh", "n_docs", "n_occurrences")
+        .agg(F.min("gram").alias("gram"))
+        .select("gram", "n_docs", "n_occurrences")
     )

@@ -804,11 +804,16 @@ def test_pii_redact_stays_jvm_side(spark):
 
 
 def test_exact_substring_explode_in_scan_stage(spark):
-    """The 8-token-gram explode must be a Generate fused before the
-    FIRST exchange (1->N expansion inside the scan stage — no shuffle
-    of raw documents), the aggregation must map-side combine, and the
-    top-100 must be TakeOrderedAndProject, never a global sort."""
-    df = all_queries()["dedup_exact_substring"].fn(spark, SF_DIR)
+    """The heavy subplan (counting): the 8-token-gram explode must be a
+    Generate fused before the FIRST exchange (1->N expansion inside the
+    scan stage — no shuffle of raw documents), the shuffle key must be
+    the fixed-width hash (never gram strings), BOTH grouping levels
+    must share the single repartition(gh) exchange (no second
+    aggregation shuffle, no Expand), and the top-100 must be
+    TakeOrderedAndProject, never a global sort."""
+    from durablestreams_spark.operators.dedup import substring_top_plan
+
+    df = substring_top_plan(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Generate" in plan and "explode" in plan, plan
     # Generate appears below (after in text order) the exchanges:
@@ -816,7 +821,23 @@ def test_exact_substring_explode_in_scan_stage(spark):
     # come LAST; the first Exchange must precede Generate in the tree.
     assert plan.index("Exchange") < plan.index("Generate"), plan
     assert "TakeOrderedAndProject" in plan, plan
-    assert plan.count("HashAggregate") >= 2, plan
+    # one exchange total: repartition(gh); the per-(gh, doc_id) agg and
+    # the per-gh rollup both run under that partitioning
+    assert shuffle_count(df) == 1, plan
+    assert "Expand" not in plan, plan
+    assert not has_python_eval(df)
+
+
+def test_exact_substring_recovery_is_pruned_scan(spark):
+    """The string-recovery pass of the full query must read only the
+    <= 100 representative docs through a pushed-down In filter and
+    broadcast the winners — no second corpus shuffle, no gram-string
+    exchange."""
+    df = all_queries()["dedup_exact_substring"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    pf = pushed_filters(df)
+    assert any("doc_id" in f and "In" in f for f in pf), pf
+    assert has_broadcast_join(df), plan
     assert not has_python_eval(df)
 
 
