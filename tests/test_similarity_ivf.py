@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from durablestreams_spark.analytics.core import all_queries, table
 from durablestreams_spark.operators.similarity import (
+    IVF_ASSIGN,
     IVF_K,
     IVF_NPROBE,
     IVF_TRAIN_CAP,
@@ -26,14 +27,16 @@ def _pairs(df):
 
 
 def test_ivf_recall_floor_vs_brute(spark):
-    """recall@5 against the exact baseline: multi-probe k-means IVF
-    measured 0.64 on this fixture (near-orthogonal random vectors —
-    the hard case for ANN); 0.5 is the regression floor."""
+    """recall@5 against the exact baseline: multi-probe + multi-assign
+    k-means IVF measured 0.92 at sf0.001 AND sf0.01 on this fixture
+    (near-orthogonal random vectors — the hard case for ANN); 0.8 is
+    the regression floor."""
     qs = all_queries()
-    brute = _pairs(qs["similarity_knn_brute"].fn(spark, SF_DIR))
-    ivf = _pairs(qs["similarity_ivf_topk"].fn(spark, SF_DIR))
-    recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.5, f"recall@{TOP_K} {recall:.3f} < 0.5"
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        brute = _pairs(qs["similarity_knn_brute"].fn(spark, sf_dir))
+        ivf = _pairs(qs["similarity_ivf_topk"].fn(spark, sf_dir))
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.8, f"{sf_dir}: recall@{TOP_K} {recall:.3f} < 0.8"
 
 
 def test_ivf_returns_full_topk_per_query(spark):
@@ -109,7 +112,9 @@ def _py_reference_ivf(sf_dir):
             ),
         )
 
-    cell_of = {i: ranked_cells(i, v)[0] for i, v in rows}
+    # multiple assignment: every vector is indexed under its
+    # IVF_ASSIGN nearest cells
+    cells_of = {i: set(ranked_cells(i, v)[:IVF_ASSIGN]) for i, v in rows}
     out = set()
     for qi, qv in rows:
         if qi % 100 != 0:
@@ -118,7 +123,7 @@ def _py_reference_ivf(sf_dir):
         scored = [
             (_seq_dot(v, qv) / (norms[i] * norms[qi]), i)
             for i, v in rows
-            if i != qi and cell_of[i] in probes
+            if i != qi and cells_of[i] & probes
         ]
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rank, (sim, i) in enumerate(scored[:TOP_K], start=1):
@@ -136,10 +141,12 @@ def test_ivf_matches_pure_python_reference(spark):
 
 
 def test_ivf_probe_set_is_bounded(spark):
-    """Multi-probe must search NPROBE cells per query, not the whole
-    corpus: the probed fraction is NPROBE/K by construction."""
+    """Multi-probe must search NPROBE cells of an index that stores
+    each vector ASSIGN times — the scanned fraction of the corpus is
+    ASSIGN·NPROBE/K by construction, and must stay materially below
+    a full scan."""
     assert IVF_K >= 2
-    expected_frac = IVF_NPROBE / IVF_K
+    expected_frac = IVF_ASSIGN * IVF_NPROBE / IVF_K
     assert expected_frac < 0.75
 
 
