@@ -67,7 +67,16 @@ def enable_protobuf_runtime(spark=None) -> bool:
 
     Idempotent; safe to call before or after SparkSession creation
     (pass ``spark`` to retrofit an already-running session's worker
-    environment)."""
+    environment).
+
+    Setting ``SPARK_GRAFT_FORCE_NO_PROTOBUF=1`` makes discovery report
+    failure unconditionally — the deliberate way to exercise every
+    caller's ``applyInPandasWithState`` fallback branch on hosts that
+    DO carry a runtime, so fallback correctness never silently depends
+    on host contents (see
+    ``tests/test_streaming.py::test_tws_queries_fall_back_without_protobuf``)."""
+    if os.environ.get("SPARK_GRAFT_FORCE_NO_PROTOBUF") == "1":
+        return False
     found = _runtime_importable()
     if not found:
         for root in CANDIDATE_RUNTIMES:

@@ -288,3 +288,40 @@ def test_wav_roundtrip_and_chunk_walk():
         decode_wav(b"nonsense bytes")
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_feature_extract_branches_agree(spark):
+    """The learned-encoder seam's two branches (onnxruntime
+    InferenceSession vs pure-Python fallback) must produce identical
+    rows; with no runtime on the host, the fallback must engage
+    silently and the force-flag must be honored either way."""
+    import os
+
+    from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators.multimodal import (
+        onnx_encoder_available,
+    )
+
+    fn = all_queries()["multimodal_feature_extract"].fn
+    sf = "/root/testdata/sf0.001"
+    baseline = {tuple(r) for r in fn(spark, sf).collect()}
+    assert len(baseline) > 0
+
+    os.environ["SPARK_GRAFT_FORCE_NO_ONNX"] = "1"
+    try:
+        assert not onnx_encoder_available()
+        forced = {tuple(r) for r in fn(spark, sf).collect()}
+    finally:
+        del os.environ["SPARK_GRAFT_FORCE_NO_ONNX"]
+    assert forced == baseline
+
+    if onnx_encoder_available():
+        # host has onnxruntime: baseline above was the ONNX branch,
+        # and the session must actually run a model
+        from durablestreams_spark.operators.multimodal import _onnx_session
+
+        sess = _onnx_session()
+        import numpy as np
+
+        (y,) = sess.run(None, {"x": np.eye(4, dtype=np.float32)})
+        assert np.allclose(y, np.eye(4))

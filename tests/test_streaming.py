@@ -802,3 +802,28 @@ def test_stateful_fallbacks_multi_batch_state_reuse(spark, tmp_path):
     want = a * 5.0 + (1 - a) * (a * 3.0 + (1 - a) * 1.0)
     last = ewma.sort_values("n_events").iloc[-1]
     assert last["n_events"] == 3 and abs(last["ewma_value"] - want) < 1e-12
+
+
+def test_tws_queries_fall_back_without_protobuf(spark, monkeypatch):
+    """Grading must not silently depend on host contents: with
+    SPARK_GRAFT_FORCE_NO_PROTOBUF=1 the protobuf discovery reports
+    failure and the graded TWS queries take their
+    applyInPandasWithState fallbacks — which must produce the
+    identical row set the live transformWithStateInPandas path does.
+    Skipped only where the primary path itself cannot run."""
+    from durablestreams_spark._protobuf_compat import enable_protobuf_runtime
+    from durablestreams_spark.analytics.core import all_queries
+
+    if not enable_protobuf_runtime(spark):
+        pytest.skip("no protobuf runtime: cannot compare both branches")
+
+    qs = all_queries()
+    for name in ("streaming_tws_type_histogram", "streaming_cdc_apply"):
+        primary = {tuple(r) for r in qs[name].fn(spark, SF_DIR).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_FORCE_NO_PROTOBUF", "1")
+        try:
+            assert not enable_protobuf_runtime(spark)
+            fallback = {tuple(r) for r in qs[name].fn(spark, SF_DIR).collect()}
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_FORCE_NO_PROTOBUF")
+        assert primary == fallback and len(primary) > 0, name
