@@ -970,10 +970,13 @@ def _substring_grams(df, cols):
     )
 
 
-#: The oracle-portable fixed-width shuffle key (both engines compute
-#: substr(md5(gram), 1, 16) identically, so the top-100 boundary can
-#: tie-break on the key itself).
-_SUBSTRING_GH = F.substring(F.md5("gram"), 1, 16)
+def _substring_gh():
+    """The oracle-portable fixed-width shuffle key (both engines
+    compute substr(md5(gram), 1, 16) identically, so the top-100
+    boundary can tie-break on the key itself).  Built lazily —
+    classic-mode Column construction needs a live SparkContext,
+    which module import time cannot assume."""
+    return F.substring(F.md5("gram"), 1, 16)
 
 
 def substring_top_plan(spark, sf_dir):
@@ -989,7 +992,7 @@ def substring_top_plan(spark, sf_dir):
     d = _substring_tokens(spark, sf_dir)
     return (
         _substring_grams(d, ["doc_id"])
-        .select("doc_id", _SUBSTRING_GH.alias("gh"))
+        .select("doc_id", _substring_gh().alias("gh"))
         .repartition("gh")
         .groupBy("gh", "doc_id")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -1075,7 +1078,7 @@ def dedup_exact_substring(spark, sf_dir):
     rep_ids = sorted({r["rep_doc"] for r in top_rows})
     rep_docs = d.where(F.col("doc_id").isin(rep_ids))
     rep_grams = _substring_grams(rep_docs, []).select(
-        "gram", _SUBSTRING_GH.alias("gh")
+        "gram", _substring_gh().alias("gh")
     )
     return (
         rep_grams.join(F.broadcast(winners), "gh")
