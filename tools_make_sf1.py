@@ -4,6 +4,21 @@ surrogate key by copy_idx * key_stride, so joins fan out exactly as a
 genuinely larger scale factor would).  Dimension tables (nation/region) are
 copied as-is; nationkey references stay valid.
 
+Text and embeddings are PERTURBED per copy (copy 0 stays verbatim):
+a genuinely larger corpus has mostly *different* documents, but a
+verbatim 10x replication makes every doc a 10-way exact duplicate —
+inflating near-dup density ~100x in pair space, which is what pushed
+the dedup families' SQL oracles (recursive-CTE closure, banded pair
+enumeration, exact-Jaccard ground truth) quadratic at sf1.  Replica
+k>0 of a document replaces every 4th token (phase keyed on the strided
+doc_id) with an md5-derived pseudo-token, driving replica-vs-original
+Jaccard to ~0.1 — below near-dup thresholds — while keeping token
+counts, n_chars conventions, and corpus statistics realistic;
+embeddings get deterministic per-dim sin-noise (~0.4 sigma) so replica
+vectors stop being exact SRP-bucket twins.  The perturbation is pure
+DuckDB SQL at build time; Spark and the oracle both read the same
+parquet, so engine portability is not involved.
+
 Usage: python tools_make_sf1.py [dst_dir] [src_dir] [copies]
 Defaults: /tmp/spark_graft_sf1 /root/testdata/sf0.1 10
 
@@ -16,6 +31,10 @@ import os
 import sys
 
 import duckdb
+
+#: Bust caches when the builder's logic changes — the file-stat
+#: fingerprint alone cannot see code changes.
+BUILDER_VERSION = 3
 
 # (table, {col: stride}) — stride chosen >= max key + headroom so copies
 # never collide.  Timestamps are left untouched: event-time density per
@@ -42,11 +61,54 @@ def _fingerprint(src: str, copies: int) -> str:
     """Source identity for the _DONE marker: a stale cache built from a
     previous fixture generation (or another src) must trigger a
     rebuild, not silently mislabel the sf1 numbers."""
-    parts = [os.path.abspath(src), str(copies)]
+    parts = [f"v{BUILDER_VERSION}", os.path.abspath(src), str(copies)]
     for t in sorted(list(KEYED) + COPY_AS_IS):
         st = os.stat(f"{src}/{t}.parquet")
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
+
+
+def _documents_select(src: str, i: int, stride: int) -> str:
+    """Copy i of documents: i=0 verbatim; i>0 replaces every 4th token
+    (phase keyed on the strided doc_id, so each copy's edits differ;
+    period 4 > the 3-token shingle width, so a small fraction of
+    shingles survives — replicas read as weakly-related documents, not
+    duplicates and not noise) with a 7-char md5 pseudo-token, then
+    recomputes n_chars to keep the fixture's n_chars == len(text)
+    invariant."""
+    if i == 0:
+        return f"SELECT * FROM read_parquet('{src}/documents.parquet')"
+    off = i * stride
+    text_expr = (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        f"(t, j) -> CASE WHEN (j + doc_id + {i}) % 4 = 0 "
+        f"THEN 'w' || substr(md5(t || ':' || CAST(doc_id + {off} AS VARCHAR)), 1, 6) "
+        "ELSE t END), ' ')"
+    )
+    return (
+        f"SELECT doc_id, text, lang, source, len(text) AS n_chars FROM ("
+        f"SELECT doc_id + {off} AS doc_id, {text_expr} AS text, lang, source "
+        f"FROM read_parquet('{src}/documents.parquet'))"
+    )
+
+
+def _embeddings_select(src: str, i: int, stride: int) -> str:
+    """Copy i of embeddings: i=0 verbatim; i>0 adds deterministic
+    per-dimension sin-noise (amplitude 0.05 ~ 0.4 sigma of the fixture's
+    value distribution) so replica vectors land in different SRP/IVF
+    buckets instead of being bit-identical twins."""
+    if i == 0:
+        return f"SELECT * FROM read_parquet('{src}/embeddings.parquet')"
+    off = i * stride
+    emb_expr = (
+        "CAST(list_transform(embedding, (x, j) -> "
+        f"x + 0.05 * sin(CAST((vec_id + {off}) * 131 + j * 37 + {i} * 17 "
+        "AS DOUBLE))) AS FLOAT[])"
+    )
+    return (
+        f"SELECT vec_id + {off} AS vec_id, {emb_expr} AS embedding, label "
+        f"FROM read_parquet('{src}/embeddings.parquet')"
+    )
 
 
 def build(dst: str, src: str, copies: int) -> None:
@@ -69,21 +131,32 @@ def build(dst: str, src: str, copies: int) -> None:
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
     for t, strides in KEYED.items():
-        cols = [
-            r[0]
-            for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
-            ).fetchall()
-        ]
-        selects = []
-        for i in range(copies):
-            proj = ", ".join(
-                f"{c} + {i * strides[c]} AS {c}" if c in strides else c
-                for c in cols
-            )
-            selects.append(
-                f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet')"
-            )
+        if t == "documents":
+            selects = [
+                _documents_select(src, i, strides["doc_id"])
+                for i in range(copies)
+            ]
+        elif t == "embeddings":
+            selects = [
+                _embeddings_select(src, i, strides["vec_id"])
+                for i in range(copies)
+            ]
+        else:
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+                ).fetchall()
+            ]
+            selects = []
+            for i in range(copies):
+                proj = ", ".join(
+                    f"{c} + {i * strides[c]} AS {c}" if c in strides else c
+                    for c in cols
+                )
+                selects.append(
+                    f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet')"
+                )
         union = " UNION ALL ".join(selects)
         con.execute(
             f"COPY ({union}) TO '{dst}/{t}.parquet' "
