@@ -121,10 +121,15 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                 return self._send(401, "Unauthorized", raw=True)
             params = self._params()
             offset = params.get("offset", "")
-            limit = int(params.get("limit", DEFAULT_LIMIT))
-            timeout_sec = float(
-                params.get("timeout_sec", DEFAULT_TIMEOUT_SEC)
-            )
+            try:
+                limit = int(params.get("limit", DEFAULT_LIMIT))
+                timeout_sec = float(
+                    params.get("timeout_sec", DEFAULT_TIMEOUT_SEC)
+                )
+            except ValueError:
+                return self._send(
+                    400, {"error": "Invalid limit or timeout_sec"}
+                )
             stream = self._stream()
             records = (
                 stream.consume(offset, limit=limit) if offset else []
@@ -144,12 +149,7 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                 200,
                 {
                     "records": [
-                        {
-                            "offset": r.offset,
-                            "data": json.loads(r.data)
-                            if isinstance(r.data, str)
-                            else r.data,
-                        }
+                        {"offset": r.offset, "data": r.data}
                         for r in got
                     ]
                 },

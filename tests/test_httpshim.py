@@ -84,6 +84,72 @@ def test_long_poll_receives_concurrent_produce(catalog):
         assert st == 200 and json.loads(body)["records"] == []
 
 
+def test_long_poll_string_records_round_trip_unmodified(catalog):
+    """Reference wire contract: ``records: any[]`` — a produced JSON
+    string must come back as the same string from BOTH the plain-GET
+    and the long-poll branches (src/stream_manager.ts:201-229).
+    Regression for the r7 double-decode: the long-poll branch used to
+    re-``json.loads`` string data, turning '123' into 123 and raising
+    on non-JSON strings like 'hello'."""
+    with StreamHTTPShim(catalog) as base:
+        name = uuid.uuid4().hex
+        _req(f"{base}/{name}", "POST", {"records": ["123", "hello"]})
+        st, body = _req(f"{base}/{name}?offset=-&limit=10")
+        assert st == 200
+        plain = [r["data"] for r in json.loads(body)["records"]]
+        assert plain == ["123", "hello"]
+
+        # same records via the long-poll branch (concurrent produce)
+        name2 = uuid.uuid4().hex
+
+        def later():
+            time.sleep(0.2)
+            _req(f"{base}/{name2}", "POST", {"records": ["123", "hello"]})
+
+        t = threading.Thread(target=later)
+        t.start()
+        st, body = _req(f"{base}/{name2}?timeout_sec=10")
+        t.join()
+        assert st == 200
+        polled = [r["data"] for r in json.loads(body)["records"]]
+        assert polled == ["123", "hello"]
+
+
+def test_long_poll_delivery_within_one_flush(catalog):
+    """tests/index.test.ts:130-163 under real concurrency: a blocked
+    GET must observe a concurrent produce well inside its timeout —
+    bounded here at 5 s against a 30 s budget (the shim flushes
+    per-produce, so delivery is one notify away)."""
+    with StreamHTTPShim(catalog) as base:
+        name = uuid.uuid4().hex
+
+        def later():
+            time.sleep(0.3)
+            _req(f"{base}/{name}", "POST", {"records": [{"v": "x"}]})
+
+        t = threading.Thread(target=later)
+        t.start()
+        t0 = time.monotonic()
+        st, body = _req(f"{base}/{name}?timeout_sec=30")
+        elapsed = time.monotonic() - t0
+        t.join()
+        assert st == 200
+        assert [r["data"]["v"] for r in json.loads(body)["records"]] == ["x"]
+        assert elapsed < 5.0, f"long-poll took {elapsed:.1f}s"
+
+
+def test_bad_limit_and_timeout_params_return_400(catalog):
+    """Unparseable limit/timeout_sec must produce a 400 response, not
+    an aborted connection (r7 ADVICE low)."""
+    with StreamHTTPShim(catalog) as base:
+        name = uuid.uuid4().hex
+        _req(f"{base}/{name}", "POST", {"records": [{"v": 1}]})
+        for qs in ("offset=-&limit=abc", "offset=-&timeout_sec=xyz"):
+            st, body = _req(f"{base}/{name}?{qs}")
+            assert st == 400
+            assert json.loads(body)["error"] == "Invalid limit or timeout_sec"
+
+
 def test_producer_versioning_wire_shapes(catalog):
     """tests/index.test.ts:224-299 — monotonic accept, equal accept,
     stale 409 with the exact error body, versionless accept,
