@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from ..analytics.core import query, spread, table
 from .dedup import dedup_simhash
 
+#: Top-V corpus vocabulary shared by the OOV-coverage scorer and the
+#: truncated unigram/bigram LMs (all out-of-vocab tokens pool into one
+#: OOV bucket, keeping every broadcast side corpus-size-independent).
+VOCAB_SIZE = 500
+
 # Every doc whose id falls in this residue class plays the role of the
 # held-out benchmark/eval set; the remaining docs are the training
 # corpus being screened.  Deterministic, so both engines agree.
@@ -248,25 +253,36 @@ def split_train_valid_test(spark, sf_dir):
 
 @query(
     "text_unigram_logprob",
-    """
+    f"""
     WITH toks AS (
         SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
         FROM documents
     ),
     clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
     freq AS (SELECT tok, count(*) AS c FROM clean GROUP BY tok),
-    total AS (SELECT sum(c) AS n FROM freq)
+    topk AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}),
+    oov AS (SELECT (SELECT sum(c) FROM freq) AS n,
+                   (SELECT sum(c) FROM freq)
+                   - (SELECT sum(c) FROM topk) AS oc)
     SELECT doc_id, count(*) AS n_tokens,
-           round(avg(-ln(f.c * 1.0 / t.n)), 4) AS avg_nll
-    FROM clean JOIN freq f USING (tok) CROSS JOIN total t
+           round(avg(-ln(coalesce(k.c, o.oc) * 1.0 / o.n)), 4) AS avg_nll
+    FROM clean LEFT JOIN topk k USING (tok) CROSS JOIN oov o
     GROUP BY doc_id
     """,
-    doc="Unigram-LM document scoring: avg negative log-likelihood of a "
-    "doc's tokens under the corpus unigram distribution — the cheap "
-    "form of the CCNet/KenLM quality filter (high avg_nll = rare-token "
-    "soup, low = repetitive boilerplate). Two passes: a small "
-    "vocabulary aggregate, BROADCAST back onto the token stream, then "
-    "one per-doc aggregation; nothing shuffles document text.",
+    doc=f"Unigram-LM document scoring: avg negative log-likelihood of "
+    "a doc's tokens under a TRUNCATED corpus unigram LM — the "
+    f"CCNet-style recipe with a top-{VOCAB_SIZE} vocabulary "
+    "(frequency order, token tie-break) and all out-of-vocabulary "
+    "tokens pooled into one OOV bucket carrying the residual mass. "
+    "High avg_nll = rare-token soup, low = repetitive boilerplate. "
+    "The truncation is what makes this scale-safe: open-web "
+    "vocabulary grows with the corpus, so broadcasting the FULL "
+    "frequency table would blow past Spark's broadcast cap at 100 TB; "
+    f"the top-{VOCAB_SIZE}+OOV table is corpus-size-independent. "
+    "Vocabulary induction is a map-side-combined count + "
+    "TakeOrdered (tiny); scoring is ONE broadcast left join over the "
+    "token stream + one per-doc aggregation — nothing shuffles "
+    "document text by token.",
 )
 def text_unigram_logprob(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -274,14 +290,24 @@ def text_unigram_logprob(spark, sf_dir):
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = freq.agg(F.sum("c").alias("n"))
+    topk = freq.orderBy(F.col("c").desc(), "tok").limit(VOCAB_SIZE)
+    # scalar (n = corpus token count, oc = pooled OOV mass): two tiny
+    # aggregates, never corpus-proportional
+    oov = (
+        freq.agg(F.sum("c").alias("n"))
+        .crossJoin(topk.agg(F.sum("c").alias("kc")))
+        .select("n", (F.col("n") - F.col("kc")).alias("oc"))
+    )
+    ce = F.coalesce(F.col("kc_tok"), F.col("oc"))
     return (
-        toks.join(F.broadcast(freq), "tok")
-        .crossJoin(F.broadcast(total))
+        toks.join(
+            F.broadcast(topk.withColumnRenamed("c", "kc_tok")), "tok", "left"
+        )
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_nll"),
+            F.round(F.avg(-F.log(ce / F.col("n"))), 4).alias("avg_nll"),
         )
     )
 
@@ -461,8 +487,6 @@ def pipeline_pack_sequences(spark, sf_dir):
 
 #: Source-balancing cap: at most this many docs survive per source.
 QUOTA_PER_SOURCE = 120
-#: Top-V corpus vocabulary for the OOV-coverage scorer.
-VOCAB_SIZE = 500
 
 
 @query(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, spread, table
+from .pipeline_llm import VOCAB_SIZE
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
 
@@ -658,15 +659,23 @@ def text_pii_redact(spark, sf_dir):
 
 @query(
     "text_bigram_logprob",
-    """
+    f"""
     WITH tl AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'),
                            t -> t <> '') AS t
         FROM documents),
-    toks AS (
+    raw AS (
         SELECT doc_id, t[i] AS tok, i AS pos
         FROM tl, unnest(range(1, len(t) + 1)) AS u(i)),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM raw GROUP BY tok
+            ORDER BY n DESC, tok LIMIT {VOCAB_SIZE})),
+    toks AS (
+        SELECT doc_id, pos,
+               CASE WHEN v.tok IS NULL THEN '<oov>' ELSE r.tok END AS tok
+        FROM raw r LEFT JOIN vocab v ON r.tok = v.tok),
     bi AS (
         SELECT doc_id, tok,
                lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
@@ -683,24 +692,43 @@ def text_pii_redact(spark, sf_dir):
     """,
     doc="Bigram language-model quality scoring (the CCNet recipe one "
     "order up from text_unigram_logprob): an add-0.5-smoothed bigram "
-    "LM is trained on the corpus itself — bigram and unigram count "
-    "tables are vocabulary-bounded, so they BROADCAST back to the "
-    "scoring pass regardless of corpus size — and every document is "
-    "scored by its average bigram log-probability, the standard "
-    "fluency/outlier signal for filtering.  Two corpus scans (count, "
-    "score), one window for bigram formation, broadcast joins only; "
-    "ln() may differ by 1 ulp across libms, absorbed by round(.,4) "
-    "over sums 10+ orders of magnitude larger.",
+    f"LM over a TRUNCATED top-{VOCAB_SIZE} vocabulary (frequency "
+    "order, token tie-break; everything else maps to a single '<oov>' "
+    "sentinel before bigram formation) is trained on the corpus "
+    "itself, and every document is scored by its average bigram "
+    "log-probability — the standard fluency/outlier signal for "
+    "filtering. The truncation is the scale guarantee: open-web "
+    "bigram types grow near-quadratically with the corpus, so the "
+    "count tables are only broadcast-safe because the vocab is "
+    f"capped — unigram table ≤ {VOCAB_SIZE}+1 rows, bigram table ≤ "
+    f"({VOCAB_SIZE}+1)^2 rows, both corpus-size-independent. Two "
+    "corpus scans (count, score), one window for bigram formation, "
+    "broadcast joins only; ln() may differ by 1 ulp across libms, "
+    "absorbed by round(.,4) over sums 10+ orders of magnitude larger.",
 )
 def text_bigram_logprob(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    raw = docs.select(
         "doc_id",
         F.posexplode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
         ).alias("pos", "tok"),
+    )
+    vocab = (
+        raw.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("iv"))
+    )
+    toks = raw.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("iv").isNull(), F.lit("<oov>"))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
     )
     bi = (
         toks.withColumn(

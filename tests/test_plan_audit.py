@@ -533,11 +533,29 @@ def test_decontaminate_broadcasts_benchmark_set(spark):
 
 
 def test_unigram_logprob_broadcasts_vocab(spark):
-    """The vocabulary-frequency table and the scalar total must both
-    broadcast back onto the token stream — the token stream itself is
-    the 100 TB side and must not be re-shuffled for the join."""
+    """The scoring join's broadcast side must be the TOP-K vocabulary
+    (TakeOrderedAndProject → BroadcastExchange), never the full
+    corpus-proportional frequency table: open-web vocabulary grows
+    with the corpus, so an unbounded broadcast dies at 100 TB. The
+    token stream itself is the 100 TB side and must not be re-shuffled
+    for the join."""
     df = all_queries()["text_unigram_logprob"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan  # bounded vocab build
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_logprob_broadcast_sides_are_vocab_bounded(spark):
+    """Same 100×-scale contract for the bigram LM: tokens map to a
+    top-K vocab + '<oov>' sentinel BEFORE bigram formation, so every
+    broadcast side (unigram counts ≤ K+1, bigram counts ≤ (K+1)²) is
+    corpus-size-independent. The plan must show the TakeOrdered vocab
+    build feeding broadcasts and no shuffle join of the token stream
+    by token."""
+    df = all_queries()["text_bigram_logprob"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
 
