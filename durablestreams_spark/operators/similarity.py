@@ -77,11 +77,22 @@ IVF_NPROBE = 5
 #: embeddings the same structure probes far fewer cells; the knobs
 #: are the recall/cost dial, and capacity stays corpus-independent).
 IVF_ASSIGN = 2
-#: IVFPQ keeps its own (narrower) probe schedule: ADC-quantized
-#: scores mis-rank part of any wider candidate set, so extra
-#: probes DECREASE its top-k recall (measured: 0.64 at 3 probes
-#: vs 0.28 at 5 on the sf0.001 fixture) while costing more scan.
-IVFPQ_NPROBE = 3
+#: IVFPQ probes the same schedule as the cosine IVF searcher now that
+#: the refine stage exists.  (Pre-refine, ADC mis-ranking made extra
+#: probes DECREASE top-k recall — 0.64 at 3 probes vs 0.28 at 5 on the
+#: sf0.001 fixture — because a wider candidate set gave the quantized
+#: scores more chances to promote wrong neighbors into the final
+#: top-k.  Exact re-ranking removes that failure mode, so probes are
+#: again a pure recall knob.)
+IVFPQ_NPROBE = 5
+#: FAISS-style refine ("IndexRefineFlat", k_factor): ADC-rank the
+#: probed cells to a bounded candidate pool of REFINE = k_factor x k
+#: per query, then re-rank ONLY that pool with exact distances.  Fixes
+#: ADC mis-ranking at O(k_factor x k) exact scores per query — the
+#: pool is corpus-size-independent, so the refine join stays a
+#: broadcast of (queries x REFINE) rows against one pruned raw-vector
+#: scan at any corpus size.
+IVFPQ_REFINE = 8 * TOP_K
 
 
 def _srp_planes() -> list[list[int]]:
@@ -790,7 +801,7 @@ _IVFPQ_SQL = f"""
                                            cent_id) AS cr
         FROM v, cents{IVF_KMEANS_ITERS}
     ),
-    cells AS (SELECT vec_id, cent_id FROM assigned WHERE cr = 1),
+    cells AS (SELECT vec_id, cent_id FROM assigned WHERE cr <= {IVF_ASSIGN}),
     q AS (SELECT vec_id AS query_id, cent_id AS qcell
           FROM assigned WHERE cr <= {IVFPQ_NPROBE} AND vec_id % 100 = 0),
     sub AS (SELECT vec_id, s.sub_id,
@@ -814,17 +825,32 @@ _IVFPQ_SQL = f"""
             FROM (SELECT query_id, sub_id, list(d2 ORDER BY cent_id) AS arr
                   FROM qd GROUP BY query_id, sub_id)
             GROUP BY query_id),
-    scored AS (
-        SELECT q.query_id, ce.vec_id AS neighbor_id,
-               {_PQ_ADC_SUM_DUCK} AS adist
+    cand AS (
+        SELECT DISTINCT q.query_id, ce.vec_id AS neighbor_id
         FROM q
-        JOIN cells ce ON ce.cent_id = q.qcell AND ce.vec_id <> q.query_id
-        JOIN codes c ON c.vec_id = ce.vec_id
-        JOIN qdt t ON t.query_id = q.query_id)
-    SELECT query_id, neighbor_id, rank, round(adist, 4) AS adist
+        JOIN cells ce ON ce.cent_id = q.qcell AND ce.vec_id <> q.query_id),
+    scored AS (
+        SELECT ca.query_id, ca.neighbor_id,
+               {_PQ_ADC_SUM_DUCK} AS adist
+        FROM cand ca
+        JOIN codes c ON c.vec_id = ca.neighbor_id
+        JOIN qdt t ON t.query_id = ca.query_id),
+    pool AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adist ASC, neighbor_id) AS arank
+              FROM scored)
+        WHERE arank <= {IVFPQ_REFINE}),
+    refined AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_cosine_similarity(qv.emb, nv.emb) AS sim
+        FROM pool p
+        JOIN v qv ON qv.vec_id = p.query_id
+        JOIN v nv ON nv.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY adist ASC, neighbor_id) AS rank
-          FROM scored)
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM refined)
     WHERE rank <= {TOP_K}
 """
 
@@ -832,31 +858,43 @@ _IVFPQ_SQL = f"""
 @query(
     "similarity_ivfpq_topk",
     _IVFPQ_SQL,
-    doc=f"IVFPQ composite ANN (the FAISS IVFPQ layout, non-residual "
-    "variant): the learned IVF coarse quantizer restricts each query "
-    f"to its {IVFPQ_NPROBE} probed cells, and candidates inside them are "
-    f"scored from {PQ_M}x{PQ_K} PQ codebooks via a broadcast ADC "
-    "lookup table — so the search never touches raw vectors AND never "
-    "scans the whole corpus: per-query work is O(nprobe x cell x "
-    f"{PQ_M}-term sums) on ~10 B codes. This is the plan that holds "
-    "at 100 TB, where brute force fails on compute and whole-corpus "
-    "PQ fails on scan volume. Both quantizers reuse the deterministic "
+    doc=f"IVFPQ composite ANN with exact refine (the FAISS "
+    "IVFPQ + IndexRefineFlat layout, non-residual variant): the "
+    "learned IVF coarse quantizer restricts each query to its "
+    f"{IVFPQ_NPROBE} probed cells over a x{IVF_ASSIGN} multi-assigned "
+    f"index, candidates are scored from {PQ_M}x{PQ_K} PQ codebooks "
+    "via a broadcast ADC lookup table, and the ADC "
+    f"top-{IVFPQ_REFINE} pool per query is re-ranked with EXACT "
+    "cosine from one pruned raw-vector scan (the standard k_factor "
+    "refine, which removes ADC mis-ranking from the final top-k). "
+    "The search never scans the whole corpus, and raw vectors are "
+    "touched only for the bounded (queries x refine) pool — per-query "
+    f"work is O(nprobe x cell x {PQ_M}-term sums) on ~10 B codes "
+    f"plus {IVFPQ_REFINE} exact dots. This is the plan that holds at "
+    "100 TB, where brute force fails on compute and whole-corpus PQ "
+    "fails on scan volume. Both quantizers reuse the deterministic "
     "seeded k-means of their standalone queries (prefixed CTE chains "
     "in the oracle), so every stage stays bit-identical between "
     "engines.",
 )
 def similarity_ivfpq_topk(spark, sf_dir):
     ranked = _ivf_ranked(spark, sf_dir)
-    cells = ranked.where(F.col("cr") == 1).select("vec_id", "cent_id")
+    cells = ranked.where(F.col("cr") <= IVF_ASSIGN).select("vec_id", "cent_id")
     q = ranked.where(
         (F.col("cr") <= IVFPQ_NPROBE) & (F.col("vec_id") % PQ_QUERY_MOD == 0)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcell"))
     codes, qdt = _pq_artifacts(spark, sf_dir)
-    cand = cells.join(
-        F.broadcast(q),
-        (F.col("cent_id") == F.col("qcell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "vec_id")
+    cand = (
+        cells.join(
+            F.broadcast(q),
+            (F.col("cent_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        # multi-assign: a neighbor sharing >1 probed cell with the
+        # query appears once per shared cell; dedup before scoring
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(qdt), "query_id")
@@ -866,14 +904,48 @@ def similarity_ivfpq_topk(spark, sf_dir):
             F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
         )
     )
-    w_rank = W.partitionBy("query_id").orderBy(
+    w_adc = W.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
+    pool = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .where(F.col("arank") <= IVFPQ_REFINE)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact refine: the pool is (queries x IVFPQ_REFINE) rows —
+    # corpus-size-independent — so it broadcasts against ONE pruned
+    # raw-vector scan; the query vectors (corpus/100) broadcast too.
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    )
+    qv = v.where(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    refined = (
+        v.join(F.broadcast(pool), v.vec_id == pool.neighbor_id)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
+        refined.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= TOP_K)
         .select(
-            "query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist")
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine")
         )
     )
 

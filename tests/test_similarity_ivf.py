@@ -167,16 +167,18 @@ def test_ivf_capacity_is_corpus_independent(spark):
 
 
 def test_ivfpq_recall_floor_vs_brute(spark):
-    """The IVFPQ composite compounds two approximations (cell
-    restriction x ADC quantization), so its recall floor sits below
-    the standalone IVF's — but it must still recover a meaningful
-    fraction of the exact answer, and every query must return a full
-    top-k from its probed cells."""
+    """With the FAISS-style exact-refine stage (ADC top-REFINE pool
+    re-ranked by exact cosine), IVFPQ's recall is candidate-limited —
+    the ADC quantization error no longer reaches the final top-k — so
+    it matches the standalone IVF searcher's measured 0.92 on this
+    fixture (probes x multi-assign decide the candidate set in both).
+    0.8 is the regression floor, same as IVF's; pre-refine this
+    operator measured 0.3."""
     qs = all_queries()
     brute = _pairs(qs["similarity_knn_brute"].fn(spark, SF_DIR))
     ivfpq = _pairs(qs["similarity_ivfpq_topk"].fn(spark, SF_DIR))
     recall = len(brute & ivfpq) / len(brute)
-    assert recall >= 0.3, f"recall@{TOP_K} {recall:.3f} < 0.3"
+    assert recall >= 0.8, f"recall@{TOP_K} {recall:.3f} < 0.8"
     df = qs["similarity_ivfpq_topk"].fn(spark, SF_DIR)
     per_q = df.groupBy("query_id").count().collect()
     assert per_q and all(r["count"] == TOP_K for r in per_q)
