@@ -600,6 +600,14 @@ def main() -> None:
             "sf1_total": round(sum(sf1_timings.values()), 3)
             if sf1_timings
             else None,
+            # Per-query sf1 tables ride in the history row so a
+            # cross-round regression (e.g. r7's unigram 1.47->2.55)
+            # is visible from the artifact alone, without diffing two
+            # bench_detail snapshots.
+            "sf1_queries": {k: round(v, 2) for k, v in sf1_timings.items()}
+            or None,
+            "sf1_extra": {k: round(v, 2) for k, v in sf1_extra.items()}
+            or None,
         },
         float(sf),
     )

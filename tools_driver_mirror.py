@@ -29,15 +29,28 @@ TABLES = (
 
 def duck(sql):
     con = duckdb.connect()
+    timer = None
     try:
         threads = os.environ.get("MIRROR_DUCK_THREADS")
         if threads:
             con.sql(f"SET threads = {int(threads)}")
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # Optional per-oracle wall-clock guard (seconds): one
+        # pathological oracle at a large SF must not stall the whole
+        # mirror — an interrupted oracle records as a failure with a
+        # visible err instead of hanging the run.
+        budget = os.environ.get("MIRROR_ORACLE_TIMEOUT")
+        if budget:
+            import threading
+
+            timer = threading.Timer(float(budget), con.interrupt)
+            timer.start()
         rel = con.sql(sql)
         return list(rel.columns), rel.fetchall()
     finally:
+        if timer is not None:
+            timer.cancel()
         con.close()
 
 
