@@ -261,8 +261,8 @@ def split_train_valid_test(spark, sf_dir):
     clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
     freq AS (SELECT tok, count(*) AS c FROM clean GROUP BY tok),
     topk AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}),
-    oov AS (SELECT (SELECT sum(c) FROM freq) AS n,
-                   (SELECT sum(c) FROM freq)
+    oov AS (SELECT (SELECT count(*) FROM clean) AS n,
+                   (SELECT count(*) FROM clean)
                    - (SELECT sum(c) FROM topk) AS oc)
     SELECT doc_id, count(*) AS n_tokens,
            round(avg(-ln(coalesce(k.c, o.oc) * 1.0 / o.n)), 4) AS avg_nll
@@ -291,10 +291,12 @@ def text_unigram_logprob(spark, sf_dir):
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     topk = freq.orderBy(F.col("c").desc(), "tok").limit(VOCAB_SIZE)
-    # scalar (n = corpus token count, oc = pooled OOV mass): two tiny
-    # aggregates, never corpus-proportional
+    # scalar (n = corpus token count, oc = pooled OOV mass): n comes
+    # from a map-side scalar count — NOT from summing freq, which
+    # would re-run the token-keyed shuffle a second time — and kc from
+    # the tiny top-K table; neither is corpus-proportional
     oov = (
-        freq.agg(F.sum("c").alias("n"))
+        toks.agg(F.count(F.lit(1)).alias("n"))
         .crossJoin(topk.agg(F.sum("c").alias("kc")))
         .select("n", (F.col("n") - F.col("kc")).alias("oc"))
     )
