@@ -111,9 +111,11 @@ def q1_pricing_summary(spark, sf_dir):
     "re-aggregation exchange disappears — Catalyst doesn't do this "
     "rewrite itself, and at 100 TB it's the difference between "
     "shuffling ~4 lineitems per order twice and shuffling one "
-    "pre-reduced row once. customer is the small side (broadcast "
-    "hint); orderBy+limit compiles to TakeOrderedAndProject so only "
-    "10 rows per partition survive the final exchange.",
+    "pre-reduced row once. customer carries no broadcast hint — it "
+    "is corpus-proportional, so AQE decides at runtime (and does "
+    "broadcast it at bench SFs); orderBy+limit compiles to "
+    "TakeOrderedAndProject so only 10 rows per partition survive "
+    "the final exchange.",
 )
 def q3_shipping_priority(spark, sf_dir):
     cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -124,7 +126,13 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li_rev.join(orders, li_rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint on customer: it is corpus-proportional
+        # (~SF x 150k rows x 1/5 after the segment filter), so a
+        # forced broadcast dies at 100 TB.  AQE converts this join to
+        # broadcast at runtime whenever the filtered side is actually
+        # small (it is at every bench SF), which keeps local plans
+        # identical without hard-wiring a scale assumption.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "l_orderkey",
             F.round("rev", 2).alias("revenue"),

@@ -417,9 +417,13 @@ def streaming_enrich_static_join(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("user_total"))
     )
-    enriched = _events_stream(spark, sf_dir).join(
-        F.broadcast(profile), "user_id"
-    )
+    # no broadcast hint: the per-user profile dim is CORPUS-
+    # proportional (one row per user), so forcing a broadcast is a
+    # 100 TB scale bug of the same class as an unbounded vocab table.
+    # Stream-static equijoins shuffle fine without it, and the
+    # planner still broadcasts per-batch when the dim is genuinely
+    # small.
+    enriched = _events_stream(spark, sf_dir).join(profile, "user_id")
     agg = enriched.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_total").alias("sum_user_totals"),
