@@ -69,6 +69,7 @@ SF1_EXTRA = [
     "dedup_exact_substring",    # 8-token gram explode + 2-exchange distinct agg
     "text_pii_redact",          # regex scrub scan: pure codegen, I/O-bound
     "streaming_cdc_apply",      # TWS ValueState changelog fold, drained
+    "text_bigram_logprob",      # r8 truncated-vocab bigram LM: vocab build + mapped window + bounded-broadcast scoring
 ]
 
 
