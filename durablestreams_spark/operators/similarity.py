@@ -432,7 +432,13 @@ def _ivf_ranked(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    v = emb.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    # spread: with the round-8 map-side assignment there is NO
+    # exchange between the scan and the scoring join, so on the
+    # single-row-group local fixture the whole search would run as
+    # one task on one core (the window it replaced used to hide this
+    # by shuffling n×K rows); at scale the scan has many splits and
+    # this is a no-op.
+    v = spread(emb).withColumn("norm", F.sqrt(_dot("emb", "emb")))
     # FIXED-capacity training sample: the IVF_TRAIN_CAP lowest
     # sample-hash vectors.  orderBy+limit plans as TakeOrdered
     # (per-partition top-cap → one bounded merge), so the sample costs
@@ -493,13 +499,63 @@ def _ivf_ranked(spark, sf_dir):
                 ).alias("cemb"),
             )
         )
-    cn = cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb")))
-    sim_to_cent = _dot("emb", "cemb") / (F.col("norm") * F.col("cnorm"))
-    wc = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
-    return (
-        v.crossJoin(F.broadcast(cn))
-        .withColumn("csim", sim_to_cent)
-        .withColumn("cr", F.row_number().over(wc))
+    # Final corpus-wide assignment WITHOUT the n×K window: ranking a
+    # bounded K=16 centroid set per vector is an in-row array sort,
+    # not a shuffle problem — the old crossJoin + row_number shape
+    # shuffled and sorted n×K rows (the single heaviest exchange of
+    # the ANN family at 100 TB).  The learned centroids are O(K)
+    # driver rows (same bounded-collect contract as the PQ codebook
+    # seeds), re-injected as literals; each vector computes its K
+    # cosines, sorts the (−csim, cent_id) structs in-row, and
+    # posexplodes to (cent_id, cr) — one map-side pass, zero
+    # exchanges.  Float parity with the windowed form (and the DuckDB
+    # oracle / pure-Python reference): the dot product uses the same
+    # sequential fold, the collected cnorm is the identical double the
+    # column expression produced, and IEEE negation is exact, so
+    # ascending (−csim, cent_id) is bit-for-bit the old
+    # (csim DESC, cent_id) order.
+    cn_rows = sorted(
+        cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb"))).collect(),
+        key=lambda r: r["cent_id"],
+    )
+
+    def _litvec(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def _dot_lit(col, xs):
+        return F.aggregate(
+            F.zip_with(F.col(col), _litvec(xs), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        _dot_lit("emb", r["cemb"])
+                        / (F.col("norm") * F.lit(float(r["cnorm"])))
+                    )
+                ).alias("negsim"),
+                F.lit(int(r["cent_id"])).alias("cent_id"),
+            )
+            for r in cn_rows
+        ]
+    )
+    return v.select(
+        "vec_id",
+        "label",
+        "emb",
+        "norm",
+        F.posexplode(F.sort_array(pairs)).alias("p", "s"),
+    ).select(
+        "vec_id",
+        "label",
+        "emb",
+        "norm",
+        F.col("s.cent_id").alias("cent_id"),
+        (F.col("p") + 1).alias("cr"),
     )
 
 

@@ -257,14 +257,26 @@ def test_q20_semi_join_and_stacked_aggs(spark):
 
 
 def test_ivf_no_all_pairs_search(spark):
-    """IVF: the probe-limited search must join on cent_id (equi), the
-    only cross join being the bounded centroid-assignment broadcast —
-    never a corpus×corpus nested loop."""
+    """IVF: the probe-limited search must join on cent_id (equi) and
+    never run a corpus×corpus nested loop.  Since round 8 the
+    centroid ASSIGNMENT contributes no join at all: the K learned
+    centroids are collected (bounded O(K) rows) and re-injected as
+    literals, so each vector ranks its cells with an in-row
+    sort_array + posexplode (a Generate node) — the old
+    crossJoin+row_number shape shuffled and sorted n×K rows."""
     df = all_queries()["similarity_ivf_topk"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    # assignment joins broadcast the (small) centroid set
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    # assignment is map-side: no nested-loop join survives in the
+    # search plan, and the in-row ranking explodes via Generate
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan
+    # the only window left ranks the per-QUERY top-k (bounded query
+    # set); the corpus-side assignment window over vec_id is gone
+    import re as _re
+
+    n_windows = len(_re.findall(r"\(\d+\) Window\s*$", plan, _re.M))
+    assert n_windows <= 1, plan
     # cell-restricted search is an equi join keyed on the cell id
     assert "cent_id" in plan, plan
 
