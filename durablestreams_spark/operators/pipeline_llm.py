@@ -251,10 +251,10 @@ def split_train_valid_test(spark, sf_dir):
     )
 
 
-@query(
-    "text_unigram_logprob",
-    f"""
-    WITH toks AS (
+# Shared by text_unigram_logprob and text_perplexity_buckets: the CTE
+# chain building the truncated unigram LM and the final per-doc NLL
+# select — one definition so the two graded oracles can never drift.
+_UNIGRAM_NLL_CTES = f"""toks AS (
         SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
         FROM documents
     ),
@@ -263,11 +263,20 @@ def split_train_valid_test(spark, sf_dir):
     topk AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}),
     oov AS (SELECT (SELECT count(*) FROM clean) AS n,
                    (SELECT count(*) FROM clean)
-                   - (SELECT sum(c) FROM topk) AS oc)
+                   - (SELECT sum(c) FROM topk) AS oc)"""
+
+_UNIGRAM_NLL_SELECT = """
     SELECT doc_id, count(*) AS n_tokens,
            round(avg(-ln(coalesce(k.c, o.oc) * 1.0 / o.n)), 4) AS avg_nll
     FROM clean LEFT JOIN topk k USING (tok) CROSS JOIN oov o
-    GROUP BY doc_id
+    GROUP BY doc_id"""
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH {_UNIGRAM_NLL_CTES}
+    {_UNIGRAM_NLL_SELECT}
     """,
     doc=f"Unigram-LM document scoring: avg negative log-likelihood of "
     "a doc's tokens under a TRUNCATED corpus unigram LM — the "
@@ -310,6 +319,67 @@ def text_unigram_logprob(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg(-F.log(ce / F.col("n"))), 4).alias("avg_nll"),
+        )
+    )
+
+
+@query(
+    "text_perplexity_buckets",
+    f"""
+    WITH {_UNIGRAM_NLL_CTES},
+    nll AS ({_UNIGRAM_NLL_SELECT}),
+    ranked AS (
+        SELECT d.lang, n.avg_nll,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY n.avg_nll, n.doc_id) AS tercile
+        FROM nll n JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(avg_nll), 4) AS bucket_avg_nll
+    FROM ranked
+    GROUP BY lang, tercile
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every document under the shared truncated unigram LM (identical "
+    "CTEs to text_unigram_logprob — one definition, two queries), "
+    "split each language into head/middle/tail terciles by per-doc "
+    "avg NLL (doc_id tie-break on the ROUNDED score, so the ordering "
+    "is reproducible across engines), and report per-bucket counts "
+    "and mean NLL — the standard quality-stratified sampling input. "
+    "The tercile window is PARTITIONED BY language (CCNet buckets "
+    "per-language by design), never global; at 100 TB a dominant "
+    "language makes that partition large, and the production variant "
+    "derives the two cut scores from a fixed-size sample instead of "
+    "an exact window — the graded instance keeps the exact window so "
+    "the oracle is bit-checkable.  Upstream is the same bounded "
+    "top-K+OOV broadcast as text_unigram_logprob: nothing "
+    "corpus-proportional is ever broadcast.",
+)
+def text_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nll = text_unigram_logprob(spark, sf_dir)
+    ranked = nll.join(docs, "doc_id").withColumn(
+        "tercile",
+        F.ntile(3).over(W.partitionBy("lang").orderBy("avg_nll", "doc_id")),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_nll"), 4).alias("bucket_avg_nll"),
+        )
+        .select(
+            "lang", bucket.alias("bucket"), "n_docs", "bucket_avg_nll"
         )
     )
 
@@ -756,4 +826,99 @@ def sample_token_budget(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("tokens_kept"),
         )
         .orderBy("source")
+    )
+
+
+#: Shared split-bucket SQL (identical to split_train_valid_test).
+_SPLIT_CASE = """CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+             < 'cc' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+             < 'e6' THEN 'valid'
+        ELSE 'test' END"""
+
+
+def _split_col() -> F.Column:
+    """The same md5-bucket split assignment as split_train_valid_test."""
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    return (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+    )
+
+
+@query(
+    "split_leakage_ngrams",
+    f"""
+    WITH shingles AS ({_DUCK_SHINGLE5}),
+    tagged AS (
+        SELECT s.doc_id, d.lang, s.sh,
+               substr(md5(s.sh), 1, 16) AS gh,
+               {_SPLIT_CASE.replace("doc_id", "s.doc_id")} AS split
+        FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    train_grams AS (SELECT DISTINCT gh FROM tagged WHERE split = 'train'),
+    valid_totals AS (
+        SELECT doc_id, lang, count(*) AS n_shingles
+        FROM tagged WHERE split = 'valid' GROUP BY doc_id, lang
+    ),
+    hits AS (
+        SELECT v.doc_id, count(*) AS n_hit
+        FROM (SELECT doc_id, gh FROM tagged WHERE split = 'valid') v
+        JOIN train_grams t USING (gh)
+        GROUP BY v.doc_id
+    )
+    SELECT t.doc_id, t.lang, t.n_shingles, h.n_hit,
+           round(h.n_hit * 1.0 / t.n_shingles, 4) AS overlap_ratio
+    FROM valid_totals t JOIN hits h USING (doc_id)
+    """,
+    doc="Cross-split contamination report: validation documents that "
+    "share any 5-gram shingle with the TRAINING split (the "
+    "train/valid leak check every corpus release runs — same intent "
+    "as text_decontaminate, but split-vs-split, where the reference "
+    "set is corpus-proportional rather than a tiny benchmark).  "
+    "Because the train-side gram set grows with the corpus it is "
+    "NEVER broadcast: both sides reduce each distinct 5-gram to a "
+    "fixed-width 16-hex-char md5 prefix (the substring-dedup shuffle "
+    "trick — a 64-bit key moves instead of the raw gram string) and "
+    "meet in a shuffle equi-join on that key.  Per-doc shingle dedup "
+    "is array_distinct inside the scan (shuffle-free); split "
+    "assignment is the identical md5-bucket projection "
+    "split_train_valid_test grades, so the splits audited here are "
+    "exactly the splits that query ships.",
+)
+def split_leakage_ngrams(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    arrays = _shingle5_arrays(docs).withColumn("split", _split_col())
+    lang = docs.select("doc_id", "lang")
+    train_grams = (
+        arrays.where(F.col("split") == "train")
+        .select(F.explode("shs").alias("sh"))
+        .select(F.substring(F.md5("sh"), 1, 16).alias("gh"))
+        .distinct()
+    )
+    valid = arrays.where(F.col("split") == "valid")
+    totals = valid.select("doc_id", F.size("shs").alias("n_shingles"))
+    hits = (
+        valid.select("doc_id", F.explode("shs").alias("sh"))
+        .select("doc_id", F.substring(F.md5("sh"), 1, 16).alias("gh"))
+        .join(train_grams, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias(
+                "overlap_ratio"
+            ),
+        )
     )

@@ -1191,11 +1191,11 @@ def _mmr_oracle() -> str:
                  FROM st3)
            WHERE rk = 1)
     SELECT query_id, 1 AS pick, cid AS neighbor_id,
-           round(score, 4) AS mmr_score FROM s1
+           round(score, 4) + 0.0 AS mmr_score FROM s1
     UNION ALL
-    SELECT query_id, 2, cid, round(score, 4) FROM s2
+    SELECT query_id, 2, cid, round(score, 4) + 0.0 FROM s2
     UNION ALL
-    SELECT query_id, 3, cid, round(score, 4) FROM s3
+    SELECT query_id, 3, cid, round(score, 4) + 0.0 FROM s3
     """
 
 
@@ -1289,19 +1289,26 @@ def similarity_mmr_rerank(spark, sf_dir):
         )
     )
     s3 = argmax(st3)
+    # ``+ 0.0`` after the round: IEEE negative zero.  A score a hair
+    # below zero rounds to -0.0, and the engines disagree on sign
+    # preservation in round() (sf1 measured: DuckDB kept -0.0, Spark
+    # returned +0.0 for the same pick).  -0.0 == 0.0 compares equal,
+    # but the driver's comparator sorts rows by their STRING image, so
+    # one differing sign shifts the whole row alignment and fails the
+    # hash gate.  x + 0.0 canonicalizes -0.0 to +0.0 in both engines.
     return (
         s1.select(
             "query_id",
             F.lit(1).alias("pick"),
             F.col("cid").alias("neighbor_id"),
-            F.round("score", 4).alias("mmr_score"),
+            (F.round("score", 4) + F.lit(0.0)).alias("mmr_score"),
         )
         .unionByName(
             s2.select(
                 "query_id",
                 F.lit(2).alias("pick"),
                 F.col("cid").alias("neighbor_id"),
-                F.round("score", 4).alias("mmr_score"),
+                (F.round("score", 4) + F.lit(0.0)).alias("mmr_score"),
             )
         )
         .unionByName(
@@ -1309,7 +1316,7 @@ def similarity_mmr_rerank(spark, sf_dir):
                 "query_id",
                 F.lit(3).alias("pick"),
                 F.col("cid").alias("neighbor_id"),
-                F.round("score", 4).alias("mmr_score"),
+                (F.round("score", 4) + F.lit(0.0)).alias("mmr_score"),
             )
         )
     )
@@ -1381,4 +1388,107 @@ def similarity_label_cohesion(spark, sf_dir):
             F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
         )
         .orderBy("label")
+    )
+
+
+#: SemDeDup within-cluster duplicate threshold.  The fixture's random
+#: near-orthogonal embeddings put almost all cosines well below
+#: production near-dup levels, so the graded constant matches
+#: dedup.COSINE_DUP_THRESHOLD (0.4) to make the report discriminative;
+#: a production run on real embeddings uses ~0.95+ (Abbas et al. use
+#: 1 - eps with eps in [0.01, 0.1]).  The PLAN is threshold-independent.
+SEMDEDUP_COS = 0.4
+
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    {_kmeans_sql()},
+    assigned AS (
+        SELECT vec_id, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cents{IVF_KMEANS_ITERS}
+    ),
+    cells AS (SELECT vec_id, emb, cent_id FROM assigned WHERE cr = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {SEMDEDUP_COS}
+    )
+    SELECT c.cent_id AS cluster_id,
+           count(*) AS n_vecs,
+           count(d.vec_id) AS n_dropped,
+           round(count(d.vec_id) * 1.0 / count(*), 4) AS drop_rate
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY c.cent_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): embedding-space semantic "
+    "deduplication by clustering first and comparing pairs ONLY "
+    "within a cluster — cluster assignment reuses the IVF coarse "
+    f"quantizer's learned k-means centroids (K={IVF_K}, "
+    f"{IVF_KMEANS_ITERS} Lloyd iterations over the capped "
+    f"{IVF_TRAIN_CAP}-vector sample — bit-identical to "
+    "similarity_ivf_topk's, one training, two consumers), then a "
+    "vector is DROPPED when a lower-id member of its cluster has "
+    f"cosine >= {SEMDEDUP_COS} (min-id-wins keeps exactly one "
+    "representative per duplicate set).  Reported per cluster: size, "
+    "drops, drop rate — the dedup-economics summary the paper's "
+    "pipeline emits.  Scale shape: assignment is the map-side "
+    "literal-centroid ranking (zero exchanges); the pair phase is a "
+    "self-equi-join ON CLUSTER ID — never an all-pairs stage — so "
+    "cost is sum(cluster_size^2) and at 100 TB K grows with the "
+    "corpus (SemDeDup's own recipe: clusters stay ~constant-size) "
+    "while this graded instance pins K for oracle determinism.",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    cells = (
+        _ivf_ranked(spark, sf_dir)
+        .where(F.col("cr") == 1)
+        .select("vec_id", "emb", "norm", "cent_id")
+    )
+    a = cells.select(
+        F.col("cent_id").alias("a_cent"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = cells.select(
+        F.col("cent_id").alias("b_cent"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a_cent") == F.col("b_cent"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(dot / (F.col("na") * F.col("nb")) >= SEMDEDUP_COS)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cent_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dropped"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("drop_rate"),
+        )
     )

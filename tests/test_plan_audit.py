@@ -888,3 +888,55 @@ def test_profile_approx_has_no_expand(spark):
     # bounds agg is collapsed.  Assert the strong property we rely on:
     # at most one Expand (from the exact bounds check), never two.
     assert pa.count("Expand") <= pe.count("Expand"), pa
+
+
+def test_gopher_rules_zero_shuffle_codegen(spark):
+    """text_gopher_rules is a pure row-local filter-metrics projection:
+    the plan must contain no exchange at all (the 100 TB claim is
+    'runs at parquet scan speed') and no Python eval."""
+    df = all_queries()["text_gopher_rules"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 0, plan
+    assert not has_python_eval(df), plan
+
+
+def test_perplexity_buckets_window_is_per_language(spark):
+    """The CCNet tercile window must be PARTITIONED BY lang — a global
+    ntile would funnel the whole corpus through one task at 100 TB.
+    The windowspecdefinition in the plan must carry the lang key."""
+    df = all_queries()["text_perplexity_buckets"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "ntile" in plan, plan
+    assert "windowspecdefinition(lang#" in plan, plan
+
+
+def test_split_leakage_train_grams_never_broadcast(spark):
+    """The train-side gram set grows with the corpus, so the leak join
+    must survive with broadcasts disabled (proving no forced hint
+    anywhere in the plan) and the exchanged key must be the
+    fixed-width md5 prefix, not raw gram strings."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["split_leakage_ngrams"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # the gram join key is substring(md5(sh), 1, 16)
+        assert "substring(md5(" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_semantic_clusters_no_all_pairs(spark):
+    """SemDeDup's whole point is pairing WITHIN clusters: the pair
+    phase must be an equi-join on cent_id — no cartesian product, no
+    broadcast nested loop of the corpus against itself — and the
+    cosine folds stay JVM-side."""
+    df = all_queries()["dedup_semantic_clusters"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cent" in plan, plan
+    assert not has_python_eval(df), plan
