@@ -767,10 +767,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_STOPWORDS = 2
 
 
-@query(
-    "text_gopher_rules",
-    f"""
-    WITH w AS (
+#: Gopher metric/keep SQL shared by text_gopher_rules and the composed
+#: pipeline_curate_v2 oracle — one definition, two graded queries.
+_GOPHER_METRICS_SQL = """w AS (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'),
                            t -> t <> '') AS wrds,
@@ -791,7 +790,29 @@ GOPHER_MIN_STOPWORDS = 2
                    ['the','be','to','of','and','that','have','with']))
                    AS n_stop
         FROM w
-    )
+    )"""
+
+_GOPHER_KEEP_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND n_stop >= {GOPHER_MIN_STOPWORDS})"""
+
+#: The four STRUCTURAL rules only (no stopword-lexicon term): the
+#: composed pipeline gates on these because the synthetic fixture's
+#: vocabulary contains at most ONE of Gopher's eight stopwords — the
+#: lexicon rule would zero the corpus and make every downstream stage
+#: vacuous.  text_gopher_rules still reports the full battery per doc.
+_GOPHER_KEEP_STRUCTURAL_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO})"""
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH {_GOPHER_METRICS_SQL}
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            round(mwl, 4) AS mean_word_len,
@@ -805,11 +826,7 @@ GOPHER_MIN_STOPWORDS = 2
            (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
            (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
            (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
-           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-            AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
-            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
-            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
-            AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+           {_GOPHER_KEEP_SQL} AS keep
     FROM m
     """,
     doc="Gopher quality-filter rules (Rae et al. 2021, Table A1): word "
@@ -885,4 +902,121 @@ def text_gopher_rules(spark, sf_dir):
         ok_sym.alias("ok_symbols"),
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_sym & ok_stop).alias("keep"),
+    )
+
+
+# Imported adjacent to their single consumer (pipeline_curate_v2):
+# the composed oracle is an f-string, so these must be module-level.
+# No cycle: pipeline_llm never imports text.
+from .pipeline_llm import (  # noqa: E402
+    _SPLIT_CASE,
+    _UNIGRAM_NLL_CTES,
+    _UNIGRAM_NLL_SELECT,
+    _split_col,
+    text_unigram_logprob,
+)
+
+
+@query(
+    "pipeline_curate_v2",
+    f"""
+    WITH {_GOPHER_METRICS_SQL},
+    g AS (SELECT doc_id, n_words FROM m
+         WHERE {_GOPHER_KEEP_STRUCTURAL_SQL}),
+    {_UNIGRAM_NLL_CTES},
+    nll AS ({_UNIGRAM_NLL_SELECT}),
+    ranked AS (
+        SELECT g.doc_id, g.n_words,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY n.avg_nll, n.doc_id) AS tercile
+        FROM g JOIN nll n USING (doc_id) JOIN documents d USING (doc_id)
+    ),
+    survivors AS (
+        SELECT r.doc_id, r.n_words, d.source, md5(d.text) AS content_hash
+        FROM ranked r JOIN documents d USING (doc_id)
+        WHERE r.tercile <= 2
+    ),
+    canon AS (
+        SELECT doc_id, n_words, source
+        FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                           ORDER BY doc_id) AS rn
+              FROM survivors)
+        WHERE rn = 1
+    )
+    SELECT {_SPLIT_CASE} AS split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens
+    FROM canon
+    GROUP BY 1, 2
+    """,
+    doc="END-TO-END modern curation pipeline (the composition a "
+    "2024-era corpus run executes, cf. CCNet / Gopher / RefinedWeb): "
+    "Gopher structural-rule filter (word count / mean word length / alpha fraction / symbol ratio; the stopword-lexicon rule stays in the per-doc report — the synthetic fixture carries at most one of the eight Gopher stopwords, which would zero the corpus) → CCNet perplexity gate (drop each language's "
+    "worst tercile under the truncated unigram LM — the LM is trained "
+    "on the RAW corpus and applied to the filtered one, exactly "
+    "CCNet's external-LM pattern) → exact content-hash dedup "
+    "(min-id canonical) → reproducible md5 split assignment, reported "
+    "as docs/tokens per (split, source) — the corpus datasheet.  "
+    "Every stage REUSES the exact shared definition its standalone "
+    "graded query runs (_GOPHER_*_SQL, _UNIGRAM_NLL_*, _SPLIT_CASE — "
+    "one definition each, so the composition cannot drift from the "
+    "parts).  Scale: each stage drops data before the next shuffle — "
+    "the rule filter is row-local at the scan, the tercile window is "
+    "per-language over survivors only, dedup is ONE row_number window on the 16-byte digest (groupBy-min + join-back would consume the survivor subtree twice and Spark would re-execute the whole scan+LM chain per consumer), "
+    "split is a row-local projection; the only corpus-proportional "
+    "broadcast candidate (the LM) is the bounded top-K+OOV table.",
+)
+def pipeline_curate_v2(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    # Structural rules only — the stopword lexicon rule would zero the
+    # synthetic fixture (see _GOPHER_KEEP_STRUCTURAL_SQL); a production
+    # run swaps the gate for the full `keep` flag.
+    g = (
+        text_gopher_rules(spark, sf_dir)
+        .where(
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_alpha")
+            & F.col("ok_symbols")
+        )
+        .select("doc_id", "n_words")
+    )
+    nll = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
+    meta = docs.select(
+        "doc_id", "lang", "source", F.md5("text").alias("content_hash")
+    )
+    ranked = (
+        g.join(nll, "doc_id")
+        .join(meta, "doc_id")
+        .withColumn(
+            "tercile",
+            F.ntile(3).over(
+                W.partitionBy("lang").orderBy("avg_nll", "doc_id")
+            ),
+        )
+    )
+    survivors = ranked.where(F.col("tercile") <= 2)
+    # Min-id canonical via ONE window on the digest, not groupBy-min +
+    # join-back: the join-back would consume `survivors` twice, and
+    # Spark physically duplicates the whole upstream subtree (gopher
+    # scan + LM scoring) per consumer — a 2x corpus-scan tax at any
+    # scale (verified by BNLJ-count in the plan audit).
+    canon = (
+        survivors.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        canon.select(_split_col().alias("split"), "source", "n_words")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_tokens"),
+        )
     )

@@ -940,3 +940,26 @@ def test_semantic_clusters_no_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "cent" in plan, plan
     assert not has_python_eval(df), plan
+
+
+def test_pipeline_curate_v2_composition_shape(spark):
+    """The composed curation pipeline must inherit every part's scale
+    shape: per-language tercile window (never global), no cartesian /
+    nested-loop node anywhere, all expressions JVM-side."""
+    df = all_queries()["pipeline_curate_v2"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(lang#" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # BroadcastNestedLoopJoins ARE present, but only the unigram LM's
+    # single-row scalar cross joins (OOV mass / token total) inherited
+    # from text_unigram_logprob — the COMPOSITION itself must add zero
+    # nested loops, so its count must not exceed the standalone LM's.
+    import re as _re
+
+    lm_plan = formatted_plan(
+        all_queries()["text_unigram_logprob"].fn(spark, SF_DIR)
+    )
+    n_lm = len(_re.findall(r"BroadcastNestedLoopJoin", lm_plan))
+    n_composed = len(_re.findall(r"BroadcastNestedLoopJoin", plan))
+    assert n_lm > 0 and n_composed <= n_lm, (n_composed, n_lm, plan)
+    assert not has_python_eval(df), plan
