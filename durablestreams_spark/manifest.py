@@ -200,13 +200,31 @@ class Manifest:
                 )
             entries = [e for e in entries if e[0] <= as_of]
         st = StreamState()
-        # Start from the latest (eligible) checkpoint, replay the tail.
+        # Start from the NEWEST readable checkpoint, replay the tail.
+        # Newest-first means exactly one snapshot is parsed on the
+        # happy path (the old forward scan parsed every checkpoint it
+        # passed).  A checkpoint that fails to parse — bitrot, a
+        # truncated copy, external tampering — is SKIPPED, falling
+        # back to the previous checkpoint (or a full replay from
+        # version 0): checkpoints are derived data and every commit
+        # since version 0 is retained, so ignoring a bad snapshot
+        # only lengthens the replay, never changes the answer.  Our
+        # own writer can't produce a torn checkpoint (tmp + fsync +
+        # atomic link), so this guards against everything else.
         start = 0
-        for i, (ver, kind, path) in enumerate(entries):
-            if kind == "checkpoint":
+        cps = [
+            (i, ver, path)
+            for i, (ver, kind, path) in enumerate(entries)
+            if kind == "checkpoint"
+        ]
+        for i, ver, path in reversed(cps):
+            try:
                 with open(path) as f:
                     st = StreamState.from_json(ver, json.load(f))
                 start = i + 1
+                break
+            except (ValueError, KeyError, TypeError, OSError):
+                continue
         for ver, kind, path in entries[start:]:
             if kind != "commit":
                 continue
