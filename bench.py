@@ -72,6 +72,7 @@ SF1_EXTRA = [
     "text_bigram_logprob",      # r8 truncated-vocab bigram LM: vocab build + mapped window + bounded-broadcast scoring
     "split_leakage_ngrams",     # r8 cross-split 5-gram contamination: fixed-width-key shuffle equi-join, train side never broadcast
     "dedup_semantic_clusters",  # r8 SemDeDup: IVF-centroid assignment + within-cluster pair equi-join
+    "pipeline_curate_v2",       # r8 composed curation run: gopher gate + LM terciles + digest-window dedup + split datasheet
 ]
 
 
