@@ -5,6 +5,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The suite always exercises the LIVE ANN training plans: every plan
+# audit and capacity test must pin the real build, not a cache scan.
+# tests/test_ann_cache.py re-enables the persisted-index path
+# explicitly and diffs both branches row-for-row.
+os.environ["SPARK_GRAFT_ANN_CACHE"] = "0"
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -1,0 +1,94 @@
+"""Persisted ANN index parity: the cached (parquet round-trip) and
+live-build branches of every learned artifact must produce identical
+rows, and the graded consumers must return identical results either
+way.  The suite-wide default (conftest) is cache OFF; this module
+turns the cache ON explicitly per call via env patching."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from durablestreams_spark.analytics.core import all_queries
+from durablestreams_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ann_cache_on(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", "1")
+    monkeypatch.setattr(S, "_ANN_CACHE_ROOT", str(tmp_path / "annidx"))
+    yield
+    shutil.rmtree(str(tmp_path / "annidx"), ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_index_cache_parity(spark, ann_cache_on):
+    live = _rows(S._ivf_ranked(spark, SF_DIR).where(S._ivf_index_pred()))
+    cached_first = _rows(S._ivf_index(spark, SF_DIR))   # builds + publishes
+    cached_second = _rows(S._ivf_index(spark, SF_DIR))  # pure cache read
+    assert cached_first == live
+    assert cached_second == live
+    # the artifact actually landed on disk
+    root = S._ANN_CACHE_ROOT
+    assert any(d.startswith("ivf_index-") for d in os.listdir(root))
+
+
+def test_ivf_index_is_pruned(spark, ann_cache_on):
+    """The persisted artifact must be the bounded index (cells + query
+    probes), never the full xK per-vector ranking: at 100 TB the full
+    ranking is a 16x raw-vector copy."""
+    idx = S._ivf_index(spark, SF_DIR)
+    n_full = S._ivf_ranked(spark, SF_DIR).count()
+    n_idx = idx.count()
+    assert n_idx < n_full / 3, (n_idx, n_full)
+    assert idx.where(
+        (F.col("cr") > S.IVF_ASSIGN) & (F.col("vec_id") % 100 != 0)
+    ).count() == 0
+
+
+def test_pq_artifacts_cache_parity(spark, ann_cache_on):
+    lc, lq = S._pq_artifacts_build(spark, SF_DIR)
+    live_codes, live_qdt = _rows(lc), _rows(lq)
+    cc, cq = S._pq_artifacts(spark, SF_DIR)
+    assert _rows(cc) == live_codes
+    assert _rows(cq) == live_qdt
+
+
+def test_graded_consumers_identical_under_cache(spark, ann_cache_on):
+    for name in (
+        "similarity_ivf_topk",
+        "similarity_ivfpq_topk",
+        "dedup_semantic_clusters",
+    ):
+        fn = all_queries()[name].fn
+        warm = _rows(fn(spark, SF_DIR))   # first call: builds the index
+        again = _rows(fn(spark, SF_DIR))  # second call: serves it
+        assert warm == again, name
+
+
+def test_cache_key_tracks_fixture(spark, ann_cache_on, tmp_path):
+    """A regenerated corpus must produce a DIFFERENT cache key (the
+    round-2/3 stale-cache lesson): copy the fixture, touch it, and the
+    two key paths must differ."""
+    import hashlib
+
+    from durablestreams_spark.operators.cache_marker import (
+        fixture_fingerprint,
+    )
+
+    copy_dir = tmp_path / "sfcopy"
+    copy_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", copy_dir / "embeddings.parquet")
+    os.utime(copy_dir / "embeddings.parquet", (1, 1))
+    k1 = fixture_fingerprint(SF_DIR, "embeddings", params=S._ann_params())
+    k2 = fixture_fingerprint(
+        str(copy_dir), "embeddings", params=S._ann_params()
+    )
+    assert k1 != k2
+    assert hashlib.md5(k1.encode()) != hashlib.md5(k2.encode())
