@@ -73,6 +73,8 @@ SF1_EXTRA = [
     "split_leakage_ngrams",     # r8 cross-split 5-gram contamination: fixed-width-key shuffle equi-join, train side never broadcast
     "dedup_semantic_clusters",  # r8 SemDeDup: IVF-centroid assignment + within-cluster pair equi-join
     "pipeline_curate_v2",       # r8 composed curation run: gopher gate + LM terciles + digest-window dedup + split datasheet
+    "sample_dsir_importance",   # r8 DSIR: hashed-256-bucket importance table (bounded broadcast) + per-doc score
+    "sample_embedding_seed",    # r8 seed-centroid selection: one-row centroid broadcast x single corpus pass
 ]
 
 

