@@ -69,7 +69,7 @@ SF1_EXTRA = [
     "dedup_exact_substring",    # 8-token gram explode + 2-exchange distinct agg
     "text_pii_redact",          # regex scrub scan: pure codegen, I/O-bound
     "streaming_cdc_apply",      # TWS ValueState changelog fold, drained
-    "text_bigram_logprob",      # r8 truncated-vocab bigram LM: vocab build + mapped window + bounded-broadcast scoring
+    "text_bigram_logprob",      # r8 truncated-vocab bigram LM: vocab build + array-side bigrams (window-free) + bounded-broadcast scoring
     "split_leakage_ngrams",     # r8 cross-split 5-gram contamination: fixed-width-key shuffle equi-join, train side never broadcast
     "dedup_semantic_clusters",  # r8 SemDeDup: IVF-centroid assignment + within-cluster pair equi-join
     "pipeline_curate_v2",       # r8 composed curation run: gopher gate + LM terciles + digest-window dedup + split datasheet

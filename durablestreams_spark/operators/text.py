@@ -702,42 +702,76 @@ def text_pii_redact(spark, sf_dir):
     "count tables are only broadcast-safe because the vocab is "
     f"capped — unigram table ≤ {VOCAB_SIZE}+1 rows, bigram table ≤ "
     f"({VOCAB_SIZE}+1)^2 rows, both corpus-size-independent. Two "
-    "corpus scans (count, score), one window for bigram formation, "
-    "broadcast joins only; ln() may differ by 1 ulp across libms, "
-    "absorbed by round(.,4) over sums 10+ orders of magnitude larger.",
+    "corpus scans (count, score); bigrams form ARRAY-SIDE (zip_with "
+    "over two slices of the token array) so there is NO per-doc "
+    "window — the original plan sorted the full token stream by "
+    "(doc_id, pos) for a lead(), a complete corpus exchange that "
+    "dominated at sf1 and would be the bottleneck at 100 TB; the "
+    "unigram LM counts come straight off the raw frequency table "
+    "(vocab tokens keep their counts, the non-vocab residual pools "
+    "into '<oov>' by one bounded re-agg), never a second token-stream "
+    "pass.  Broadcast joins only; ln() may differ by 1 ulp across "
+    "libms, absorbed by round(.,4) over sums 10+ orders of magnitude "
+    "larger.",
 )
 def text_bigram_logprob(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    docs = table(spark, sf_dir, "documents")
-    raw = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("pos", "tok"),
+    # spread(): the explode-heavy stages below must not run at the
+    # input's file-partition count on small-file fixtures; a no-op on
+    # any at-scale scan (files >= cores).
+    docs = spread(table(spark, sf_dir, "documents"))
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    w = docs.select("doc_id", ws.alias("ws"))
+    freq = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     vocab = (
-        raw.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "tok")
+        freq.orderBy(F.col("n").desc(), "tok")
         .limit(VOCAB_SIZE)
         .select("tok", F.lit(1).alias("iv"))
     )
-    toks = raw.join(F.broadcast(vocab), "tok", "left").select(
-        "doc_id",
-        "pos",
-        F.when(F.col("iv").isNull(), F.lit("<oov>"))
-        .otherwise(F.col("tok"))
-        .alias("tok"),
+    # Unigram counts of the oov-mapped stream, derived from the raw
+    # frequency table instead of re-scanning tokens: vocab tokens keep
+    # their counts, everything else pools into one '<oov>' row.
+    uc = (
+        freq.join(F.broadcast(vocab), "tok", "left")
+        .select(
+            F.when(F.col("iv").isNull(), F.lit("<oov>"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+            "n",
+        )
+        .groupBy("tok")
+        .agg(F.sum("n").alias("c1"))
+    )
+    # Bigram pairs formed inside the scan stage: zip the token array
+    # against itself shifted by one — zero windows, zero sorts.
+    npairs = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("ws", F.lit(1), npairs),
+        F.slice("ws", F.lit(2), npairs),
+        lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
+    )
+    vt = F.broadcast(vocab)
+    vn = F.broadcast(
+        vocab.select(F.col("tok").alias("nxt"), F.col("iv").alias("ivn"))
     )
     bi = (
-        toks.withColumn(
-            "nxt", F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos"))
+        w.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.tok").alias("tok"), F.col("p.nxt").alias("nxt"))
+        .join(vt, "tok", "left")
+        .join(vn, "nxt", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("iv").isNull(), F.lit("<oov>"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+            F.when(F.col("ivn").isNull(), F.lit("<oov>"))
+            .otherwise(F.col("nxt"))
+            .alias("nxt"),
         )
-        .where(F.col("nxt").isNotNull())
-        .select("doc_id", "tok", "nxt")
     )
-    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     bc = bi.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c2"))
     v = uc.agg(F.count(F.lit(1)).alias("vs"))
     logp = F.log(

@@ -564,12 +564,17 @@ def test_bigram_logprob_broadcast_sides_are_vocab_bounded(spark):
     broadcast side (unigram counts ≤ K+1, bigram counts ≤ (K+1)²) is
     corpus-size-independent. The plan must show the TakeOrdered vocab
     build feeding broadcasts and no shuffle join of the token stream
-    by token."""
+    by token.  Since round 8, bigram formation is ARRAY-SIDE (zip_with
+    over two slices) — the plan must carry NO window: the old
+    lead()-over-(doc_id, pos) version sorted the entire token stream,
+    a full-corpus exchange that dominated sf1 and would own the 100 TB
+    runtime."""
     df = all_queries()["text_bigram_logprob"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_canonical_doc_is_hash_agg_not_window(spark):
