@@ -944,8 +944,14 @@ SUBSTR_NGRAM = 8
 
 
 def _substring_tokens(spark, sf_dir):
-    """documents -> (doc_id, toks) with short docs dropped."""
-    docs = table(spark, sf_dir, "documents")
+    """documents -> (doc_id, toks) with short docs dropped.
+
+    spread(): the 8-gram explode + md5 downstream is the CPU cost and
+    must not run at the input's file-partition count on small-file
+    fixtures (sf1 documents = 2-3 splits -> 3 tasks on 32 cores); a
+    no-op on any at-scale scan (files >= cores), so the at-scale plan
+    still carries exactly ONE data-dependent shuffle (gh)."""
+    docs = _spread(table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
     return docs.select("doc_id", toks.alias("toks")).where(
         F.size("toks") >= SUBSTR_NGRAM

@@ -115,7 +115,10 @@ _DUCK_SHINGLE5 = """
     "never explodes at all.",
 )
 def text_decontaminate(spark, sf_dir):
-    arrays = _shingle5_arrays(table(spark, sf_dir, "documents"))
+    # spread(): the shingle transform + array_distinct is the CPU-heavy
+    # stage and must not run at the input's file-partition count on
+    # small-file fixtures; no-op on any at-scale scan (files >= cores).
+    arrays = _shingle5_arrays(spread(table(spark, sf_dir, "documents")))
     bench = (
         arrays.where(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("shs").alias("sh"))
@@ -892,7 +895,8 @@ def _split_col() -> F.Column:
 )
 def split_leakage_ngrams(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    arrays = _shingle5_arrays(docs).withColumn("split", _split_col())
+    # spread(): see text_decontaminate — the shingle stage is the cost.
+    arrays = _shingle5_arrays(spread(docs)).withColumn("split", _split_col())
     lang = docs.select("doc_id", "lang")
     train_grams = (
         arrays.where(F.col("split") == "train")
@@ -994,7 +998,11 @@ DSIR_TOPK = 50
     "reorder the graded rows.",
 )
 def sample_dsir_importance(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # spread(): the unigram+bigram explode and per-feature md5 run
+    # twice (count pass, scoring pass) and are the whole cost; they
+    # must not run at the input's file-partition count on small-file
+    # fixtures.  No-op on any at-scale scan (files >= cores).
+    docs = spread(table(spark, sf_dir, "documents"))
     ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     w = docs.select("doc_id", "lang", ws.alias("ws"))
     n = F.size("ws")

@@ -856,9 +856,17 @@ def test_exact_substring_explode_in_scan_stage(spark):
     # come LAST; the first Exchange must precede Generate in the tree.
     assert plan.index("Exchange") < plan.index("Generate"), plan
     assert "TakeOrderedAndProject" in plan, plan
-    # one exchange total: repartition(gh); the per-(gh, doc_id) agg and
-    # the per-gh rollup both run under that partitioning
-    assert shuffle_count(df) == 1, plan
+    # Exactly ONE data-dependent shuffle: repartition(gh); the
+    # per-(gh, doc_id) agg and the per-gh rollup both run under that
+    # partitioning.  spread() may add ONE round-robin balancing
+    # exchange of raw doc rows below the Generate on small-file
+    # fixtures (a no-op at scale, where files >= cores); it must be
+    # round-robin (data-independent), never a second key shuffle.
+    assert plan.count("hashpartitioning(gh") == 1, plan
+    n_shuffles = shuffle_count(df)
+    assert n_shuffles <= 2, plan
+    if n_shuffles == 2:
+        assert "RoundRobinPartitioning" in plan, plan
     assert "Expand" not in plan, plan
     assert not has_python_eval(df)
 
