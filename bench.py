@@ -75,6 +75,7 @@ SF1_EXTRA = [
     "pipeline_curate_v2",       # r8 composed curation run: gopher gate + LM terciles + digest-window dedup + split datasheet
     "sample_dsir_importance",   # r8 DSIR: hashed-256-bucket importance table (bounded broadcast) + per-doc score
     "sample_embedding_seed",    # r8 seed-centroid selection: one-row centroid broadcast x single corpus pass
+    "sample_dsir_resample",     # r8 DSIR Gumbel-top-k: shared scored subplan + row-local key + TakeOrdered
 ]
 
 

@@ -938,10 +938,10 @@ DSIR_TARGET_LANG = "en"
 DSIR_TOPK = 50
 
 
-@query(
-    "sample_dsir_importance",
-    f"""
-    WITH w AS (
+#: Shared DSIR oracle CTE chain: token arrays -> hashed features ->
+#: bucket counts -> smoothed importance table -> per-doc raw weights.
+#: One definition feeds BOTH graded DSIR oracles so they cannot drift.
+_DSIR_CTES = f"""w AS (
         SELECT doc_id, lang,
                list_filter(string_split_regex(lower(text), '\\s+'),
                            t -> t <> '') AS ws
@@ -968,36 +968,19 @@ DSIR_TOPK = 50
         SELECT bkt,
                ln((tgt_c + 1.0) / (tgt_n + {DSIR_BUCKETS}))
                    - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS})) AS lam
-        FROM c CROSS JOIN t)
-    SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
-           round(sum(lam), 4) AS dsir_logweight
-    FROM b JOIN lam USING (bkt)
-    WHERE lang <> '{DSIR_TARGET_LANG}'
-    GROUP BY doc_id, lang
-    ORDER BY dsir_logweight DESC, doc_id
-    LIMIT {DSIR_TOPK}
-    """,
-    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
-    "Language Models via Importance Resampling'): estimate hashed "
-    f"n-gram (unigram+bigram, {DSIR_BUCKETS} buckets) feature "
-    f"distributions for a target domain (lang='{DSIR_TARGET_LANG}' "
-    "plays the curated target) and for the raw pool, then score every "
-    "non-target document by its total importance log-weight "
-    "sum(ln p_target(b) - ln p_raw(b)) with add-one smoothing, "
-    f"keeping the top {DSIR_TOPK} — the docs whose feature mix most "
-    "resembles the target.  The hashing trick IS the scale story: "
-    f"the importance table is exactly {DSIR_BUCKETS} rows no matter "
-    "the corpus size (contrast a raw vocabulary LM, which grows with "
-    "the corpus and killed the unbroadcastable text_unigram_logprob "
-    "v1), so it broadcasts at 100 TB.  Plan: bigrams are formed "
-    "ARRAY-SIDE (zip_with over two slices — zero window, zero extra "
-    "shuffle), one hash-partial-agg over buckets, one broadcast join "
-    "back over the feature stream, one per-doc partial agg, "
-    "TakeOrdered.  Ranking is on the ROUNDED weight with doc_id "
-    "tie-break, so cross-engine ulp noise in the float sums cannot "
-    "reorder the graded rows.",
-)
-def sample_dsir_importance(spark, sf_dir):
+        FROM c CROSS JOIN t),
+    scored AS (
+        SELECT doc_id, lang, count(*) AS n_feats, sum(lam) AS w_raw
+        FROM b JOIN lam USING (bkt)
+        WHERE lang <> '{DSIR_TARGET_LANG}'
+        GROUP BY doc_id, lang)"""
+
+
+def _dsir_scored(spark, sf_dir):
+    """Raw-pool documents with their unrounded DSIR importance
+    log-weight: (doc_id, lang, n_feats, w_raw).  Shared subplan of
+    sample_dsir_importance (rank by weight) and sample_dsir_resample
+    (Gumbel-top-k) — one definition, two graded queries."""
     # spread(): the unigram+bigram explode and per-feature md5 run
     # twice (count pass, scoring pass) and are the whole cost; they
     # must not run at the input's file-partition count on small-file
@@ -1037,15 +1020,113 @@ def sample_dsir_importance(spark, sf_dir):
             - F.log((F.col("raw_c") + 1.0) / (F.col("raw_n") + DSIR_BUCKETS))
         ).alias("lam"),
     )
-    scored = (
+    return (
         b.where(F.col("lang") != DSIR_TARGET_LANG)
         .join(F.broadcast(lam), "bkt")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.round(F.sum("lam"), 4).alias("dsir_logweight"),
+            F.sum("lam").alias("w_raw"),
         )
     )
-    return scored.orderBy(
-        F.col("dsir_logweight").desc(), "doc_id"
-    ).limit(DSIR_TOPK)
+
+
+@query(
+    "sample_dsir_importance",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+           round(w_raw, 4) AS dsir_logweight
+    FROM scored
+    ORDER BY dsir_logweight DESC, doc_id
+    LIMIT {DSIR_TOPK}
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): estimate hashed "
+    f"n-gram (unigram+bigram, {DSIR_BUCKETS} buckets) feature "
+    f"distributions for a target domain (lang='{DSIR_TARGET_LANG}' "
+    "plays the curated target) and for the raw pool, then score every "
+    "non-target document by its total importance log-weight "
+    "sum(ln p_target(b) - ln p_raw(b)) with add-one smoothing, "
+    f"keeping the top {DSIR_TOPK} — the docs whose feature mix most "
+    "resembles the target.  The hashing trick IS the scale story: "
+    f"the importance table is exactly {DSIR_BUCKETS} rows no matter "
+    "the corpus size (contrast a raw vocabulary LM, which grows with "
+    "the corpus and killed the unbroadcastable text_unigram_logprob "
+    "v1), so it broadcasts at 100 TB.  Plan: bigrams are formed "
+    "ARRAY-SIDE (zip_with over two slices — zero window, zero extra "
+    "shuffle), one hash-partial-agg over buckets, one broadcast join "
+    "back over the feature stream, one per-doc partial agg, "
+    "TakeOrdered.  Ranking is on the ROUNDED weight with doc_id "
+    "tie-break, so cross-engine ulp noise in the float sums cannot "
+    "reorder the graded rows.",
+)
+def sample_dsir_importance(spark, sf_dir):
+    scored = _dsir_scored(spark, sf_dir)
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round("w_raw", 4).alias("dsir_logweight"),
+        )
+        .orderBy(F.col("dsir_logweight").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
+@query(
+    "sample_dsir_resample",
+    f"""
+    WITH {_DSIR_CTES},
+    g AS (
+        SELECT doc_id, lang, w_raw,
+               -ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':dsir'), 1, 8) AS BIGINT)
+                        + 0.5) / 4294967296.0)) AS gum
+        FROM scored)
+    SELECT doc_id, lang,
+           round(w_raw, 4) AS dsir_logweight,
+           round(w_raw + gum, 4) AS gumbel_key
+    FROM g
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {DSIR_TOPK}
+    """,
+    doc="The RESAMPLING half of DSIR (Xie et al. 2023 §3: sample "
+    "without replacement proportionally to exp(importance weight), "
+    "not just rank by it — rank-only selection collapses onto one "
+    "mode of the target; the paper's Gumbel-top-k draw preserves "
+    "diversity): each raw-pool doc gets key = w + Gumbel(0,1), and "
+    f"the top {DSIR_TOPK} keys are exactly a weighted sample without "
+    "replacement (the Gumbel-max trick).  The Gumbel draw derives "
+    "from an md5 hash of the doc_id — never rand(), which would not "
+    "survive re-runs, engine swaps, or repartitioning (the "
+    "split_train_valid_test rule); u = (h + 0.5)/2^32 stays strictly "
+    "inside (0,1) so -ln(-ln(u)) is always finite.  Same bounded "
+    "plan as sample_dsir_importance (shared _dsir_scored subplan) "
+    "plus one row-local key expression and a TakeOrdered.  Ranking "
+    "is on the ROUNDED key + doc_id tie-break, cross-engine-stable.",
+)
+def sample_dsir_resample(spark, sf_dir):
+    scored = _dsir_scored(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    gum = -F.log(-F.log(u))
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            F.round("w_raw", 4).alias("dsir_logweight"),
+            F.round(F.col("w_raw") + gum, 4).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

@@ -73,3 +73,26 @@ def test_seed_selection_excludes_seeds(spark):
     scores = [r.seed_cos for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_dsir_resample_is_weighted_sample_not_rank(spark):
+    """The Gumbel-top-k draw must (a) share the importance weights
+    with the rank-based query, (b) produce a DIFFERENT selection than
+    pure rank (that difference is the point: diversity vs mode
+    collapse), and (c) stay deterministic (hash-derived Gumbels, no
+    rand())."""
+    qs = all_queries()
+    rank_rows = qs["sample_dsir_importance"].fn(spark, SF_DIR).collect()
+    rs1 = qs["sample_dsir_resample"].fn(spark, SF_DIR).collect()
+    rs2 = qs["sample_dsir_resample"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rs1] == [tuple(r) for r in rs2]  # no rand()
+    assert 0 < len(rs1) <= P.DSIR_TOPK
+    keys = [r.gumbel_key for r in rs1]
+    assert keys == sorted(keys, reverse=True)
+    # same weight definition for docs appearing in both outputs
+    w_rank = {r.doc_id: r.dsir_logweight for r in rank_rows}
+    for r in rs1:
+        if r.doc_id in w_rank:
+            assert r.dsir_logweight == w_rank[r.doc_id]
+    # the stochastic draw must not equal the deterministic rank order
+    assert [r.doc_id for r in rs1] != [r.doc_id for r in rank_rows]
