@@ -1592,15 +1592,18 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
-#: Seed-based selection: every SEED_MOD-th vector plays the curated
-#: "high-quality seed set" (the handful of trusted documents a
-#: FineWeb-Edu-style pipeline starts from).  Seed sets are curated by
-#: humans or a strong model, so they are BOUNDED BY CONSTRUCTION —
-#: thousands of rows, never corpus-proportional — which is what makes
-#: the one-group centroid fold and the single-row broadcast below
-#: legal at 100 TB (contrast the corpus-LM tables of
-#: text_unigram_logprob v1, which grew with the corpus).
-SEED_MOD = 50
+#: Seed-based selection: a FIXED-SIZE pool of vectors plays the
+#: curated "high-quality seed set" (the handful of trusted documents
+#: a FineWeb-Edu-style pipeline starts from).  The pool is the
+#: SEED_CAP lowest-sample-hash vectors — the same constant-size
+#: TakeOrdered pattern as the IVF/PQ training samples — so it is
+#: bounded BY CONSTRUCTION at any corpus size: the centroid fold
+#: aggregates <= SEED_CAP rows and the broadcast is one row whether
+#: the corpus is 1 GB or 100 TB.  (A modulo filter like vec_id % 50
+#: would be corpus-PROPORTIONAL — 2%% of 100 TB is billions of rows
+#: in one aggregation group — exactly the unbounded-side mistake the
+#: corpus-LM scorers had before their vocab cap.)
+SEED_CAP = 256
 SEED_TOPK = 50
 
 
@@ -1609,37 +1612,45 @@ SEED_TOPK = 50
     f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
+    seeds AS (
+        SELECT vec_id, emb FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':seed'), vec_id
+        LIMIT {SEED_CAP}
+    ),
     cents AS (
         SELECT list_transform(sums, s -> s / n) AS cemb
         FROM (SELECT list_reduce(list(emb ORDER BY vec_id),
                                  (acc, x) -> list_transform(range(1, {DIM + 1}),
                                                             i -> acc[i] + x[i])) AS sums,
                      CAST(count(*) AS DOUBLE) AS n
-              FROM v WHERE vec_id % {SEED_MOD} = 0)
+              FROM seeds)
     )
     SELECT v.vec_id, d.lang, d.source,
            round(list_cosine_similarity(v.emb, c.cemb), 4) AS seed_cos
-    FROM v CROSS JOIN cents c
+    FROM v ANTI JOIN seeds USING (vec_id)
+    CROSS JOIN cents c
     JOIN documents d ON d.doc_id = v.vec_id
-    WHERE v.vec_id % {SEED_MOD} <> 0
     ORDER BY seed_cos DESC, v.vec_id
     LIMIT {SEED_TOPK}
     """,
     doc="Seed-centroid data selection (the embedding half of the "
     "FineWeb-Edu / DCLM recipe: start from a small curated seed set, "
-    "keep the corpus documents closest to it in embedding space): "
-    f"every {SEED_MOD}-th vector is the curated seed pool, its mean "
-    "embedding is folded in ascending-id order (the repo's "
-    "deterministic-sum contract, same as similarity_label_cohesion), "
-    f"and the top {SEED_TOPK} non-seed documents by cosine to that "
-    "centroid are returned with their document metadata.  Scale "
-    "shape: the seed set is bounded by construction (curation is "
-    "human/strong-model-limited), so the centroid fold aggregates a "
-    "BOUNDED group and broadcasts ONE row; scoring is a single "
-    "corpus pass of row-local arithmetic, TakeOrdered(50), and the "
-    "metadata join touches only the 50 winners against a pruned "
-    "documents scan.  Ranking is on the ROUNDED cosine with vec_id "
-    "tie-break so cross-engine ulp noise cannot reorder graded rows.",
+    f"keep the corpus documents closest to it in embedding space): a "
+    f"CONSTANT {SEED_CAP}-vector lowest-sample-hash pool plays the "
+    "curated seeds (the same fixed-capacity TakeOrdered pattern as "
+    "the IVF/PQ training samples — never a corpus-proportional "
+    "modulo), its mean embedding is folded in ascending-id order "
+    "(the repo's deterministic-sum contract, same as "
+    f"similarity_label_cohesion), and the top {SEED_TOPK} non-seed "
+    "documents by cosine to that centroid are returned with their "
+    "document metadata.  Scale shape: the centroid fold aggregates a "
+    f"group bounded at {SEED_CAP} rows by construction and broadcasts "
+    "ONE row; seed exclusion is a broadcast anti-join against the "
+    f"{SEED_CAP}-row pool; scoring is a single corpus pass of "
+    "row-local arithmetic, TakeOrdered(50), and the metadata join "
+    "touches only the 50 winners against a pruned documents scan.  "
+    "Ranking is on the ROUNDED cosine with vec_id tie-break so "
+    "cross-engine ulp noise cannot reorder graded rows.",
 )
 def sample_embedding_seed(spark, sf_dir):
     v = table(spark, sf_dir, "embeddings").select(
@@ -1647,7 +1658,14 @@ def sample_embedding_seed(spark, sf_dir):
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    seeds = v.where(F.col("vec_id") % SEED_MOD == 0)
+    seeds = (
+        v.orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":seed"))),
+            "vec_id",
+        )
+        .limit(SEED_CAP)
+        .select("vec_id", "emb")
+    )
     cent = (
         seeds.groupBy()
         .agg(
@@ -1670,7 +1688,7 @@ def sample_embedding_seed(spark, sf_dir):
         )
     )
     scored = (
-        v.where(F.col("vec_id") % SEED_MOD != 0)
+        v.join(F.broadcast(seeds.select("vec_id")), "vec_id", "left_anti")
         .crossJoin(F.broadcast(cent))
         .select(
             "vec_id",

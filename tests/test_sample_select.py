@@ -65,11 +65,27 @@ def test_seed_centroid_is_single_row_broadcast(spark):
 
 
 def test_seed_selection_excludes_seeds(spark):
-    """Seeds are the reference set, not candidates; scores are valid
-    cosines in descending rounded order."""
+    """Seeds are the reference set, not candidates; the pool is the
+    CONSTANT-size lowest-sample-hash set (bounded by construction at
+    any corpus size, unlike a corpus-proportional modulo); scores are
+    valid cosines in descending rounded order."""
+    from durablestreams_spark.analytics.core import table
+
+    seed_ids = {
+        r.vec_id
+        for r in table(spark, SF_DIR, "embeddings")
+        .orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":seed"))),
+            "vec_id",
+        )
+        .limit(S.SEED_CAP)
+        .select("vec_id")
+        .collect()
+    }
+    assert len(seed_ids) <= S.SEED_CAP
     rows = all_queries()["sample_embedding_seed"].fn(spark, SF_DIR).collect()
     assert 0 < len(rows) <= S.SEED_TOPK
-    assert all(r.vec_id % S.SEED_MOD != 0 for r in rows)
+    assert all(r.vec_id not in seed_ids for r in rows)
     scores = [r.seed_cos for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in scores)
