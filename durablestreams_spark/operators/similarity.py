@@ -444,10 +444,13 @@ _ANN_CACHE_ROOT = "/tmp/spark_graft_annidx"
 
 def _ann_params() -> str:
     # Built lazily: the PQ constants are defined further down-module.
+    # Every constant that shapes the persisted rows must appear here —
+    # including the query strides and IVFPQ probe depth used by
+    # _ivf_index_pred — or a knob change would serve a stale index.
     return (
-        f"v1:ivf{IVF_K}.{IVF_KMEANS_ITERS}.{IVF_ASSIGN}.{IVF_NPROBE}"
-        f".{IVF_TRAIN_CAP}:pq{PQ_M}.{PQ_K}.{PQ_ITERS}.{PQ_TRAIN_CAP}"
-        f".{PQ_QUERY_MOD}"
+        f"v2:ivf{IVF_K}.{IVF_KMEANS_ITERS}.{IVF_ASSIGN}.{IVF_NPROBE}"
+        f".{IVF_TRAIN_CAP}.{IVF_QUERY_MOD}.{IVFPQ_NPROBE}"
+        f":pq{PQ_M}.{PQ_K}.{PQ_ITERS}.{PQ_TRAIN_CAP}.{PQ_QUERY_MOD}"
     )
 
 
@@ -467,26 +470,50 @@ def _ann_cached(spark, sf_dir, name, build):
     key = hashlib.md5(f"{name}:{fp}".encode()).hexdigest()[:16]
     path = _os.path.join(_ANN_CACHE_ROOT, f"{name}-{key}")
     if not _os.path.isdir(path):
+        import threading as _threading
+
         _os.makedirs(_ANN_CACHE_ROOT, exist_ok=True)
-        tmp = f"{path}.tmp-{_os.getpid()}"
+        # pid alone is not unique within one driver: two THREADS of the
+        # same process racing on a missing key would overwrite each
+        # other's in-progress tmp dir; thread id disambiguates.
+        tmp = f"{path}.tmp-{_os.getpid()}-{_threading.get_ident()}"
         build().write.mode("overwrite").parquet(tmp)
         try:
             _os.rename(tmp, path)
         except OSError:
             _shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return spark.read.parquet(path)
+    # spread(): the packed parquet artifact reads as few FilePartitions
+    # on local fixtures; the scoring joins downstream must not run at
+    # that count (no-op at scale, files >= cores — same contract as
+    # the live _ivf_ranked path).
+    from ..analytics.core import spread as _spread_fn
+
+    return _spread_fn(spark.read.parquet(path))
+
+
+#: Query-subset stride of the IVF-family consumers (their SQL oracles
+#: carry the literal `% 100`); kept as a named constant so the index
+#: predicate below can track EVERY consumer's query filter.
+IVF_QUERY_MOD = 100
 
 
 def _ivf_index_pred():
     """Rows the persisted IVF index keeps: the index CELLS (every
     vector under its IVF_ASSIGN nearest centroids — the IVFFlat
     storage, ×ASSIGN raw vectors, exactly what FAISS persists) plus
-    the probe assignments of the 1%% query subset (cr ≤ max nprobe).
+    the probe assignments of the query subsets (cr ≤ max nprobe).
+    The query term ORs every consumer's stride (IVF_QUERY_MOD for the
+    IVF searchers, PQ_QUERY_MOD for IVFPQ) so a future knob change
+    cannot silently drop query rows from the index — pinned by
+    tests/test_ann_cache.py::test_every_consumer_filter_is_index_subset.
     Persisting the FULL per-vector centroid ranking would store ×K
     copies of the corpus — 16× raw vectors at 100 TB for ranks no
     consumer ever reads."""
     return (F.col("cr") <= IVF_ASSIGN) | (
-        (F.col("vec_id") % 100 == 0)
+        (
+            (F.col("vec_id") % IVF_QUERY_MOD == 0)
+            | (F.col("vec_id") % PQ_QUERY_MOD == 0)
+        )
         & (F.col("cr") <= max(IVF_NPROBE, IVFPQ_NPROBE))
     )
 
@@ -1624,14 +1651,18 @@ SEED_TOPK = 50
                                                             i -> acc[i] + x[i])) AS sums,
                      CAST(count(*) AS DOUBLE) AS n
               FROM seeds)
+    ),
+    top AS (
+        SELECT v.vec_id,
+               round(list_cosine_similarity(v.emb, c.cemb), 4) AS seed_cos
+        FROM v ANTI JOIN seeds USING (vec_id)
+        CROSS JOIN cents c
+        ORDER BY seed_cos DESC, v.vec_id
+        LIMIT {SEED_TOPK}
     )
-    SELECT v.vec_id, d.lang, d.source,
-           round(list_cosine_similarity(v.emb, c.cemb), 4) AS seed_cos
-    FROM v ANTI JOIN seeds USING (vec_id)
-    CROSS JOIN cents c
-    JOIN documents d ON d.doc_id = v.vec_id
-    ORDER BY seed_cos DESC, v.vec_id
-    LIMIT {SEED_TOPK}
+    SELECT t.vec_id, d.lang, d.source, t.seed_cos
+    FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    ORDER BY t.seed_cos DESC, t.vec_id
     """,
     doc="Seed-centroid data selection (the embedding half of the "
     "FineWeb-Edu / DCLM recipe: start from a small curated seed set, "
@@ -1658,6 +1689,11 @@ def sample_embedding_seed(spark, sf_dir):
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     )
+    # Materialize the bounded pool ONCE (eager localCheckpoint — the
+    # same pattern as the IVF/PQ training samples): the pool feeds two
+    # consumers (centroid fold + anti-join broadcast), and TakeOrdered
+    # subtrees are not exchange-reused, so without this the corpus
+    # would be scanned a third time just to re-derive 256 rows.
     seeds = (
         v.orderBy(
             F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":seed"))),
@@ -1665,6 +1701,7 @@ def sample_embedding_seed(spark, sf_dir):
         )
         .limit(SEED_CAP)
         .select("vec_id", "emb")
+        .localCheckpoint(eager=True)
     )
     cent = (
         seeds.groupBy()

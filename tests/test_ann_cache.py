@@ -91,4 +91,31 @@ def test_cache_key_tracks_fixture(spark, ann_cache_on, tmp_path):
         str(copy_dir), "embeddings", params=S._ann_params()
     )
     assert k1 != k2
-    assert hashlib.md5(k1.encode()) != hashlib.md5(k2.encode())
+    # ...and the DERIVED cache keys (what _ann_cached actually uses)
+    # differ too — compare hexdigests, not hash objects (hash objects
+    # have no __eq__ and are never equal, which would make this pass
+    # vacuously).
+    d1 = hashlib.md5(f"ivf_index:{k1}".encode()).hexdigest()[:16]
+    d2 = hashlib.md5(f"ivf_index:{k2}".encode()).hexdigest()[:16]
+    assert d1 != d2
+
+
+def test_every_consumer_filter_is_index_subset(spark):
+    """The correctness contract of the persisted index: every graded
+    consumer's row filter over the live ranking must select a SUBSET
+    of the rows _ivf_index_pred keeps.  If a query-stride knob
+    (PQ_QUERY_MOD / IVF_QUERY_MOD) or a probe depth changes without
+    the pred tracking it, query rows silently vanish from the cached
+    index — this test fails instead."""
+    ranked = S._ivf_ranked(spark, SF_DIR)
+    consumer_filters = {
+        "ivf_cells": F.col("cr") <= S.IVF_ASSIGN,
+        "semdedup_cells": F.col("cr") == 1,
+        "ivf_queries": (F.col("cr") <= S.IVF_NPROBE)
+        & (F.col("vec_id") % S.IVF_QUERY_MOD == 0),
+        "ivfpq_queries": (F.col("cr") <= S.IVFPQ_NPROBE)
+        & (F.col("vec_id") % S.PQ_QUERY_MOD == 0),
+    }
+    for name, flt in consumer_filters.items():
+        escaped = ranked.where(flt & ~S._ivf_index_pred()).count()
+        assert escaped == 0, f"{name}: {escaped} rows not kept by the index"
