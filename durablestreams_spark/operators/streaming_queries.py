@@ -401,13 +401,16 @@ def log_seeded_tail(spark, sf_dir):
     FROM events e JOIN profile p USING (user_id)
     GROUP BY e.event_type
     """,
-    doc="LIVE stream-static enrichment: the events stream broadcast-"
-    "joins a STATIC user-profile dimension (itself a batch aggregate "
-    "of the same table) inside each micro-batch — the standard "
+    doc="LIVE stream-static enrichment: the events stream equi-joins "
+    "a STATIC user-profile dimension (itself a batch aggregate of "
+    "the same table) inside each micro-batch — the standard "
     "enrichment topology where the dim re-resolves per batch with no "
     "stream-side state at all; only the final per-type rollup keeps "
-    "state. Drained complete-mode sink must equal the oracle's batch "
-    "self-join aggregate.",
+    "state.  The join carries NO broadcast hint: the per-user dim is "
+    "corpus-proportional, so forcing a broadcast would be a 100 TB "
+    "scale bug of the unbounded-vocab class; it shuffle-joins "
+    "instead.  Drained complete-mode sink must equal the oracle's "
+    "batch self-join aggregate.",
 )
 def streaming_enrich_static_join(spark, sf_dir):
     from ..analytics.core import table
@@ -420,9 +423,14 @@ def streaming_enrich_static_join(spark, sf_dir):
     # no broadcast hint: the per-user profile dim is CORPUS-
     # proportional (one row per user), so forcing a broadcast is a
     # 100 TB scale bug of the same class as an unbounded vocab table.
-    # Stream-static equijoins shuffle fine without it, and the
-    # planner still broadcasts per-batch when the dim is genuinely
-    # small.
+    # Stream-static equijoins shuffle fine without it.  NOTE: do not
+    # expect the planner to auto-broadcast an aggregated dim even
+    # when its OUTPUT is small — without CBO, the size estimate of an
+    # Aggregate inherits its child scan's sizeInBytes, so the
+    # autoBroadcastJoinThreshold is effectively never met for a dim
+    # derived from a big scan; a genuinely-bounded dim that must
+    # broadcast needs an explicit hint (see the bounded-side hints in
+    # text.py / pipeline_llm.py).
     enriched = _events_stream(spark, sf_dir).join(profile, "user_id")
     agg = enriched.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
