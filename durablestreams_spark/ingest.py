@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .manifest import SegmentMeta
+from .manifest import SegmentMeta, offset_bounds_from_footer
 from .stream import Stream, _now_ms
 
 
@@ -324,18 +324,12 @@ def _finish_bulk(
             # has no offsets and must not enter the manifest.
             os.unlink(path)
             continue
-        first, last = None, None
-        n = 0
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)
-            st = col.statistics
-            lo, hi = st.min, st.max
-            lo = lo.decode() if isinstance(lo, bytes) else lo
-            hi = hi.decode() if isinstance(hi, bytes) else hi
-            first = lo if first is None or lo < first else first
-            last = hi if last is None or hi > last else last
-            n += md.row_group(rg).num_rows
         rel = os.path.relpath(path, stream.segments_dir)
+        # Shared footer fold (manifest.offset_bounds_from_footer): the
+        # same O(row groups) stats read key compaction uses, and it
+        # raises a clear error on stats-less row groups instead of the
+        # AttributeError a bare ``st.min`` would hit.
+        first, last, n = offset_bounds_from_footer(md, rel)
         metas.append(
             SegmentMeta(
                 name=rel,

@@ -17,7 +17,12 @@ import uuid
 
 import pyarrow.parquet as pq
 
-from .manifest import CommitConflict, SegmentMeta, fsync_file_and_dir as _fsync_file_and_dir
+from .manifest import (
+    CommitConflict,
+    SegmentMeta,
+    fsync_file_and_dir as _fsync_file_and_dir,
+    offset_bounds_from_footer,
+)
 from .stream import Stream
 
 # Reference thresholds, src/segment.ts:61-65.
@@ -204,11 +209,17 @@ def purge_orphans(
     Object serializes it with produce; here a producer that has written
     its segment but not yet committed the manifest would lose the file
     (and its subsequent commit would then reference deleted data).  Two
-    defenses: ``stream._lock`` serializes against same-process
-    producers (produce holds it across write+commit), and the grace
-    period spares any unreferenced file young enough to be another
-    process's in-flight write — its commit either lands (file becomes
-    referenced) or never will (purged after the grace).
+    defenses: ``stream._lock`` is held for the MANIFEST FOLD ONLY — a
+    same-process produce (which holds it across write+commit) is either
+    fully committed when we fold (file referenced) or hasn't written
+    yet (file will be younger than the grace) — and the grace period
+    spares any unreferenced file young enough to be ANY producer's
+    in-flight write: its commit either lands (file becomes referenced)
+    or never will (purged after the grace).  The directory walk and
+    the unlinks run OUTSIDE the lock — holding it across a recursive
+    walk of millions of part files would stall every produce for the
+    GC's whole runtime — so each unlink tolerates the file vanishing
+    underneath it (a racing clean_tombstones may delete it first).
 
     Semantically a left-anti join of the directory listing against the
     manifest.  Driver-side set difference here; at object-store scale
@@ -218,82 +229,87 @@ def purge_orphans(
     memory workaround Spark doesn't need)."""
     with stream._lock:
         state = stream.refresh()
-        if not os.path.isdir(stream.segments_dir):
-            return []
-        now = now_ms if now_ms is not None else int(time.time() * 1000)
-        referenced = set(state.active) | set(state.tombstones)
+    if not os.path.isdir(stream.segments_dir):
+        return []
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    referenced = set(state.active) | set(state.tombstones)
 
-        def _aged(path: str) -> bool:
+    def _aged(path: str) -> bool:
+        try:
+            return now - int(os.path.getmtime(path) * 1000) > grace_ms
+        except OSError:
+            return False  # vanished underneath us — not ours to purge
+
+    purged = []
+    # Walk recursively: bulk ingest lands segments under
+    # bulk-<uuid>/ subdirectories (manifest names carry the
+    # relative path), so a top-level listing would never reap an
+    # orphaned bulk write.  A bulk RUN directory whose mtime is
+    # within the grace period is skipped WHOLESALE: a long write
+    # job's early files can be arbitrarily old while the run is
+    # still in flight (its commit pending), but the dir mtime
+    # advances with every file the job adds.  (Aged-ness is
+    # snapshotted up front — unlinking inside a dir refreshes its
+    # mtime.)
+    # A live `<dir>._inflight` marker (written by produce_bulk
+    # before its first part file, removed at its manifest commit)
+    # spares the whole run REGARDLESS of file/dir age — the
+    # mtime-grace heuristic alone can't cover a write job that
+    # legitimately outlives the grace window.  A marker older than
+    # the abandon timeout means the producer crashed: drop the
+    # marker and let the run age-purge normally.
+    def _inflight(d: str) -> bool:
+        m = os.path.join(stream.segments_dir, f"{d}._inflight")
+        try:
+            age = now - int(os.path.getmtime(m) * 1000)
+        except OSError:
+            return False  # no marker
+        if age > BULK_INFLIGHT_ABANDON_MS:
             try:
-                return now - int(os.path.getmtime(path) * 1000) > grace_ms
+                os.unlink(m)
             except OSError:
-                return False  # vanished underneath us — not ours to purge
+                pass
+            return False
+        return True
 
-        purged = []
-        # Walk recursively: bulk ingest lands segments under
-        # bulk-<uuid>/ subdirectories (manifest names carry the
-        # relative path), so a top-level listing would never reap an
-        # orphaned bulk write.  A bulk RUN directory whose mtime is
-        # within the grace period is skipped WHOLESALE: a long write
-        # job's early files can be arbitrarily old while the run is
-        # still in flight (its commit pending), but the dir mtime
-        # advances with every file the job adds.  (Aged-ness is
-        # snapshotted up front — unlinking inside a dir refreshes its
-        # mtime.)
-        # A live `<dir>._inflight` marker (written by produce_bulk
-        # before its first part file, removed at its manifest commit)
-        # spares the whole run REGARDLESS of file/dir age — the
-        # mtime-grace heuristic alone can't cover a write job that
-        # legitimately outlives the grace window.  A marker older than
-        # the abandon timeout means the producer crashed: drop the
-        # marker and let the run age-purge normally.
-        def _inflight(d: str) -> bool:
-            m = os.path.join(stream.segments_dir, f"{d}._inflight")
+    aged_dirs = []
+    for root, dirs, files in os.walk(stream.segments_dir):
+        if root == stream.segments_dir:
+            dirs[:] = [
+                d
+                for d in dirs
+                if _aged(os.path.join(root, d)) and not _inflight(d)
+            ]
+            aged_dirs = [os.path.join(root, d) for d in dirs]
+        for fn in files:
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, stream.segments_dir)
+            if not fn.endswith((".parquet", ".compacted")) or rel in referenced:
+                continue
+            if not _aged(path):
+                continue
             try:
-                age = now - int(os.path.getmtime(m) * 1000)
-            except OSError:
-                return False  # no marker
-            if age > BULK_INFLIGHT_ABANDON_MS:
-                try:
-                    os.unlink(m)
-                except OSError:
-                    pass
-                return False
-            return True
-
-        aged_dirs = []
-        for root, dirs, files in os.walk(stream.segments_dir):
-            if root == stream.segments_dir:
-                dirs[:] = [
-                    d
-                    for d in dirs
-                    if _aged(os.path.join(root, d)) and not _inflight(d)
-                ]
-                aged_dirs = [os.path.join(root, d) for d in dirs]
-            for fn in files:
-                path = os.path.join(root, fn)
-                rel = os.path.relpath(path, stream.segments_dir)
-                if not fn.endswith((".parquet", ".compacted")) or rel in referenced:
-                    continue
-                if not _aged(path):
-                    continue
                 os.unlink(path)
-                purged.append(rel)
-        # Drop aged run directories with no surviving segments (Spark
-        # leaves _SUCCESS/.crc droppings that would otherwise pin the
-        # dir forever) so listings stay O(live).
-        for sub in aged_dirs:
-            has_live = any(
-                f.endswith(".parquet")
-                for _r, _d, fs in os.walk(sub)
-                for f in fs
-            )
-            if not has_live:
-                shutil.rmtree(sub, ignore_errors=True)
-        return sorted(purged)
+            except OSError:
+                continue  # vanished (racing clean_tombstones) — not ours
+            purged.append(rel)
+    # Drop aged run directories with no surviving segments (Spark
+    # leaves _SUCCESS/.crc droppings that would otherwise pin the
+    # dir forever) so listings stay O(live).
+    for sub in aged_dirs:
+        has_live = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(sub)
+            for f in fs
+        )
+        if not has_live:
+            shutil.rmtree(sub, ignore_errors=True)
+    return sorted(purged)
 
 
-def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
+def compact_by_key(
+    stream: Stream, spark, key_path: str, n_ranges: int = 1
+) -> list[SegmentMeta] | None:
     """Kafka-style log compaction: retain only the LATEST record per
     key, atomically replacing every active segment.
 
@@ -312,12 +328,14 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
 
     Execution is a Spark job end-to-end: window rank per key over the
     manifest-pruned scan, then an executor-side sorted write — no
-    driver collect of data.  Locally the output coalesces to one
-    segment; at 100 TB raise ``repartitionByRange(N, "offset")`` to
-    one segment per range so segment sizes stay bounded (the manifest
-    swap below is identical either way).  The commit is guarded on the
-    whole window still being active — a racing producer/compactor
-    aborts this swap cleanly (same protocol as ``compact``).
+    driver collect of data.  ``n_ranges`` controls the output segment
+    count (``repartitionByRange(n_ranges, "offset")``): 1 locally, one
+    segment per range at 100 TB so segment sizes stay bounded — EVERY
+    part file is swapped into the manifest, with disjoint offset
+    bounds read from its own parquet footer.  Returns the committed
+    SegmentMetas.  The commit is guarded on the whole window still
+    being active — a racing producer/compactor aborts this swap
+    cleanly (same protocol as ``compact``).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -338,71 +356,83 @@ def compact_by_key(stream: Stream, spark, key_path: str) -> SegmentMeta | None:
         .select("offset", "ts", "data")
     )
     tmp = os.path.join(stream.segments_dir, f"_tmp_keycompact_{uuid.uuid4().hex}")
-    (
-        latest.repartitionByRange(1, "offset")
-        .sortWithinPartitions("offset")
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(tmp)
-    )
-    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    epoch = int(window[-1].last_offset[:16])
-    # Deliberately NOT *.parquet: the live tail source (Stream.read_stream)
-    # globs *.parquet, so compaction rewrites — which contain only
-    # already-delivered offsets — are invisible to it and never re-delivered
-    # as duplicates.  Batch readers use explicit manifest paths and don't
-    # care about the extension.
-    name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted"
-    dst = os.path.join(stream.segments_dir, name)
-    os.rename(os.path.join(tmp, parts[0]), dst)
-    shutil.rmtree(tmp, ignore_errors=True)
-    _fsync_file_and_dir(dst)
-    # Offset bounds from parquet row-group statistics — O(row groups)
-    # footer metadata, never a data read (same pattern as produce_bulk,
-    # ingest.py): materializing the offset column driver-side would be
-    # O(keyspace) memory at 100 TB.
-    md = pq.read_metadata(dst)
-    off_idx = md.schema.to_arrow_schema().get_field_index("offset")
-    first, last = None, None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(off_idx).statistics
-        if st is None or not st.has_min_max:
-            # Stats can be absent (writer with stats disabled) — fail
-            # loudly rather than AttributeError mid-compaction; the
-            # fallback of scanning the offset column would hide a
-            # misconfigured writer.
-            raise ValueError(
-                f"{name}: row group {rg} has no offset statistics — "
-                "compacted segments must be written with min/max stats"
+    # In-flight marker: purge_orphans spares this run's files until the
+    # marker disappears (same hazard and same protocol as produce_bulk —
+    # a write outliving the orphan grace window would otherwise have its
+    # part files reaped from under the imminent manifest commit).
+    os.makedirs(stream.segments_dir, exist_ok=True)
+    marker = f"{tmp}._inflight"
+    with open(marker, "w") as f:
+        f.write(str(int(time.time() * 1000)))
+    metas: list[SegmentMeta] = []
+    dsts: list[str] = []
+    try:
+        (
+            latest.repartitionByRange(n_ranges, "offset")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        epoch = int(window[-1].last_offset[:16])
+        now_ms = int(time.time() * 1000)
+        # EVERY part becomes a segment (ranges are disjoint in offset,
+        # so segment bounds stay disjoint): moving only the first part
+        # and deleting the rest would silently drop every row in parts
+        # 1..N-1 once the window's segments are tombstoned.
+        for part in parts:
+            src_path = os.path.join(tmp, part)
+            md = pq.read_metadata(src_path)
+            if md.num_rows == 0:
+                continue  # Spark writes 0-row parts for empty ranges
+            # Deliberately NOT *.parquet: the live tail source
+            # (Stream.read_stream) globs *.parquet, so compaction
+            # rewrites — which contain only already-delivered offsets —
+            # are invisible to it and never re-delivered as duplicates.
+            # Batch readers use explicit manifest paths and don't care
+            # about the extension.
+            name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted"
+            dst = os.path.join(stream.segments_dir, name)
+            os.rename(src_path, dst)
+            _fsync_file_and_dir(dst)
+            first, last, nrows = offset_bounds_from_footer(md, name)
+            metas.append(
+                SegmentMeta(
+                    name=name,
+                    first_offset=first,
+                    last_offset=last,
+                    created_ms=now_ms,
+                    records=nrows,
+                    bytes=os.path.getsize(dst),
+                )
             )
-        lo = st.min.decode() if isinstance(st.min, bytes) else st.min
-        hi = st.max.decode() if isinstance(st.max, bytes) else st.max
-        first = lo if first is None or lo < first else first
-        last = hi if last is None or hi > last else last
-    meta = SegmentMeta(
-        name=name,
-        first_offset=first,
-        last_offset=last,
-        created_ms=int(time.time() * 1000),
-        records=md.num_rows,
-        bytes=os.path.getsize(dst),
-    )
+            dsts.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+    if not metas:
+        return None
     try:
         stream._commit(
             {
-                "add": [meta.to_json()],
+                "add": [m.to_json() for m in metas],
                 "remove": [s.name for s in window],
                 "removed_ms": int(time.time() * 1000),
             },
             guard=lambda st: all(s.name in st.active for s in window),
         )
     except CommitConflict:
-        try:
-            os.unlink(dst)
-        except OSError:
-            pass
+        for dst in dsts:
+            try:
+                os.unlink(dst)
+            except OSError:
+                pass
         return None
-    return meta
+    return metas
 
 
 def apply_retention(stream: Stream, cutoff_offset: str) -> list[SegmentMeta]:
@@ -476,6 +506,16 @@ def fork_stream(catalog, src_name: str, dst_name: str) -> Stream:
             if e.errno != errno.EXDEV:
                 raise
             shutil.copy2(s_path, d_path)
+    # Guarded commit: the emptiness check above is check-then-act — a
+    # produce racing into dst between the check and this commit would
+    # otherwise leave two active segments with OVERLAPPING offset
+    # ranges (dst's clock started at 0, src's epochs are historical),
+    # breaking the disjointness invariant every reader relies on.  The
+    # guard also refuses to regress a higher fencing token or clock dst
+    # may retain from a drained past life: forking onto such a stream
+    # is a misuse that must fail loudly (CommitConflict), not silently
+    # re-admit stale producers.  The txns carry-over max-merges in
+    # Manifest._apply, so watermarks can never regress either.
     dst._commit(
         {
             "add": [s.to_json() for s in state.active_sorted()],
@@ -488,6 +528,11 @@ def fork_stream(catalog, src_name: str, dst_name: str) -> Stream:
             # at the fork would lose replay detection and re-append
             # already-committed micro-batches as duplicates.
             "txns": dict(state.txns),
-        }
+        },
+        guard=lambda st: (
+            not st.active
+            and st.producer_version <= state.producer_version
+            and st.last_epoch_ms <= state.last_epoch_ms
+        ),
     )
     return dst

@@ -55,6 +55,33 @@ def fsync_file_and_dir(path: str) -> None:
         os.close(dfd)
 
 
+def offset_bounds_from_footer(md, label: str = "segment"):
+    """(first_offset, last_offset, n_rows) of a segment file from its
+    parquet ROW-GROUP min/max statistics — O(row groups) footer
+    metadata, never a data read (materializing the offset column
+    driver-side would be O(rows) memory at 100 TB).  Shared by bulk
+    ingest and key compaction so the fold cannot drift between them.
+    Raises if any row group lacks stats: failing loudly beats both the
+    silent fallback of scanning the column (hides a misconfigured
+    writer) and the AttributeError a naive ``st.min`` would hit."""
+    idx = md.schema.to_arrow_schema().get_field_index("offset")
+    first, last, n = None, None, 0
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(
+                f"{label}: row group {rg} has no offset statistics — "
+                "segments must be written with min/max stats"
+            )
+        lo = st.min.decode() if isinstance(st.min, bytes) else st.min
+        hi = st.max.decode() if isinstance(st.max, bytes) else st.max
+        first = lo if first is None or lo < first else first
+        last = hi if last is None or hi > last else last
+        n += md.row_group(rg).num_rows
+    return first, last, n
+
+
 class CommitConflict(Exception):
     """Another writer committed this manifest version first."""
 
@@ -169,10 +196,17 @@ class Manifest:
             return []
         out = []
         for fn in os.listdir(self.dir):
+            # A foreign .json (sync-tool "conflicted copy", stray
+            # notes file) must not brick the stream: skip names whose
+            # prefix is not a version number, same hardening stance as
+            # the unreadable-checkpoint fallback in load().
+            head = fn.split(".")[0]
+            if not head.isdigit():
+                continue
             if fn.endswith(".checkpoint.json"):
-                out.append((int(fn.split(".")[0]), "checkpoint", os.path.join(self.dir, fn)))
+                out.append((int(head), "checkpoint", os.path.join(self.dir, fn)))
             elif fn.endswith(".json"):
-                out.append((int(fn.split(".")[0]), "commit", os.path.join(self.dir, fn)))
+                out.append((int(head), "commit", os.path.join(self.dir, fn)))
         out.sort()
         return out
 
@@ -248,9 +282,13 @@ class Manifest:
         for name in actions.get("purge_tombstones", []):
             st.tombstones.pop(name, None)
         # bulk txn carry-over (stream forks): replaces nothing, only
-        # seeds watermarks absent from this state
+        # seeds watermarks absent from this state — max-merge so a
+        # fork can never REGRESS a watermark the destination already
+        # holds (a regressed watermark re-admits replayed batches,
+        # an exactly-once violation)
         for app, batch in actions.get("txns", {}).items():
-            st.txns[str(app)] = int(batch)
+            app = str(app)
+            st.txns[app] = max(st.txns.get(app, -1), int(batch))
         meta = actions.get("set", {})
         if "producer_version" in meta:
             st.producer_version = int(meta["producer_version"])
@@ -296,7 +334,16 @@ class Manifest:
         )
         self._apply(new, actions)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-            self._write_checkpoint(new)
+            # Checkpoints are DERIVED data: the commit above is already
+            # durably published (link + dir fsync), so a checkpoint
+            # write failure (ENOSPC, EIO) must not surface as a commit
+            # failure — the caller would retry a commit that already
+            # happened and duplicate its records.  load() tolerates a
+            # missing/corrupt checkpoint by folding the commit log.
+            try:
+                self._write_checkpoint(new)
+            except OSError:
+                pass
         return new
 
     def _fsync_dir(self) -> None:

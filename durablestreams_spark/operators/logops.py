@@ -402,8 +402,8 @@ def _ingest_events_keyed(spark, sf_dir: str):
     )
     from ..maintenance import compact_by_key
 
-    meta = compact_by_key(stream, spark, "$.user_id")
-    assert meta is not None
+    metas = compact_by_key(stream, spark, "$.user_id")
+    assert metas
     write_marker(marker, sf_dir)
     return stream
 

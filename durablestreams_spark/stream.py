@@ -190,6 +190,13 @@ class Stream:
                 time.sleep(random.uniform(0, 0.002 * attempt))
                 self._state = None  # refold — our fold is known-stale
             state = self._load()
+            if txn is not None and state.txns.get(str(txn[0]), -1) >= txn[1]:
+                # Replay detection: this (app, batch) is already durably
+                # committed — by us on a prior attempt whose conflict we
+                # lost sight of, or by a concurrent replayer.  A replayed
+                # batch is a NO-OP success, never a duplicate append and
+                # never an error (Delta txnAppId/txnVersion semantics).
+                return []
             set_meta: dict = {}
             if version is not None:
                 if version < state.producer_version:
@@ -239,9 +246,21 @@ class Stream:
 
             def fresh_enough(st, _epoch=epoch):
                 # another writer claimed our epoch (or later) ⇒ our
-                # offsets would collide/regress: recompute, don't commit
-                return st.last_epoch_ms < _epoch and not (
-                    version is not None and version < st.producer_version
+                # offsets would collide/regress: recompute, don't commit.
+                # The txn watermark is validated INSIDE the guarded
+                # commit (the Delta txnAppId/txnVersion pattern): two
+                # concurrent replays of the same micro-batch (zombie
+                # driver + failover replacement) can both pass the
+                # check-then-act refresh in streaming/ingest.flush_batch,
+                # but only the first can commit — the second sees the
+                # watermark already at/above its batch id and aborts
+                # instead of double-appending.
+                return (
+                    st.last_epoch_ms < _epoch
+                    and not (
+                        version is not None and version < st.producer_version
+                    )
+                    and (txn is None or st.txns.get(str(txn[0]), -1) < txn[1])
                 )
 
             try:
@@ -329,6 +348,7 @@ class Stream:
         state = self.refresh()
         snapshot = state.max_offset() or BEGINNING
         deadline = time.monotonic() + timeout_sec
+        last_sig = self._manifest_sig()
         while True:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -338,12 +358,31 @@ class Stream:
             # A same-process produce notifies the condition AND updates
             # the cached state, so _load() suffices; on a timeout the
             # new data (if any) came from ANOTHER process, which only
-            # the manifest knows about — refold it, or cross-process
-            # produces would never wake this poll.
-            state = self._load() if notified else self.refresh()
+            # the manifest knows about.  Refolding the whole log every
+            # 50 ms wakeup would re-list and re-parse the manifest 20x
+            # per idle second per tailer; instead gate on the manifest
+            # DIRECTORY mtime (one stat syscall — POSIX bumps it when a
+            # commit file is linked in) and refold only when it moved.
+            if notified:
+                state = self._load()
+            else:
+                sig = self._manifest_sig()
+                if sig == last_sig and sig is not None:
+                    continue
+                last_sig = sig
+                state = self.refresh()
             cur = state.max_offset()
             if cur is not None and (snapshot == BEGINNING or cur > snapshot):
                 return self.consume(snapshot, limit)
+
+    def _manifest_sig(self):
+        """Cheap cross-process change signal for tail(): the manifest
+        directory's mtime_ns (bumped by every commit link).  None when
+        the directory doesn't exist yet — treated as always-stale."""
+        try:
+            return os.stat(self.manifest.dir).st_mtime_ns
+        except OSError:
+            return None
 
     # -- destroy ----------------------------------------------------------
 

@@ -199,8 +199,8 @@ def test_compact_by_key_keeps_latest_and_null_keys(spark, tmp_path):
     s.produce([{"k": "a", "v": 2}, {"no_key": True}])
     s.produce([{"k": "b", "v": 3}, {"k": "a", "v": 4}])
     before = s.consume("-", limit=100)
-    meta = compact_by_key(s, spark, "$.k")
-    assert meta is not None
+    metas = compact_by_key(s, spark, "$.k")
+    assert metas and len(metas) == 1
     after = s.consume("-", limit=100)
     # survivors: latest a (v=4), latest b (v=3), the keyless record
     assert [r.data for r in after] == [
@@ -275,8 +275,9 @@ def test_compact_by_key_meta_matches_rowgroup_stats(spark, tmp_path):
     s = StreamCatalog(str(tmp_path)).stream("kcs")
     for batch in range(3):
         s.produce([{"k": f"k{i % 4}", "v": batch * 10 + i} for i in range(8)])
-    meta = compact_by_key(s, spark, "$.k")
-    assert meta is not None
+    metas = compact_by_key(s, spark, "$.k")
+    assert metas and len(metas) == 1
+    meta = metas[0]
     tbl = _pq.read_table(
         os.path.join(s.segments_dir, meta.name), columns=["offset"]
     )

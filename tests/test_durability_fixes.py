@@ -1,0 +1,141 @@
+"""Regression tests for the round-8 durability/exactly-once review:
+txn-watermark replay detection inside the commit guard, max-merge txn
+carry-over, stray-file tolerance in the manifest listing, checkpoint
+failures never surfacing as commit failures, guarded forks, and
+multi-part key compaction."""
+
+import json
+import os
+
+import pytest
+
+from durablestreams_spark.manifest import CommitConflict, Manifest, StreamState
+from durablestreams_spark.stream import StreamCatalog
+
+
+def test_txn_replay_is_noop_not_duplicate(tmp_path):
+    """produce(txn=(app, batch)) replayed after the batch is durably
+    committed must be a NO-OP success — never a duplicate append, never
+    an error (the Delta txnAppId/txnVersion contract)."""
+    s = StreamCatalog(str(tmp_path)).stream("txns")
+    first = s.produce([{"v": 1}, {"v": 2}], txn=("app", 7))
+    assert len(first.offsets) == 2
+    replay = s.produce([{"v": 1}, {"v": 2}], txn=("app", 7))
+    assert replay.offsets == []
+    # nothing appended twice
+    assert [r.data for r in s.consume("-", 10)] == [{"v": 1}, {"v": 2}]
+    # a LOWER batch id is also a replay
+    assert s.produce([{"v": 0}], txn=("app", 3)).offsets == []
+    # the NEXT batch goes through
+    assert len(s.produce([{"v": 3}], txn=("app", 8)).offsets) == 1
+
+
+def test_commit_guard_checks_txn_watermark(tmp_path):
+    """The watermark must be validated INSIDE the guarded commit, not
+    only by a check-then-act pre-read: simulate the zombie-replayer
+    race by invalidating the cached fold after the pre-check would
+    have passed."""
+    cat = StreamCatalog(str(tmp_path))
+    a, b = cat.stream("race"), cat.stream("race")
+    a.produce([{"v": 1}], txn=("app", 1))
+    # b's fold is stale (pre-dates the commit); its produce must still
+    # detect the replay on the fresh fold and no-op
+    assert b.produce([{"v": 1}], txn=("app", 1)).offsets == []
+    assert len(a.consume("-", 10)) == 1
+
+
+def test_bulk_txn_carryover_never_regresses(tmp_path):
+    """Manifest._apply's bulk 'txns' action max-merges: a fork carrying
+    an OLDER watermark cannot regress one the destination already
+    holds (a regressed watermark re-admits replayed batches)."""
+    st = StreamState(txns={"app": 100, "other": 2})
+    Manifest._apply(st, {"txns": {"app": 5, "new": 9}})
+    assert st.txns == {"app": 100, "other": 2, "new": 9}
+
+
+def test_stray_json_does_not_brick_stream(tmp_path):
+    """A foreign .json in _manifest/ (sync-tool conflict copy, stray
+    notes file) must be skipped, not raise ValueError in every
+    load/commit."""
+    s = StreamCatalog(str(tmp_path)).stream("stray")
+    s.produce([{"v": 1}])
+    mdir = os.path.join(str(tmp_path), "stray", "_manifest")
+    for fn in ("notes.json", "00000001 (conflicted copy).json"):
+        with open(os.path.join(mdir, fn), "w") as f:
+            json.dump({"junk": True}, f)
+    s2 = StreamCatalog(str(tmp_path)).stream("stray")
+    assert [r.data for r in s2.consume("-", 10)] == [{"v": 1}]
+    assert len(s2.produce([{"v": 2}]).offsets) == 1
+
+
+def test_checkpoint_write_failure_never_fails_commit(tmp_path, monkeypatch):
+    """The commit is durably published before the checkpoint write;
+    a checkpoint failure (ENOSPC/EIO) surfacing as a commit failure
+    would make the caller retry an already-committed batch."""
+    import durablestreams_spark.manifest as M
+
+    s = StreamCatalog(str(tmp_path)).stream("ckpt")
+    monkeypatch.setattr(
+        M.Manifest,
+        "_write_checkpoint",
+        lambda self, st: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    # enough commits to cross a CHECKPOINT_INTERVAL boundary
+    for i in range(M.CHECKPOINT_INTERVAL + 2):
+        assert len(s.produce([{"i": i}]).offsets) == 1
+    assert len(s.consume("-", 100)) == M.CHECKPOINT_INTERVAL + 2
+
+
+def test_fork_refuses_fencing_regression(tmp_path, spark):
+    """Forking onto a stream that retains a HIGHER fencing token than
+    the source must fail loudly (CommitConflict), not silently re-admit
+    stale producers."""
+    from durablestreams_spark.maintenance import fork_stream
+
+    cat = StreamCatalog(str(tmp_path))
+    src = cat.stream("src")
+    src.produce([{"v": 1}], version=1)
+    dst = cat.stream("dst")
+    dst.produce([], version=10)  # bump-only: active stays empty
+    with pytest.raises(CommitConflict):
+        fork_stream(cat, "src", "dst")
+
+
+def test_fork_carries_watermarks_forward(tmp_path, spark):
+    """The fork must seed the destination's txn watermarks so a
+    re-pointed exactly-once ingest keeps replay detection."""
+    from durablestreams_spark.maintenance import fork_stream
+
+    cat = StreamCatalog(str(tmp_path))
+    src = cat.stream("src2")
+    src.produce([{"v": 1}], txn=("app", 41))
+    dst = fork_stream(cat, "src2", "dst2")
+    # a replayed batch on the FORK is detected
+    assert dst.produce([{"v": 1}], txn=("app", 41)).offsets == []
+    assert len(dst.produce([{"v": 2}], txn=("app", 42)).offsets) == 1
+
+
+def test_compact_by_key_multi_range_keeps_every_part(spark, tmp_path):
+    """n_ranges > 1 writes several part files; EVERY one must be
+    swapped into the manifest with disjoint offset bounds — dropping
+    parts 1..N-1 would silently lose rows after tombstone GC."""
+    from durablestreams_spark.maintenance import compact_by_key
+
+    s = StreamCatalog(str(tmp_path)).stream("kcm")
+    for batch in range(4):
+        s.produce([{"k": f"k{i}", "v": batch * 10 + i} for i in range(8)])
+    before = {
+        json.dumps(r.data, sort_keys=True)
+        for r in s.consume("-", 100)
+        if r.data["v"] >= 30  # latest batch wins per key
+    }
+    metas = compact_by_key(s, spark, "$.k", n_ranges=3)
+    assert metas and len(metas) >= 2  # multiple ranges -> multiple parts
+    after = s.consume("-", 100)
+    assert {json.dumps(r.data, sort_keys=True) for r in after} == before
+    # bounds are disjoint and ordered
+    spans = sorted((m.first_offset, m.last_offset) for m in metas)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+    st = s.refresh()
+    assert len(st.active) == len(metas)
