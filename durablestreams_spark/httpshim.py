@@ -66,9 +66,17 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
             return self.headers.get("auth") == auth_header
 
         def _stream(self):
-            # reference: idFromName(pathname) — the path IS the name
+            # reference: idFromName(pathname) — the path IS the name.
+            # An empty or nested path (health-check GET /, /a/b) must
+            # come back as a 404, not an uncaught ValueError that
+            # aborts the connection with no response; returns None
+            # after sending in that case.
             name = urlparse(self.path).path.strip("/")
-            return catalog.stream(name)
+            try:
+                return catalog.stream(name)
+            except ValueError:
+                self._send(404, {"error": "Invalid stream name"})
+                return None
 
         def _params(self) -> dict:
             q = parse_qs(urlparse(self.path).query)
@@ -88,6 +96,13 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                 records = body["records"]
             except (ValueError, KeyError, TypeError):
                 return self._send(400, {"error": "Invalid JSON body"})
+            if not isinstance(records, list):
+                # a string/dict is iterable — produce() would happily
+                # append its characters/keys as records (reference's
+                # records.map throws instead)
+                return self._send(
+                    400, {"error": "records must be an array"}
+                )
             params = self._params()
             version = None
             if "version" in params:
@@ -98,6 +113,8 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                         400, {"error": "Invalid version parameter"}
                     )
             stream = self._stream()
+            if stream is None:
+                return
             try:
                 result = stream.produce(records, version=version)
             except FencingError:
@@ -130,10 +147,25 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                 return self._send(
                     400, {"error": "Invalid limit or timeout_sec"}
                 )
+            import math
+
+            if not math.isfinite(timeout_sec) or timeout_sec < 0:
+                # 'inf' would pin a server thread forever; 'nan' makes
+                # every deadline comparison False
+                return self._send(
+                    400, {"error": "Invalid limit or timeout_sec"}
+                )
             stream = self._stream()
-            records = (
-                stream.consume(offset, limit=limit) if offset else []
-            )
+            if stream is None:
+                return
+            try:
+                records = (
+                    stream.consume(offset, limit=limit) if offset else []
+                )
+            except ValueError:
+                # malformed cursor (not the 32-digit offset format):
+                # 400, not an aborted connection
+                return self._send(400, {"error": "Invalid offset"})
             if not timeout_sec or records:
                 return self._send(
                     200,
@@ -144,7 +176,15 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
                         ]
                     },
                 )
-            got = stream.tail(limit=limit, timeout_sec=timeout_sec)
+            # Long-poll pinned to the CLIENT's cursor: records produced
+            # between the consume() above and the wait would be inside
+            # a now-snapshot and the poll would block its full timeout
+            # despite matching data existing.
+            got = stream.tail(
+                limit=limit,
+                timeout_sec=timeout_sec,
+                after_offset=offset or None,
+            )
             self._send(
                 200,
                 {
@@ -158,7 +198,10 @@ def _make_handler(catalog: StreamCatalog, auth_header: str | None):
         def do_DELETE(self):  # noqa: N802
             if not self._auth_ok():
                 return self._send(401, "Unauthorized", raw=True)
-            self._stream().destroy()
+            stream = self._stream()
+            if stream is None:
+                return
+            stream.destroy()
             self._send(200, {"success": True})
 
     return Handler

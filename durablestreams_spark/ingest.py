@@ -164,6 +164,13 @@ def produce_bulk(
 
     t0 = time.perf_counter()
     state = stream.refresh()
+    if txn is not None and state.txns.get(str(txn[0]), -1) >= txn[1]:
+        # Replay detection (Delta txnAppId/txnVersion): this (app,
+        # batch) is already durably committed — a replayed bulk batch
+        # is a NO-OP success, never a duplicate write.  The commit
+        # guard in _finish_bulk revalidates on the fresh fold, closing
+        # the window between this check and the commit.
+        return 0
     base_epoch = state.last_epoch_ms + 1
     payload = F.to_json(
         F.struct(*[F.col(c) for c in (payload_cols or df.columns)])
@@ -352,5 +359,26 @@ def _finish_bulk(
     # Offsets derive from base_epoch: if a point producer claimed an
     # epoch >= ours mid-job, committing would interleave ranges — abort
     # loudly instead (bulk loads re-run; they don't silently corrupt).
-    stream._commit(actions, guard=lambda st: st.last_epoch_ms < base_epoch)
+    # The txn watermark is validated INSIDE the guard (same contract as
+    # _produce_locked.fresh_enough): a zombie replayer whose batch a
+    # failover already committed must abort here, not double-append.
+    from .manifest import CommitConflict
+
+    try:
+        stream._commit(
+            actions,
+            guard=lambda st: st.last_epoch_ms < base_epoch
+            and (txn is None or st.txns.get(str(txn[0]), -1) < txn[1]),
+        )
+    except CommitConflict:
+        if (
+            txn is not None
+            and stream.refresh().txns.get(str(txn[0]), -1) >= txn[1]
+        ):
+            # Lost to a concurrent replayer that committed OUR batch:
+            # the records are durable, so this is a no-op success; our
+            # written files become ordinary aged orphans (the inflight
+            # marker drops in produce_bulk's finally).
+            return 0
+        raise
     return len(metas)

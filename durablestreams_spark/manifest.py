@@ -296,7 +296,12 @@ class Manifest:
             st.last_epoch_ms = max(st.last_epoch_ms, int(meta["last_epoch_ms"]))
         txn = actions.get("txn")
         if txn:
-            st.txns[str(txn["app"])] = int(txn["batch"])
+            # Watermarks are monotone: max-merge here too, so even a
+            # stale replayer whose commit slips through can only be a
+            # no-op on the watermark, never a regression that re-admits
+            # later batches as fresh.
+            app = str(txn["app"])
+            st.txns[app] = max(st.txns.get(app, -1), int(txn["batch"]))
 
     # -- committing ----------------------------------------------------
 

@@ -337,16 +337,36 @@ class Stream:
 
     # -- tail (long-poll) --------------------------------------------------
 
-    def tail(self, limit: int = 10, timeout_sec: float = 0) -> list[Record]:
+    def tail(
+        self,
+        limit: int = 10,
+        timeout_sec: float = 0,
+        after_offset: str | None = None,
+    ) -> list[Record]:
         """Long-poll for records produced after this call.
 
         Equivalent to the reference's consumer registration + flush
         poke (``src/stream_manager.ts:308-313,454-467``): snapshot the
         current max offset, wait for new data, then read exclusive-from
         the snapshot so everything in the new flush is delivered.
+
+        ``after_offset`` pins the snapshot to the CALLER's cursor
+        instead of "now": an HTTP long-poll that checked consume(X)
+        empty and then waited would otherwise miss records produced in
+        the check→wait gap (they'd be inside a now-snapshot); with the
+        cursor as the snapshot, any record after X — whenever it
+        landed — satisfies the poll immediately.
         """
         state = self.refresh()
-        snapshot = state.max_offset() or BEGINNING
+        if after_offset is not None:
+            snapshot = after_offset or BEGINNING
+            cur0 = state.max_offset()
+            if cur0 is not None and (
+                snapshot == BEGINNING or cur0 > snapshot
+            ):
+                return self.consume(snapshot, limit)
+        else:
+            snapshot = state.max_offset() or BEGINNING
         deadline = time.monotonic() + timeout_sec
         last_sig = self._manifest_sig()
         while True:

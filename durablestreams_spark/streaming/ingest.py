@@ -50,8 +50,6 @@ def flush_batch(
     state = stream.refresh()
     if state.txns.get(app_id, -1) >= batch_id:
         return False  # replayed batch — already durable, ack and move on
-    if order_by:
-        batch_df = batch_df.orderBy(*order_by)
     # Strategy decision must NOT ship rows to the driver: a count() is
     # O(1) result size regardless of batch width, and the persist
     # ensures the decision scan is reused by whichever flush path runs
@@ -61,12 +59,32 @@ def flush_batch(
     try:
         n = batch_df.count()
         if n == 0:
-            stream._commit({"txn": {"app": app_id, "batch": batch_id}})
+            # Guarded like the data paths: a concurrent replayer that
+            # already advanced the watermark past batch_id must not
+            # regress it (the guard aborts; _apply's max-merge is the
+            # second line of defense).  Watermark already there ⇒ this
+            # was a replay: ack-and-skip, same as the pre-check above.
+            from ..manifest import CommitConflict
+
+            try:
+                stream._commit(
+                    {"txn": {"app": app_id, "batch": batch_id}},
+                    guard=lambda st: st.txns.get(app_id, -1) < batch_id,
+                )
+            except CommitConflict:
+                if stream.refresh().txns.get(app_id, -1) >= batch_id:
+                    return False  # replay — already durable
+                raise
         elif n <= SMALL_BATCH_ROWS:
             # toJSON keeps payload serialization on the Spark side
-            # (timestamps, nesting).
+            # (timestamps, nesting).  The sort runs ONLY here: on the
+            # collect path row order determines offsets; the bulk path
+            # below re-sorts inside assign_offsets anyway, so a global
+            # orderBy before the size decision would be a wasted
+            # range-shuffle of every large batch.
+            small = batch_df.orderBy(*order_by) if order_by else batch_df
             stream.produce(
-                [json.loads(s) for s in batch_df.toJSON().collect()],
+                [json.loads(s) for s in small.toJSON().collect()],
                 txn=(app_id, batch_id),
             )
         else:

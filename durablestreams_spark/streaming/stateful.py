@@ -228,8 +228,16 @@ class UserSessionizer(StatefulProcessor):
         if not self._cur.exists():
             return
         start, last, n = self._cur.get()
-        # stale timer from a since-extended session: ignore
-        if expiredTimerInfo.getExpiryTimeInMs() < last // 1000 + SESSION_GAP_MS:
+        # stale timer from a since-extended session: ignore.  The
+        # threshold matches the registration formula EXACTLY
+        # (last//1000 + GAP + 1): with a bare `+ GAP` threshold, an
+        # extension advancing last by <2ms left the old timer one
+        # millisecond early yet "fresh", closing the session a tick
+        # before its true boundary.
+        if (
+            expiredTimerInfo.getExpiryTimeInMs()
+            < last // 1000 + SESSION_GAP_MS + 1
+        ):
             return
         self._cur.clear()
         yield pd.DataFrame(

@@ -139,3 +139,41 @@ def test_compact_by_key_multi_range_keeps_every_part(spark, tmp_path):
         assert a_hi < b_lo
     st = s.refresh()
     assert len(st.active) == len(metas)
+
+
+def test_bulk_replay_is_noop(spark, tmp_path):
+    """produce_bulk with an already-committed (app, batch) must be a
+    no-op success — the zombie-driver replay race on the bulk path."""
+    from durablestreams_spark.ingest import produce_bulk
+
+    s = StreamCatalog(str(tmp_path)).stream("bulk")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    n1 = produce_bulk(s, df, order_by=["id"], txn=("app", 1))
+    assert n1 >= 1
+    before = len(s.consume("-", 1000))
+    n2 = produce_bulk(s, df, order_by=["id"], txn=("app", 1))
+    assert n2 == 0
+    assert len(s.consume("-", 1000)) == before
+    # next batch still goes through
+    assert produce_bulk(s, df, order_by=["id"], txn=("app", 2)) >= 1
+
+
+def test_singular_txn_action_never_regresses(tmp_path):
+    """Manifest._apply's singular 'txn' action max-merges too: a stale
+    replayer's commit can no-op the watermark but never lower it."""
+    st = StreamState(txns={"app": 10})
+    Manifest._apply(st, {"txn": {"app": "app", "batch": 4}})
+    assert st.txns["app"] == 10
+    Manifest._apply(st, {"txn": {"app": "app", "batch": 11}})
+    assert st.txns["app"] == 11
+
+
+def test_tail_after_offset_sees_gap_records(tmp_path):
+    """tail(after_offset=X) must return records that landed after X
+    even if they were produced BEFORE the tail call (the HTTP shim's
+    consume->tail gap)."""
+    s = StreamCatalog(str(tmp_path)).stream("gap")
+    r1 = s.produce([{"v": 1}])
+    s.produce([{"v": 2}])  # lands in the "gap"
+    got = s.tail(limit=10, timeout_sec=5, after_offset=r1.offsets[-1])
+    assert [r.data for r in got] == [{"v": 2}]

@@ -223,3 +223,61 @@ def test_auth_gate_and_put_and_bad_json(catalog):
         except urllib.error.HTTPError as e:
             st, body = e.code, e.read().decode()
         assert st == 400 and json.loads(body)["error"] == "Invalid JSON body"
+
+
+def test_bad_offset_returns_400(catalog):
+    """A malformed cursor must produce a 400, not an aborted
+    connection from an uncaught parse_offset ValueError."""
+    with StreamHTTPShim(catalog) as url:
+        _req(f"{url}/s400", "POST", {"records": [{"v": 1}]})
+        for bad in ("abc", "12"):
+            st, _ = _req(f"{url}/s400?offset={bad}")
+            assert st == 400, bad
+
+
+def test_root_and_nested_paths_return_404(catalog):
+    """GET / (health probes) and nested paths must get a 404, not an
+    uncaught Stream-name ValueError that drops the connection."""
+    with StreamHTTPShim(catalog) as url:
+        for path in ("/", "/a/b"):
+            st, _ = _req(f"{url}{path}")
+            assert st == 404, path
+
+
+def test_nonfinite_timeout_returns_400(catalog):
+    """timeout_sec=inf would pin a server thread forever; nan breaks
+    every deadline comparison — both are 400s, as is a negative."""
+    with StreamHTTPShim(catalog) as url:
+        _req(f"{url}/sinf", "POST", {"records": [{"v": 1}]})
+        for bad in ("inf", "nan", "-1"):
+            st, _ = _req(f"{url}/sinf?offset=-&timeout_sec={bad}")
+            assert st == 400, bad
+
+
+def test_records_must_be_array(catalog):
+    """A string/dict 'records' is iterable — produce() would append its
+    characters/keys as records; the shim must 400 instead (the
+    reference's records.map would throw)."""
+    with StreamHTTPShim(catalog) as url:
+        for bad in ("ab", {"k": 1}, 5):
+            st, _ = _req(f"{url}/sarr", "POST", {"records": bad})
+            assert st == 400, bad
+        st, body = _req(f"{url}/sarr?offset=-")
+        assert st == 200 and json.loads(body)["records"] == []
+
+
+def test_long_poll_sees_gap_records(catalog):
+    """Records produced between the poll's consume() check and its
+    wait must satisfy the poll immediately (snapshot pinned to the
+    CLIENT's cursor, not to 'now')."""
+    with StreamHTTPShim(catalog) as url:
+        _st, body = _req(f"{url}/sgap", "POST", {"records": [{"v": 1}]})
+        cursor = json.loads(body)["offsets"][-1]
+        # this record lands BEFORE the long-poll request is sent: a
+        # now-snapshot would wait the full timeout and return []
+        _req(f"{url}/sgap", "POST", {"records": [{"v": 2}]})
+        t0 = time.monotonic()
+        st, body = _req(f"{url}/sgap?offset={cursor}&timeout_sec=10")
+        assert st == 200
+        assert [r["data"] for r in json.loads(body)["records"]] == [{"v": 2}]
+        assert time.monotonic() - t0 < 5.0
