@@ -390,7 +390,8 @@ def join_outer(spark, sf_dir):
                ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1e12)
     )
     SELECT band, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS total,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
@@ -420,7 +421,9 @@ def join_range(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
@@ -622,19 +625,22 @@ def rollup_sales(spark, sf_dir):
     """
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS lvl,
-           round(sum(o_totalprice), 2) AS total,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS total,
            count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
-    doc="CUBE over two dimensions (4 grouping sets in one Expand).",
+    doc="CUBE over two dimensions (4 grouping sets in one Expand).  The grand-total money sum is ~2.8e11 at sf1 — the regime where double summation order flips round(.,2) — summed in exact DECIMAL like rollup/q1.",
 )
 def cube_sales(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     lvl = F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         lvl.alias("lvl"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -643,7 +649,8 @@ def cube_sales(spark, sf_dir):
     "grouping_sets_mixed",
     """
     SELECT c_mktsegment, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS total, count(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
     """,
@@ -654,7 +661,8 @@ def grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_mktsegment, o_orderpriority,
-               round(sum(o_totalprice), 2) AS total, count(*) AS n
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS total, count(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """

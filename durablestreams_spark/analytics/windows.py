@@ -47,15 +47,20 @@ SLIDING_12H_ORACLE = f"""
 
 SESSION_30M_ORACLE = f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- the running sum MUST use the same (ts, event_id) total order
+        -- as the flag window: with ts alone, duplicate-timestamp rows
+        -- could be folded in a different order than they were flagged,
+        -- assigning a row to the WRONG session nondeterministically
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -307,7 +312,8 @@ def scd2_user_value_intervals(spark, sf_dir):
     )
     SELECT count(*) AS n_reached_cart,
            CAST(sum(converted) AS BIGINT) AS n_converted,
-           round(sum(converted) * 1.0 / count(*), 4) AS conversion_rate
+           floor(sum(converted) * 1.0 / count(*) * 10000 + 0.5) / 10000
+               AS conversion_rate
     FROM funnel
     """,
     doc="Ordered funnel (click → cart → purchase): per-user event-type "
@@ -357,9 +363,10 @@ def funnel_click_cart_purchase(spark, sf_dir):
     return funnel.agg(
         F.count(F.lit(1)).alias("n_reached_cart"),
         F.sum("converted").cast("long").alias("n_converted"),
-        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias(
-            "conversion_rate"
-        ),
+        (
+            F.floor(F.sum("converted") / F.count(F.lit(1)) * 10000 + 0.5)
+            / 10000
+        ).alias("conversion_rate"),
     )
 
 
@@ -528,8 +535,9 @@ def cohort_retention_daily(spark, sf_dir):
         WHERE dst IS NOT NULL GROUP BY src, dst
     )
     SELECT src, dst, CAST(n AS BIGINT) AS n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY src), 4) AS p
+           floor(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src) * 10000 + 0.5)
+               / 10000 AS p
     FROM c ORDER BY src, dst
     """,
     doc="First-order Markov transition matrix over per-user event "
@@ -556,7 +564,13 @@ def markov_event_transitions(spark, sf_dir):
         "src",
         "dst",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 4).alias(
+        (
+            F.floor(
+                F.col("n").cast("double") / F.sum("n").over(wnorm) * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias(
             "p"
         ),
     ).orderBy("src", "dst")

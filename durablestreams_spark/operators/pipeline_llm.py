@@ -63,13 +63,6 @@ def _shingle5_arrays(docs):
     )
 
 
-def _shingle5(docs):
-    """(doc_id, sh) distinct 5-word shingles, exploded."""
-    return _shingle5_arrays(docs).select(
-        "doc_id", F.explode("shs").alias("sh")
-    )
-
-
 _DUCK_SHINGLE5 = """
     SELECT DISTINCT doc_id, sh
     FROM (
@@ -102,7 +95,8 @@ _DUCK_SHINGLE5 = """
         GROUP BY c.doc_id
     )
     SELECT t.doc_id, t.n_shingles, h.n_hit,
-           round(h.n_hit * 1.0 / t.n_shingles, 4) AS overlap_ratio
+           floor(h.n_hit * 1.0 / t.n_shingles * 10000 + 0.5) / 10000
+               AS overlap_ratio
     FROM totals t JOIN hits h USING (doc_id)
     """,
     doc="Benchmark decontamination: corpus docs sharing any 5-gram with "
@@ -136,7 +130,8 @@ def text_decontaminate(spark, sf_dir):
         "doc_id",
         "n_shingles",
         "n_hit",
-        F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias("overlap_ratio"),
+        (F.floor(F.col("n_hit") / F.col("n_shingles") * 10000 + 0.5) / 10000)
+        .alias("overlap_ratio"),
     )
 
 
@@ -297,7 +292,9 @@ _UNIGRAM_NLL_SELECT = """
     "document text by token.",
 )
 def text_unigram_logprob(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # spread(): the token explode runs twice (vocab count + scoring)
+    # and is the CPU-heavy stage; no-op at scale (files >= cores).
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
@@ -445,8 +442,9 @@ def text_chunk_windows(spark, sf_dir):
                    / 4294967298.0) / n_chars AS k
         FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, n_chars, round(k, 6) AS sort_key
-    FROM keyed ORDER BY k ASC, doc_id LIMIT 200
+    SELECT doc_id, n_chars,
+           floor(k * 1000000 + 0.5) / 1000000 AS sort_key
+    FROM keyed ORDER BY sort_key ASC, doc_id LIMIT 200
     """,
     doc="Deterministic weighted sample (Efraimidis-Spirakis A-ES): "
     "each doc draws u from an md5-derived uniform and keeps key "
@@ -473,11 +471,15 @@ def sample_weighted_topk(spark, sf_dir):
         ).cast("double")
     ) / 4294967298.0
     k = -F.log(u) / F.col("n_chars")
+    # Rank on the ROUNDED key (floor form, see core.py's rounding
+    # policy) with a doc_id tie-break: JVM and libm ln() differ by
+    # 1 ulp, and ranking raw keys lets docs straddling the #200
+    # cutoff swap between engines (the DSIR queries' policy).
+    sk = F.floor(k * 1000000 + 0.5) / 1000000
     return (
-        docs.select("doc_id", "n_chars", k.alias("k"))
-        .orderBy(F.col("k").asc(), "doc_id")
+        docs.select("doc_id", "n_chars", sk.alias("sort_key"))
+        .orderBy(F.col("sort_key").asc(), "doc_id")
         .limit(200)
-        .select("doc_id", "n_chars", F.round("k", 6).alias("sort_key"))
     )
 
 
@@ -633,7 +635,8 @@ def sample_source_quota(spark, sf_dir):
     SELECT t.doc_id,
            CAST(t.n_tok AS BIGINT) AS n_tok,
            CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
-           round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tok, 4) AS oov_ratio
+           floor(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / t.n_tok * 10000 + 0.5)
+               / 10000 AS oov_ratio
     FROM tot t LEFT JOIN oov o ON o.doc_id = t.doc_id
     """,
     doc=f"Vocabulary coverage: induce the top-{VOCAB_SIZE} corpus "
@@ -671,10 +674,15 @@ def text_vocab_oov(spark, sf_dir):
         F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
+        (
+            F.floor(
+                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 10000
+                + 0.5
+            )
+            / 10000
         ).alias("oov_ratio"),
     )
 
@@ -814,7 +822,7 @@ def sample_token_budget(spark, sf_dir):
                 W.unboundedPreceding, W.unboundedFollowing
             )
         ).alias("total"),
-    ).withColumn("budget", (F.col("total") * 2 / 5).cast("long"))
+    ).withColumn("budget", F.expr("total * 2 div 5"))
     wd = W.partitionBy("bucket").orderBy("u", "doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -875,7 +883,8 @@ def _split_col() -> F.Column:
         GROUP BY v.doc_id
     )
     SELECT t.doc_id, t.lang, t.n_shingles, h.n_hit,
-           round(h.n_hit * 1.0 / t.n_shingles, 4) AS overlap_ratio
+           floor(h.n_hit * 1.0 / t.n_shingles * 10000 + 0.5) / 10000
+               AS overlap_ratio
     FROM valid_totals t JOIN hits h USING (doc_id)
     """,
     doc="Cross-split contamination report: validation documents that "
@@ -921,9 +930,12 @@ def split_leakage_ngrams(spark, sf_dir):
             "lang",
             "n_shingles",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias(
-                "overlap_ratio"
-            ),
+            (
+                F.floor(
+                    F.col("n_hit") / F.col("n_shingles") * 10000 + 0.5
+                )
+                / 10000
+            ).alias("overlap_ratio"),
         )
     )
 
