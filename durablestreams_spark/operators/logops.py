@@ -51,7 +51,7 @@ def _ingest_events(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_log")
-    if marker_current(marker, sf_dir):
+    if marker_current(marker, sf_dir, params=_geom_params()):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -71,7 +71,7 @@ def _ingest_events(spark, sf_dir: str):
     # Compact the oldest window (2 segments trip MaxRecords=5000) so
     # the read path spans compacted + raw segments.
     compact(stream)
-    write_marker(marker, sf_dir)
+    write_marker(marker, sf_dir, params=_geom_params())
     return stream
 
 
@@ -145,7 +145,7 @@ def ndjson_segment_parity(spark, sf_dir):
     )
     data_dir = os.path.join(root, "segments")
     marker = os.path.join(root, "_written")
-    if not marker_current(marker, sf_dir):
+    if not marker_current(marker, sf_dir, params=_geom_params()):
         shutil.rmtree(root, ignore_errors=True)
         ev = table(spark, sf_dir, "events").select("event_id", "ts")
         rn = F.row_number().over(Window.orderBy("ts", "event_id")) - 1
@@ -158,7 +158,7 @@ def ndjson_segment_parity(spark, sf_dir):
         )
         lines.write.mode("overwrite").text(data_dir)
         os.makedirs(root, exist_ok=True)
-        write_marker(marker, sf_dir)
+        write_marker(marker, sf_dir, params=_geom_params())
     df = read_ndjson_segments(spark, data_dir)
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id"),
@@ -387,7 +387,7 @@ def _ingest_events_keyed(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_keyed")
-    if marker_current(marker, sf_dir):
+    if marker_current(marker, sf_dir, params=_geom_params()):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -404,7 +404,7 @@ def _ingest_events_keyed(spark, sf_dir: str):
 
     metas = compact_by_key(stream, spark, "$.user_id")
     assert metas
-    write_marker(marker, sf_dir)
+    write_marker(marker, sf_dir, params=_geom_params())
     return stream
 
 
@@ -489,7 +489,7 @@ def _ingest_events_payload(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_payload")
-    if marker_current(marker, sf_dir):
+    if marker_current(marker, sf_dir, params=_geom_params()):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -505,7 +505,7 @@ def _ingest_events_payload(spark, sf_dir: str):
         segment_rows=2500,
     )
     compact(stream)
-    write_marker(marker, sf_dir)
+    write_marker(marker, sf_dir, params=_geom_params())
     return stream
 
 
@@ -562,7 +562,7 @@ def _ingest_events_replica(spark, sf_dir: str):
     marker = os.path.join(root, "_ingested")
     cat = StreamCatalog(root)
     stream = cat.stream("events_replica")
-    if marker_current(marker, sf_dir):
+    if marker_current(marker, sf_dir, params=_geom_params()):
         return stream
     shutil.rmtree(root, ignore_errors=True)
     cat = StreamCatalog(root)
@@ -582,7 +582,7 @@ def _ingest_events_replica(spark, sf_dir: str):
         payload_cols=["event_id"],
         segment_rows=2500,
     )
-    write_marker(marker, sf_dir)
+    write_marker(marker, sf_dir, params=_geom_params())
     return stream
 
 
@@ -686,7 +686,7 @@ def log_retention_trim(spark, sf_dir):
     ret_params = f"exact:{RET_SEG_ROWS}:{BATCH}"
     cat = StreamCatalog(root)
     stream = cat.stream("events_ret")
-    if not marker_current(marker, sf_dir, params=ret_params):
+    if not marker_current(marker, sf_dir, params=_geom_params(ret_params)):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(root)
         stream = cat.stream("events_ret")
@@ -710,7 +710,7 @@ def log_retention_trim(spark, sf_dir):
         mid = max(1, n // 2)
         cutoff = serialize_offset((mid - 1) // BATCH + 1, (mid - 1) % BATCH)
         apply_retention(stream, cutoff)
-        write_marker(marker, sf_dir, params=ret_params)
+        write_marker(marker, sf_dir, params=_geom_params(ret_params))
     df = stream.to_df(spark)
     return df.select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
@@ -751,7 +751,7 @@ def log_schema_evolution(spark, sf_dir):
     marker = os.path.join(root, "_built")
     cat = StreamCatalog(root)
     stream = cat.stream("events_evo")
-    if not marker_current(marker, sf_dir):
+    if not marker_current(marker, sf_dir, params=_geom_params()):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(root)
         stream = cat.stream("events_evo")
@@ -777,7 +777,7 @@ def log_schema_evolution(spark, sf_dir):
             payload_cols=["event_id", "value"],
             segment_rows=RET_SEG_ROWS,
         )
-        write_marker(marker, sf_dir)
+        write_marker(marker, sf_dir, params=_geom_params())
     typed = typed_view(
         stream.to_df(spark), "event_id long, value double", keep=()
     )
@@ -786,6 +786,14 @@ def log_schema_evolution(spark, sf_dir):
 
 #: Records appended to the fork after branching.
 FORK_EXTRA = 100
+
+#: Every constant that shapes the CACHED stream fixtures' record
+#: geometry, folded into each cache marker (the cache_marker.py
+#: contract: the round-5 stale-geometry lesson).  Built lazily so the
+#: definition can live next to the last constant it names.
+def _geom_params(extra: str = "") -> str:
+    base = f"geom1:b{BATCH}.d{DIVERGE_MOD}.r{RET_SEG_ROWS}.f{FORK_EXTRA}"
+    return f"{base}:{extra}" if extra else base
 
 
 @query(
@@ -815,7 +823,7 @@ def log_fork_branch(spark, sf_dir):
     marker = os.path.join(root, "_built")
     cat = StreamCatalog(root)
     fork = cat.stream("events_branch")
-    if not marker_current(marker, sf_dir):
+    if not marker_current(marker, sf_dir, params=_geom_params()):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(root)
         base = cat.stream("events_base")
@@ -829,7 +837,7 @@ def log_fork_branch(spark, sf_dir):
         )
         fork = fork_stream(cat, "events_base", "events_branch")
         fork.produce([{"event_id": -(i + 1)} for i in range(FORK_EXTRA)])
-        write_marker(marker, sf_dir)
+        write_marker(marker, sf_dir, params=_geom_params())
     return fork.to_df(spark).select(
         F.get_json_object("data", "$.event_id").cast("long").alias("event_id")
     )
@@ -859,7 +867,7 @@ def log_version_time_travel(spark, sf_dir):
     vfile = os.path.join(root, "_pinned_version")
     cat = StreamCatalog(root)
     stream = cat.stream("events_asof")
-    if not marker_current(marker, sf_dir):
+    if not marker_current(marker, sf_dir, params=_geom_params()):
         shutil.rmtree(root, ignore_errors=True)
         cat = StreamCatalog(root)
         stream = cat.stream("events_asof")
@@ -876,7 +884,7 @@ def log_version_time_travel(spark, sf_dir):
         stream.produce([{"event_id": -(i + 1)} for i in range(50)])
         with open(vfile, "w") as f:
             f.write(str(pinned))
-        write_marker(marker, sf_dir)
+        write_marker(marker, sf_dir, params=_geom_params())
     with open(vfile) as f:
         pinned = int(f.read().strip())
     df = stream.to_df(spark, as_of_version=pinned)

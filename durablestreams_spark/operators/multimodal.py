@@ -631,9 +631,9 @@ def extract_features_batch(
     SELECT doc_id,
            round(length(text) % 97 / 97.0, 6) AS f0,
            round(ascii(substr(text, 1, 1)) % 97 / 97.0, 6) AS f1,
-           round(list_sum(list_transform(
+           round(coalesce(list_sum(list_transform(
                generate_series(1, least(16, length(text))),
-               i -> ascii(substr(text, i, 1)))) % 97 / 97.0, 6) AS f2,
+               i -> ascii(substr(text, i, 1)))), 0) % 97 / 97.0, 6) AS f2,
            round((length(text) * 7 + ascii(substr(text, 1, 1))) % 97 / 97.0, 6) AS f3
     FROM documents
     """,

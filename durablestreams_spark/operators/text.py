@@ -115,14 +115,20 @@ def text_token_count_bpeish(spark, sf_dir):
 def text_quality(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    # Materialize the token array ONCE: lambda-containing trees are
+    # excluded from Spark's subexpression elimination, so inlining the
+    # filter(split(...)) into every ratio would re-tokenize each row
+    # ~8x (the text_langid pattern).
+    docs = docs.withColumn(
+        "toks", F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+    )
     stop_ratio = F.expr(
-        f"CAST(size(filter({toks}, x -> x IN ({sw}))) AS DOUBLE) / size({toks})"
+        f"CAST(size(filter(toks, x -> x IN ({sw}))) AS DOUBLE) / size(toks)"
     )
     short_ratio = F.expr(
-        f"CAST(size(filter({toks}, x -> length(x) <= 2)) AS DOUBLE) / size({toks})"
+        "CAST(size(filter(toks, x -> length(x) <= 2)) AS DOUBLE) / size(toks)"
     )
-    n_toks = F.expr(f"size({toks})")
+    n_toks = F.expr("size(toks)")
     return docs.select(
         "doc_id",
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -210,7 +216,10 @@ def text_langid(spark, sf_dir):
         FROM documents
         WHERE length(text) >= 4
     )
-    SELECT doc_id, hs[1] || '|' || hs[2] || '|' || hs[3] AS fingerprint
+    -- concat_ws skips NULLs in BOTH engines, so a doc with <3 grams
+    -- (text length 4-5) fingerprints its available grams instead of
+    -- diverging (|| would NULL-propagate in DuckDB only)
+    SELECT doc_id, concat_ws('|', hs[1], hs[2], hs[3]) AS fingerprint
     FROM grams
     """,
     doc="Winnowing-style fingerprint: md5 over every char 4-gram, keep "
@@ -570,7 +579,7 @@ _PII_ORACLE = f"""
                    '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
                    '{PII_PHONE_RE}', '[PHONE]', 'g'),
                    '{PII_IP_RE}', '[IP]', 'g') AS r
-        FROM red_src)
+        FROM aug)
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
                AS n_emails,
@@ -586,7 +595,7 @@ _PII_ORACLE = f"""
 
 @query(
     "text_pii_redact",
-    _PII_ORACLE.replace("red_src", "aug"),
+    _PII_ORACLE,
     doc="PII detection + redaction (the scrub pass every training-data "
     "pipeline runs before anything else): emails, North-American "
     "phone numbers, and IPv4 addresses are counted with "
