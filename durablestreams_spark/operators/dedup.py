@@ -231,10 +231,24 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     bands = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", "b.band_id", "b.band_key")
+    # Cap BEFORE collecting: a count partial-agg (O(1) buffers) decides
+    # which buckets survive, and only those are collect_list'ed — so
+    # the array buffer really is O(cap).  Filtering AFTER collect_list
+    # would materialize a boilerplate mega-bucket's full multi-million
+    # id array in one aggregation buffer just to throw it away (the
+    # exact skew hazard the cap exists for).  Both aggregations and
+    # the semi-join share the (band_id, band_key) partitioning, so
+    # Catalyst reuses the exchange.
+    sizes = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ok = sizes.where(F.col("n").between(2, MAX_BUCKET)).select(
+        "band_id", "band_key"
+    )
     buckets = (
-        bands.groupBy("band_id", "band_key")
+        bands.join(ok, ["band_id", "band_key"], "left_semi")
+        .groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids").between(2, MAX_BUCKET))
     )
     # all i<j pairs of the sorted id array: element i pairs with every
     # later element (slice is 1-based; start i+2 = "after position i").
@@ -389,9 +403,10 @@ _PAIRS_SQL = f"""
 """
 
 
-@query(
-    "dedup_connected_components",
-    f"""
+#: Recursive-CTE transitive closure shared VERBATIM by both graded
+#: connected-components entries (min-propagation and large-star/
+#: small-star) — one definition so their oracles cannot drift.
+_CC_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -405,7 +420,12 @@ _PAIRS_SQL = f"""
     SELECT a AS doc_id,
            least(a, min(b)) AS cluster_id
     FROM reach GROUP BY a
-    """,
+    """
+
+
+@query(
+    "dedup_connected_components",
+    _CC_ORACLE,
     doc="Connected components over the LSH candidate graph — the "
     "clustering step that turns pairwise near-dup hits into groups "
     "with a canonical keeper (min doc_id) per group; every dedup "
@@ -423,8 +443,12 @@ _PAIRS_SQL = f"""
     "swap min-propagation for the large-star/small-star variant; "
     "the per-round plan (join + groupBy min) is identical.",
 )
-def dedup_connected_components(spark, sf_dir):
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+def dedup_connected_components(spark, sf_dir, pairs=None):
+    # ``pairs`` injection seam: dedup_canonical_by_centrality passes a
+    # materialized pair table so the heavy LSH pipeline runs ONCE for
+    # both this closure and the PageRank it composes with.
+    if pairs is None:
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -489,9 +513,13 @@ def connected_components_star(
 
     Returns (labels_df[node, label], rounds)."""
     import time as _time
-    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # ONE canonical orientation only: each round's large-star step
+    # symmetrizes with `sym = e UNION swap(e)`, so pre-symmetrizing
+    # here would make round 1's sym carry every edge TWICE — doubling
+    # the shuffle volume of the largest round (the full candidate
+    # graph) for rows distinct() then discards.
     e = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
@@ -565,21 +593,7 @@ def connected_components_star(
 
 @query(
     "dedup_connected_components_star",
-    f"""
-    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id,
-           least(a, min(b)) AS cluster_id
-    FROM reach GROUP BY a
-    """,
+    _CC_ORACLE,
     doc="Connected components over the LSH candidate graph via "
     "large-star/small-star (Kiveris et al. SoCC'14) — the scale "
     "variant of dedup_connected_components: O(log diameter) rounds "

@@ -49,6 +49,14 @@ def _pagerank_chain(p: str = "") -> str:
     the chain composes with other pair-graph chains (e.g. the
     connected-components closure) in one oracle."""
     d = PR_DAMPING
+    # Render the BASE term as the Python-computed double literal:
+    # DuckDB would evaluate `1 - 0.85` in exact DECIMAL (0.15) while
+    # Spark starts from the Python double 1.0 - 0.85
+    # (0.15000000000000002...), a 2-ulp divergence that propagates
+    # through all iterations and can flip a round(,6) boundary (the
+    # same class as the -0.0 MMR fix).  One literal, both engines
+    # start from the identical double.
+    one_minus_d = repr(1.0 - PR_DAMPING)
     parts = [
         f"""{p}edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -69,7 +77,7 @@ def _pagerank_chain(p: str = "") -> str:
         GROUP BY e.dst
     ),
     {p}r{i} AS (
-        SELECT n.node, (1 - {d}) / {p}nn.n + {d} * coalesce({p}c{i}.s, 0.0) AS r
+        SELECT n.node, {one_minus_d} / {p}nn.n + {d} * coalesce({p}c{i}.s, 0.0) AS r
         FROM {p}nodes n CROSS JOIN {p}nn LEFT JOIN {p}c{i} ON {p}c{i}.node = n.node
     )"""
         )
@@ -112,10 +120,12 @@ def graph_pagerank_dup_centrality(spark, sf_dir):
     )
 
 
-def _pagerank_ranks(spark, sf_dir):
+def _pagerank_ranks(spark, sf_dir, pairs=None):
     """Full (node, r) rank table after PR_ITERS rounds — shared by the
-    graded top-k and the canonical-keeper composition."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    graded top-k and the canonical-keeper composition (which injects a
+    materialized ``pairs`` so the LSH pipeline runs once for both)."""
+    if pairs is None:
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -197,10 +207,15 @@ def _pagerank_ranks(spark, sf_dir):
     "with the prefixed PageRank chain over one shared pairs CTE.",
 )
 def dedup_canonical_by_centrality(spark, sf_dir):
-    from .dedup import dedup_connected_components
+    from .dedup import dedup_connected_components, dedup_minhash_lsh_pairs
 
-    clusters = dedup_connected_components(spark, sf_dir)
-    ranks = _pagerank_ranks(spark, sf_dir)
+    # ONE LSH candidate pass feeds both graph operators: without the
+    # shared materialization, the closure and the PageRank each replay
+    # the 8x-md5 shingle scan + banding + pair explosion — doubling
+    # the dominant upstream cost of this composed query.
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    clusters = dedup_connected_components(spark, sf_dir, pairs=pairs)
+    ranks = _pagerank_ranks(spark, sf_dir, pairs=pairs)
     joined = clusters.join(ranks, clusters.doc_id == ranks.node).select(
         "cluster_id", "doc_id", F.round("r", 6).alias("r6")
     )

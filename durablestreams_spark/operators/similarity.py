@@ -398,7 +398,7 @@ def similarity_ivf_topk(spark, sf_dir):
     )
     # Multi-probe: a query searches its IVF_NPROBE nearest cells.
     q = ranked.where(
-        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % 100 == 0)
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % IVF_QUERY_MOD == 0)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -1463,7 +1463,14 @@ def similarity_mmr_rerank(spark, sf_dir):
     )
     SELECT v.label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(avg(list_cosine_similarity(v.emb, c.cemb)), 4)
+           -- order-independent mean: per-row cosines are bit-identical
+           -- across engines, the DECIMAL sum is exact (associative), and
+           -- the single double division + floor-form round are pure IEEE
+           -- — a plain avg() over doubles has no fixed accumulation
+           -- order and can flip a round(,4) boundary between engines
+           floor(CAST(sum(CAST(list_cosine_similarity(v.emb, c.cemb)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000
                AS avg_cos_to_centroid
     FROM v JOIN cents c ON c.label = v.label
     GROUP BY v.label ORDER BY v.label
@@ -1510,7 +1517,16 @@ def similarity_label_cohesion(spark, sf_dir):
         joined.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+            (
+                F.floor(
+                    F.sum(F.col("cos").cast("decimal(38,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("avg_cos_to_centroid"),
         )
         .orderBy("label")
     )
