@@ -295,10 +295,12 @@ def purge_orphans(
             purged.append(rel)
     # Drop aged run directories with no surviving segments (Spark
     # leaves _SUCCESS/.crc droppings that would otherwise pin the
-    # dir forever) so listings stay O(live).
+    # dir forever) so listings stay O(live).  ``.compacted`` counts as
+    # live too: compact_by_key's committed segments keep that
+    # extension inside their keycompact-*/ run dir.
     for sub in aged_dirs:
         has_live = any(
-            f.endswith(".parquet")
+            f.endswith((".parquet", ".compacted"))
             for _r, _d, fs in os.walk(sub)
             for f in fs
         )
@@ -355,26 +357,34 @@ def compact_by_key(
         .where(F.col("_rn") == 1)
         .select("offset", "ts", "data")
     )
-    tmp = os.path.join(stream.segments_dir, f"_tmp_keycompact_{uuid.uuid4().hex}")
-    # In-flight marker: purge_orphans spares this run's files until the
-    # marker disappears (same hazard and same protocol as produce_bulk —
-    # a write outliving the orphan grace window would otherwise have its
-    # part files reaped from under the imminent manifest commit).
+    # Same run-directory protocol as produce_bulk: every part stays
+    # inside keycompact-<uuid>/ (manifest names carry the relative
+    # path) and the ._inflight marker is dropped only AFTER the
+    # manifest commit resolves.  The earlier design renamed parts to
+    # the segments_dir top level before committing — but the marker
+    # only spares run DIRECTORIES in purge_orphans, and os.rename
+    # preserves the Spark-write mtime, so on a multi-range run whose
+    # write loop outlived ORPHAN_GRACE_MS a concurrent purge could
+    # reap a part that the imminently-following commit then
+    # referenced: a committed manifest pointing at a missing segment.
+    run_rel = f"keycompact-{uuid.uuid4().hex}"
+    run_dir = os.path.join(stream.segments_dir, run_rel)
     os.makedirs(stream.segments_dir, exist_ok=True)
-    marker = f"{tmp}._inflight"
+    marker = f"{run_dir}._inflight"
     with open(marker, "w") as f:
         f.write(str(int(time.time() * 1000)))
     metas: list[SegmentMeta] = []
     dsts: list[str] = []
+    committed = False
     try:
         (
             latest.repartitionByRange(n_ranges, "offset")
             .sortWithinPartitions("offset")
-            .write.mode("overwrite")
+            .write.mode("error")
             .option("compression", "zstd")
-            .parquet(tmp)
+            .parquet(run_dir)
         )
-        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        parts = sorted(f for f in os.listdir(run_dir) if f.endswith(".parquet"))
         epoch = int(window[-1].last_offset[:16])
         now_ms = int(time.time() * 1000)
         # EVERY part becomes a segment (ranges are disjoint in offset,
@@ -382,17 +392,19 @@ def compact_by_key(
         # and deleting the rest would silently drop every row in parts
         # 1..N-1 once the window's segments are tombstoned.
         for part in parts:
-            src_path = os.path.join(tmp, part)
+            src_path = os.path.join(run_dir, part)
             md = pq.read_metadata(src_path)
             if md.num_rows == 0:
-                continue  # Spark writes 0-row parts for empty ranges
+                os.unlink(src_path)  # Spark writes 0-row parts for empty ranges
+                continue
             # Deliberately NOT *.parquet: the live tail source
-            # (Stream.read_stream) globs *.parquet, so compaction
-            # rewrites — which contain only already-delivered offsets —
-            # are invisible to it and never re-delivered as duplicates.
-            # Batch readers use explicit manifest paths and don't care
-            # about the extension.
-            name = f"{epoch:016d}-{uuid.uuid4().hex}.compacted"
+            # (Stream.read_stream) globs through run subdirectories, so
+            # compaction rewrites — which contain only already-delivered
+            # offsets — are invisible to it and never re-delivered as
+            # duplicates.  Batch readers use explicit manifest paths and
+            # don't care about the extension.  The rename stays WITHIN
+            # the marker-guarded run dir.
+            name = f"{run_rel}/{epoch:016d}-{uuid.uuid4().hex}.compacted"
             dst = os.path.join(stream.segments_dir, name)
             os.rename(src_path, dst)
             _fsync_file_and_dir(dst)
@@ -408,31 +420,32 @@ def compact_by_key(
                 )
             )
             dsts.append(dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not metas:
+            return None
+        try:
+            stream._commit(
+                {
+                    "add": [m.to_json() for m in metas],
+                    "remove": [s.name for s in window],
+                    "removed_ms": int(time.time() * 1000),
+                },
+                guard=lambda st: all(s.name in st.active for s in window),
+            )
+            committed = True
+        except CommitConflict:
+            return None
+        return metas
     finally:
+        # Marker drops on EVERY exit, but only after the commit has
+        # resolved: success makes the run's files manifest-referenced
+        # (purge now spares them by name); conflict/failure leaves an
+        # ordinary aged run dir, reaped after the normal grace.
+        if not committed:
+            shutil.rmtree(run_dir, ignore_errors=True)
         try:
             os.unlink(marker)
         except OSError:
             pass
-    if not metas:
-        return None
-    try:
-        stream._commit(
-            {
-                "add": [m.to_json() for m in metas],
-                "remove": [s.name for s in window],
-                "removed_ms": int(time.time() * 1000),
-            },
-            guard=lambda st: all(s.name in st.active for s in window),
-        )
-    except CommitConflict:
-        for dst in dsts:
-            try:
-                os.unlink(dst)
-            except OSError:
-                pass
-        return None
-    return metas
 
 
 def apply_retention(stream: Stream, cutoff_offset: str) -> list[SegmentMeta]:

@@ -571,7 +571,12 @@ def _ivf_ranked(spark, sf_dir):
     )
     for _ in range(IVF_KMEANS_ITERS):
         cn = cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb")))
-        csim = _dot("emb", "cemb") / (F.col("norm") * F.col("cnorm"))
+        # try_divide: a zero-norm vector/centroid yields NULL (ranked
+        # last by the DESC window, matching the oracle) instead of the
+        # ANSI DIVIDE_BY_ZERO error plain ``/`` raises in Spark 4.
+        csim = F.try_divide(
+            _dot("emb", "cemb"), F.col("norm") * F.col("cnorm")
+        )
         wt = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
         hard = (
             train.crossJoin(F.broadcast(cn))
@@ -626,6 +631,16 @@ def _ivf_ranked(spark, sf_dir):
         cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb"))).collect(),
         key=lambda r: r["cent_id"],
     )
+    return _rank_centroids_inrow(v, cn_rows)
+
+
+def _rank_centroids_inrow(v, cn_rows):
+    """In-row centroid ranking: each vector computes its cosine to
+    every collected (cent_id, cemb, cnorm) row as literal arithmetic,
+    sorts the (−csim, cent_id) structs in-row and posexplodes to
+    (cent_id, cr) — zero exchanges (the shape the old n×K window
+    replaced).  Split out so the NULL-cosine guard is unit-testable
+    with degenerate vectors/centroids."""
 
     def _litvec(xs):
         return F.array(*[F.lit(float(x)) for x in xs])
@@ -637,14 +652,23 @@ def _ivf_ranked(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # NULL-cosine guard: a NULL embedding propagates NULL through the
+    # fold, and a zero norm would THROW under ANSI mode's plain ``/``
+    # (Spark 4 default) — ``try_divide`` maps it to NULL instead.  NULL
+    # sorts FIRST in Spark's struct/sort_array ascending order, so the
+    # degenerate row would grab cr=1, whereas the windowed form this
+    # replaced (csim DESC ⇒ NULLS LAST) and the DuckDB oracle both rank
+    # it last.  Coalescing negsim to +∞ restores the NULLS-LAST ranking
+    # bit-for-bit.
     pairs = F.array(
         *[
             F.struct(
-                (
-                    -(
-                        _dot_lit("emb", r["cemb"])
-                        / (F.col("norm") * F.lit(float(r["cnorm"])))
-                    )
+                F.coalesce(
+                    -F.try_divide(
+                        _dot_lit("emb", r["cemb"]),
+                        F.col("norm") * F.lit(float(r["cnorm"])),
+                    ),
+                    F.lit(float("inf")),
                 ).alias("negsim"),
                 F.lit(int(r["cent_id"])).alias("cent_id"),
             )
@@ -1564,7 +1588,8 @@ SEMDEDUP_COS = 0.4
     SELECT c.cent_id AS cluster_id,
            count(*) AS n_vecs,
            count(d.vec_id) AS n_dropped,
-           round(count(d.vec_id) * 1.0 / count(*), 4) AS drop_rate
+           floor(count(d.vec_id) * 1.0 / count(*) * 10000 + 0.5) / 10000
+               AS drop_rate
     FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
     GROUP BY c.cent_id
     """,
@@ -1626,10 +1651,17 @@ def dedup_semantic_clusters(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dropped"),
-            F.round(
-                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
-                / F.count(F.lit(1)),
-                4,
+            # Floor-form rounding (core.py policy): plain round() on a
+            # raw count-ratio can flip a ...5-boundary between Spark's
+            # shortest-repr HALF_UP and DuckDB's binary rounding.
+            (
+                F.floor(
+                    F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("drop_rate"),
         )
     )

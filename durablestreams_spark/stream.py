@@ -368,7 +368,15 @@ class Stream:
         else:
             snapshot = state.max_offset() or BEGINNING
         deadline = time.monotonic() + timeout_sec
-        last_sig = self._manifest_sig()
+        # Start stale-toward-refold (None never equals a real sig): the
+        # first timed-out wakeup always refolds.  Sampling the sig here
+        # instead reopens the check→wait race this method exists to
+        # close — a cross-process commit landing between the refresh
+        # above and the stat (or inside the same dir-mtime granularity
+        # tick) would bump the mtime BEFORE the baseline was captured,
+        # so the loop would see an unchanged signature and block for
+        # the full timeout despite matching data.
+        last_sig = None
         while True:
             remaining = deadline - time.monotonic()
             if remaining <= 0:

@@ -177,3 +177,111 @@ def test_tail_after_offset_sees_gap_records(tmp_path):
     s.produce([{"v": 2}])  # lands in the "gap"
     got = s.tail(limit=10, timeout_sec=5, after_offset=r1.offsets[-1])
     assert [r.data for r in got] == [{"v": 2}]
+
+
+def test_compact_by_key_parts_stay_in_guarded_run_dir(spark, tmp_path):
+    """The round-9 orphan-race fix: compacted parts must live inside a
+    keycompact-*/ run directory (relative manifest names), mirroring
+    produce_bulk — the _inflight marker only spares run DIRECTORIES in
+    purge_orphans, so top-level .compacted files with old Spark-write
+    mtimes could be reaped between the rename and the manifest commit."""
+    from durablestreams_spark.maintenance import compact_by_key
+
+    s = StreamCatalog(str(tmp_path)).stream("kcg")
+    for batch in range(3):
+        s.produce([{"k": f"k{i}", "v": batch * 10 + i} for i in range(6)])
+    metas = compact_by_key(s, spark, "$.k", n_ranges=2)
+    assert metas
+    for m in metas:
+        assert m.name.startswith("keycompact-") and "/" in m.name, m.name
+        assert os.path.isfile(os.path.join(s.segments_dir, m.name))
+    # marker is gone after a successful commit
+    assert not [
+        f for f in os.listdir(s.segments_dir) if f.endswith("._inflight")
+    ]
+    # readable end-to-end through the relative names
+    assert len(s.consume("-", 100)) == 6
+
+
+def test_purge_orphans_spares_aged_compacted_run_then_reaps_committed_dir_never(
+    spark, tmp_path
+):
+    """Two halves of the race fix under an aged clock: (a) an in-flight
+    keycompact run (marker present, parts older than the grace) must
+    survive purge_orphans; (b) after the commit, the aged-dir sweep must
+    NOT rmtree the run dir even though it holds only .compacted files."""
+    import time as _time
+
+    from durablestreams_spark.maintenance import (
+        ORPHAN_GRACE_MS,
+        compact_by_key,
+        purge_orphans,
+    )
+
+    s = StreamCatalog(str(tmp_path)).stream("kcp")
+    for batch in range(2):
+        s.produce([{"k": f"k{i}", "v": batch * 10 + i} for i in range(5)])
+    metas = compact_by_key(s, spark, "$.k", n_ranges=2)
+    assert metas
+    run_dir = os.path.join(s.segments_dir, metas[0].name.split("/")[0])
+
+    # (a) simulate the in-flight window: re-create the marker, age every
+    # file and the dir itself past the grace, then purge with a future
+    # clock — nothing in the run dir may be reaped while the marker lives.
+    marker = f"{run_dir}._inflight"
+    with open(marker, "w") as f:
+        f.write("0")
+    old = _time.time() - 7200
+    for root, _dirs, files in os.walk(run_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    os.utime(run_dir, (old, old))
+    # marker itself stays FRESH (a live producer heartbeat)
+    before = {
+        os.path.join(r, f) for r, _d, fs in os.walk(run_dir) for f in fs
+    }
+    # drop the manifest reference to make the parts look unreferenced,
+    # as they are during the write->commit window
+    purged = purge_orphans(
+        s, now_ms=int(_time.time() * 1000) + 2 * ORPHAN_GRACE_MS
+    )
+    after = {
+        os.path.join(r, f) for r, _d, fs in os.walk(run_dir) for f in fs
+    }
+    assert before == after, purged
+    os.unlink(marker)
+
+    # (b) committed (referenced) + aged + no marker: files are spared by
+    # name AND the dir survives the empty-dir sweep (.compacted is live).
+    purge_orphans(s, now_ms=int(_time.time() * 1000) + 2 * ORPHAN_GRACE_MS)
+    assert os.path.isdir(run_dir)
+    for m in metas:
+        assert os.path.isfile(os.path.join(s.segments_dir, m.name))
+    assert len(s.consume("-", 100)) == 5
+
+
+def test_compact_by_key_conflict_cleans_run_dir(spark, tmp_path):
+    """A lost commit race must remove the whole run dir (parts + marker),
+    leaving no debris and the original window intact."""
+    from durablestreams_spark.maintenance import compact_by_key
+
+    s = StreamCatalog(str(tmp_path)).stream("kcc")
+    s.produce([{"k": "a", "v": 1}, {"k": "a", "v": 2}])
+    orig_commit = s._commit
+
+    def racing_commit(actions, guard=None):
+        # another compactor swapped the window first: force the guard fail
+        raise CommitConflict("lost the race")
+
+    s._commit = racing_commit
+    try:
+        assert compact_by_key(s, spark, "$.k") is None
+    finally:
+        s._commit = orig_commit
+    debris = [
+        f
+        for f in os.listdir(s.segments_dir)
+        if f.startswith("keycompact-") or f.endswith("._inflight")
+    ]
+    assert debris == []
+    assert len(s.consume("-", 10)) == 2

@@ -182,3 +182,39 @@ def test_ivfpq_recall_floor_vs_brute(spark):
     df = qs["similarity_ivfpq_topk"].fn(spark, SF_DIR)
     per_q = df.groupBy("query_id").count().collect()
     assert per_q and all(r["count"] == TOP_K for r in per_q)
+
+
+def test_rank_centroids_null_cosine_sorts_last(spark):
+    """ADVICE r8: a NULL cosine (zero-norm vector or degenerate
+    centroid) must rank LAST, matching the windowed form's NULLS-LAST
+    and the DuckDB oracle — un-coalesced, NULL sorts FIRST in Spark's
+    struct ordering and the degenerate pairing would grab cr=1."""
+    from pyspark.sql import functions as F
+
+    from durablestreams_spark.operators.similarity import (
+        _dot,
+        _rank_centroids_inrow,
+    )
+
+    cents = [
+        {"cent_id": 0, "cemb": [1.0, 0.0], "cnorm": 1.0},
+        # degenerate centroid: cosine is NULL
+        {"cent_id": 1, "cemb": [0.0, 0.0], "cnorm": 0.0},
+        {"cent_id": 2, "cemb": [0.0, 1.0], "cnorm": 1.0},
+    ]
+    v = (
+        spark.createDataFrame(
+            [(1, "a", [0.0, 1.0]), (2, "b", [0.0, 0.0])],
+            "vec_id long, label string, emb array<double>",
+        )
+        .withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    )
+    out = _rank_centroids_inrow(v, cents)
+    ranks = {
+        (r["vec_id"], r["cent_id"]): r["cr"] for r in out.collect()
+    }
+    # normal vector: nearest real centroid first, degenerate centroid LAST
+    assert ranks[(1, 2)] == 1
+    assert ranks[(1, 1)] == 3
+    # zero-norm vector: every cosine NULL -> ties broken by cent_id asc
+    assert ranks[(2, 0)] == 1 and ranks[(2, 1)] == 2 and ranks[(2, 2)] == 3
