@@ -323,63 +323,123 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+#: CCNet tercile classification by COMPUTED PER-LANGUAGE BOUNDARIES —
+#: the window-free replacement for `ntile(3) OVER (PARTITION BY lang
+#: ORDER BY avg_nll)`: language cardinality is ~constant, so a
+#: per-language window partition is CORPUS-PROPORTIONAL (at 100 TB the
+#: dominant language's scores would sort through one task).  Instead
+#: the two cut scores come from one exact-percentile aggregate and
+#: rows classify against them row-locally — CCNet's own recipe.  The
+#: fragment expects a ``scored`` CTE with at least (lang, avg_nll).
+#: Cross-engine determinism: avg_nll is 4-dp-rounded, so every score
+#: sits on the 1e-4 grid; raw interpolated percentiles can land one
+#: ulp either side of a grid value depending on the engine's
+#: interpolation arithmetic (measured: DuckDB 3.3999000000000006 vs
+#: Spark 3.3999 on the sf0.01 en cut), so the cuts are SNAPPED to the
+#: grid with the repo's floor-form rounding.  For tercile fractions
+#: the 0.5 rounding boundary is unreachable: the interpolation
+#: fraction is k/3 mod 1 ∈ {0, 1/3, 2/3} grid-steps, never 1/2, so a
+#: cut is never within float noise of the floor boundary.
+_TERCILE_BUCKET_SQL = """cuts AS (
+        SELECT lang,
+               floor(quantile_cont(avg_nll, 1.0/3) * 10000 + 0.5) / 10000
+                   AS c1,
+               floor(quantile_cont(avg_nll, 2.0/3) * 10000 + 0.5) / 10000
+                   AS c2
+        FROM scored GROUP BY lang
+    ),
+    bucketed AS (
+        SELECT s.*, CASE WHEN s.avg_nll <= c.c1 THEN 'head'
+                         WHEN s.avg_nll <= c.c2 THEN 'middle'
+                         ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c USING (lang)
+    )"""
+
+
+def with_lang_tercile_bucket(scored):
+    """Append a ``bucket`` (head/middle/tail) column classifying
+    ``avg_nll`` against per-language tercile boundaries — the Spark
+    half of ``_TERCILE_BUCKET_SQL`` (one shared definition, consumed
+    by text_perplexity_buckets and pipeline_curate_v2).
+
+    Scale shape: ``scored`` is localCheckpoint-ed so the expensive
+    scoring subtree (token explode + LM join) materializes ONCE and
+    feeds both consumers — the cuts aggregate and the classification
+    join — instead of being physically duplicated per consumer.  The
+    cuts aggregate is Spark's exact ``percentile``, whose state is a
+    value→count map with map-side partial merge: scores are 4-dp
+    rounded, so the map is bounded by the GRID (distinct rounded
+    values), not the row count — O(small constant) per language at any
+    corpus size.  The cuts table is O(#languages) rows, broadcast;
+    classification is a row-local CASE.  No window anywhere (pinned by
+    tests/test_plan_audit.py)."""
+    scored = scored.localCheckpoint()
+
+    def _grid(c):
+        # floor-form snap to the 1e-4 grid (see _TERCILE_BUCKET_SQL)
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    cuts = scored.groupBy("lang").agg(
+        _grid(F.expr("percentile(avg_nll, 1.0D/3)")).alias("c1"),
+        _grid(F.expr("percentile(avg_nll, 2.0D/3)")).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("c1"), "head")
+        .when(F.col("avg_nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .withColumn("bucket", bucket)
+        .drop("c1", "c2")
+    )
+
+
 @query(
     "text_perplexity_buckets",
     f"""
     WITH {_UNIGRAM_NLL_CTES},
     nll AS ({_UNIGRAM_NLL_SELECT}),
-    ranked AS (
-        SELECT d.lang, n.avg_nll,
-               ntile(3) OVER (PARTITION BY d.lang
-                              ORDER BY n.avg_nll, n.doc_id) AS tercile
+    scored AS (
+        SELECT d.lang, n.avg_nll
         FROM nll n JOIN documents d USING (doc_id)
-    )
-    SELECT lang,
-           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                        ELSE 'tail' END AS bucket,
+    ),
+    {_TERCILE_BUCKET_SQL}
+    SELECT lang, bucket,
            count(*) AS n_docs,
            round(avg(avg_nll), 4) AS bucket_avg_nll
-    FROM ranked
-    GROUP BY lang, tercile
+    FROM bucketed
+    GROUP BY lang, bucket
     """,
     doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
     "every document under the shared truncated unigram LM (identical "
     "CTEs to text_unigram_logprob — one definition, two queries), "
-    "split each language into head/middle/tail terciles by per-doc "
-    "avg NLL (doc_id tie-break on the ROUNDED score, so the ordering "
-    "is reproducible across engines), and report per-bucket counts "
-    "and mean NLL — the standard quality-stratified sampling input. "
-    "The tercile window is PARTITIONED BY language (CCNet buckets "
-    "per-language by design), never global; at 100 TB a dominant "
-    "language makes that partition large, and the production variant "
-    "derives the two cut scores from a fixed-size sample instead of "
-    "an exact window — the graded instance keeps the exact window so "
-    "the oracle is bit-checkable.  Upstream is the same bounded "
-    "top-K+OOV broadcast as text_unigram_logprob: nothing "
-    "corpus-proportional is ever broadcast.",
+    "split each language into head/middle/tail buckets by per-doc "
+    "avg NLL and report per-bucket counts and mean NLL — the standard "
+    "quality-stratified sampling input.  Buckets are defined by "
+    "PER-LANGUAGE PERCENTILE BOUNDARIES classified row-locally "
+    "(_TERCILE_BUCKET_SQL / with_lang_tercile_bucket — CCNet's own "
+    "head/middle/tail cut-score recipe), NOT by an ntile window: with "
+    "~constant language cardinality a per-language window partition "
+    "is corpus-proportional, a near-global sort at 100 TB.  The "
+    "percentile state is bounded by the 4-dp score grid and the cut "
+    "table is O(#languages); upstream is the same bounded top-K+OOV "
+    "broadcast as text_unigram_logprob — nothing corpus-proportional "
+    "is broadcast, sorted, or windowed.  (Bucket sizes under boundary "
+    "classification differ from ntile's equal thirds when scores tie "
+    "across a cut — ties stay together, the statistically meaningful "
+    "behavior.)",
 )
 def text_perplexity_buckets(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     nll = text_unigram_logprob(spark, sf_dir)
-    ranked = nll.join(docs, "doc_id").withColumn(
-        "tercile",
-        F.ntile(3).over(W.partitionBy("lang").orderBy("avg_nll", "doc_id")),
-    )
-    bucket = (
-        F.when(F.col("tercile") == 1, "head")
-        .when(F.col("tercile") == 2, "middle")
-        .otherwise("tail")
-    )
+    scored = nll.join(docs, "doc_id").select("lang", "avg_nll")
     return (
-        ranked.groupBy("lang", "tercile")
+        with_lang_tercile_bucket(scored)
+        .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("avg_nll"), 4).alias("bucket_avg_nll"),
-        )
-        .select(
-            "lang", bucket.alias("bucket"), "n_docs", "bucket_avg_nll"
         )
     )
 

@@ -953,10 +953,12 @@ def text_gopher_rules(spark, sf_dir):
 # No cycle: pipeline_llm never imports text.
 from .pipeline_llm import (  # noqa: E402
     _SPLIT_CASE,
+    _TERCILE_BUCKET_SQL,
     _UNIGRAM_NLL_CTES,
     _UNIGRAM_NLL_SELECT,
     _split_col,
     text_unigram_logprob,
+    with_lang_tercile_bucket,
 )
 
 
@@ -968,22 +970,17 @@ from .pipeline_llm import (  # noqa: E402
          WHERE {_GOPHER_KEEP_STRUCTURAL_SQL}),
     {_UNIGRAM_NLL_CTES},
     nll AS ({_UNIGRAM_NLL_SELECT}),
-    ranked AS (
-        SELECT g.doc_id, g.n_words,
-               ntile(3) OVER (PARTITION BY d.lang
-                              ORDER BY n.avg_nll, n.doc_id) AS tercile
+    scored AS (
+        SELECT g.doc_id, g.n_words, d.lang, d.source,
+               md5(d.text) AS content_hash, n.avg_nll
         FROM g JOIN nll n USING (doc_id) JOIN documents d USING (doc_id)
     ),
-    survivors AS (
-        SELECT r.doc_id, r.n_words, d.source, md5(d.text) AS content_hash
-        FROM ranked r JOIN documents d USING (doc_id)
-        WHERE r.tercile <= 2
-    ),
+    {_TERCILE_BUCKET_SQL},
     canon AS (
         SELECT doc_id, n_words, source
         FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
                                            ORDER BY doc_id) AS rn
-              FROM survivors)
+              FROM bucketed WHERE bucket <> 'tail')
         WHERE rn = 1
     )
     SELECT {_SPLIT_CASE} AS split, source,
@@ -1001,13 +998,18 @@ from .pipeline_llm import (  # noqa: E402
     "(min-id canonical) → reproducible md5 split assignment, reported "
     "as docs/tokens per (split, source) — the corpus datasheet.  "
     "Every stage REUSES the exact shared definition its standalone "
-    "graded query runs (_GOPHER_*_SQL, _UNIGRAM_NLL_*, _SPLIT_CASE — "
-    "one definition each, so the composition cannot drift from the "
-    "parts).  Scale: each stage drops data before the next shuffle — "
-    "the rule filter is row-local at the scan, the tercile window is "
-    "per-language over survivors only, dedup is ONE row_number window on the 16-byte digest (groupBy-min + join-back would consume the survivor subtree twice and Spark would re-execute the whole scan+LM chain per consumer), "
-    "split is a row-local projection; the only corpus-proportional "
-    "broadcast candidate (the LM) is the bounded top-K+OOV table.",
+    "graded query runs (_GOPHER_*_SQL, _UNIGRAM_NLL_*, "
+    "_TERCILE_BUCKET_SQL, _SPLIT_CASE — one definition each, so the "
+    "composition cannot drift from the parts).  Scale: each stage "
+    "drops data before the next shuffle — the rule filter is "
+    "row-local at the scan; the CCNet gate classifies against "
+    "per-language percentile boundaries (with_lang_tercile_bucket — "
+    "window-free, the survivor subtree materialized once and consumed "
+    "by both the cuts aggregate and the classification join); dedup "
+    "is ONE row_number window on the 16-byte digest (key-partitioned, "
+    "never corpus-proportional); split is a row-local projection; the "
+    "only corpus-proportional broadcast candidate (the LM) is the "
+    "bounded top-K+OOV table.",
 )
 def pipeline_curate_v2(spark, sf_dir):
     from pyspark.sql import Window as W
@@ -1030,22 +1032,15 @@ def pipeline_curate_v2(spark, sf_dir):
     meta = docs.select(
         "doc_id", "lang", "source", F.md5("text").alias("content_hash")
     )
-    ranked = (
-        g.join(nll, "doc_id")
-        .join(meta, "doc_id")
-        .withColumn(
-            "tercile",
-            F.ntile(3).over(
-                W.partitionBy("lang").orderBy("avg_nll", "doc_id")
-            ),
-        )
+    scored = g.join(nll, "doc_id").join(meta, "doc_id")
+    # CCNet gate: drop each language's worst tercile — window-free
+    # boundary classification (shared definition, see
+    # with_lang_tercile_bucket; the checkpoint inside also means the
+    # gopher+LM subtree is computed once however many consumers
+    # follow).
+    survivors = with_lang_tercile_bucket(scored).where(
+        F.col("bucket") != "tail"
     )
-    survivors = ranked.where(F.col("tercile") <= 2)
-    # Min-id canonical via ONE window on the digest, not groupBy-min +
-    # join-back: the join-back would consume `survivors` twice, and
-    # Spark physically duplicates the whole upstream subtree (gopher
-    # scan + LM scoring) per consumer — a 2x corpus-scan tax at any
-    # scale (verified by BNLJ-count in the plan audit).
     canon = (
         survivors.withColumn(
             "rn",

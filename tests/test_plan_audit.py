@@ -913,14 +913,37 @@ def test_gopher_rules_zero_shuffle_codegen(spark):
     assert not has_python_eval(df), plan
 
 
-def test_perplexity_buckets_window_is_per_language(spark):
-    """The CCNet tercile window must be PARTITIONED BY lang — a global
-    ntile would funnel the whole corpus through one task at 100 TB.
-    The windowspecdefinition in the plan must carry the lang key."""
+def test_perplexity_buckets_is_window_free(spark):
+    """The CCNet terciles classify against per-language percentile
+    BOUNDARIES (row-local CASE after a broadcast of the O(#languages)
+    cuts table) — no window anywhere: with ~constant language
+    cardinality even a lang-partitioned ntile window is
+    corpus-proportional, a near-global sort at 100 TB.  Audited on
+    both halves: the final (post-checkpoint) plan and the scored
+    subtree the checkpoint materializes."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        text_unigram_logprob,
+    )
+
+    import re as _re
+
     df = all_queries()["text_perplexity_buckets"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "ntile" in plan, plan
-    assert "windowspecdefinition(lang#" in plan, plan
+    assert not _re.search(r"(?<![a-z])ntile[(]", plan), plan
+    assert "Window" not in plan, plan
+    # the cuts join is a broadcast (tiny per-language table), and the
+    # exact-percentile aggregate is the map-side-merged counts form
+    assert "BroadcastHashJoin" in plan and "percentile" in plan, plan
+    # the scored subtree (hidden behind the localCheckpoint in the
+    # final plan) is window-free too
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    scored = (
+        text_unigram_logprob(spark, SF_DIR)
+        .join(docs, "doc_id")
+        .select("lang", "avg_nll")
+    )
+    up = formatted_plan(scored)
+    assert "Window" not in up, up
 
 
 def test_split_leakage_train_grams_never_broadcast(spark):
@@ -957,22 +980,23 @@ def test_semantic_clusters_no_all_pairs(spark):
 
 def test_pipeline_curate_v2_composition_shape(spark):
     """The composed curation pipeline must inherit every part's scale
-    shape: per-language tercile window (never global), no cartesian /
-    nested-loop node anywhere, all expressions JVM-side."""
-    df = all_queries()["pipeline_curate_v2"].fn(spark, SF_DIR)
-    plan = formatted_plan(df)
-    assert "windowspecdefinition(lang#" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    # BroadcastNestedLoopJoins ARE present, but only the unigram LM's
-    # single-row scalar cross joins (OOV mass / token total) inherited
-    # from text_unigram_logprob — the COMPOSITION itself must add zero
-    # nested loops, so its count must not exceed the standalone LM's.
+    shape: the CCNet gate is boundary-classification (window-free —
+    the ONLY window left is the content-hash dedup's, partitioned by
+    the 16-byte digest, key- not corpus-proportional), no cartesian /
+    nested-loop node anywhere downstream of the checkpointed survivor
+    subtree, all expressions JVM-side.  (The unigram LM's single-row
+    scalar cross joins live UPSTREAM of the localCheckpoint inside
+    with_lang_tercile_bucket, so the composed plan itself must contain
+    zero nested loops — the checkpoint also guarantees the
+    gopher+LM subtree executes once, the property the old BNLJ-count
+    comparison audited.)"""
     import re as _re
 
-    lm_plan = formatted_plan(
-        all_queries()["text_unigram_logprob"].fn(spark, SF_DIR)
-    )
-    n_lm = len(_re.findall(r"BroadcastNestedLoopJoin", lm_plan))
-    n_composed = len(_re.findall(r"BroadcastNestedLoopJoin", plan))
-    assert n_lm > 0 and n_composed <= n_lm, (n_composed, n_lm, plan)
+    df = all_queries()["pipeline_curate_v2"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert not _re.search(r"(?<![a-z])ntile[(]", plan), plan
+    wins = _re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert wins and set(wins) == {"content_hash"}, (wins, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert not has_python_eval(df), plan
