@@ -76,6 +76,9 @@ SF1_EXTRA = [
     "sample_dsir_importance",   # r8 DSIR: hashed-256-bucket importance table (bounded broadcast) + per-doc score
     "sample_embedding_seed",    # r8 seed-centroid selection: one-row centroid broadcast x single corpus pass
     "sample_dsir_resample",     # r8 DSIR Gumbel-top-k: shared scored subplan + row-local key + TakeOrdered
+    "text_gopher_rules",        # r8 Gopher rule battery: zero-shuffle row-local predicates
+    "text_perplexity_buckets",  # r8->r9 CCNet terciles: percentile-boundary bucketing (window-free)
+    "text_bpe_tokenize",        # r9 BPE merge application: bounded merge learn + row-local chained-replace apply
 ]
 
 

@@ -11,6 +11,8 @@ regex — see ``token_count_bpeish``).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, spread, table
@@ -491,6 +493,180 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+#: Symbol separator for the BPE-apply encoding (U+001F unit separator —
+#: never produced by the fixture generator's printable-text columns).
+#: Each symbol is wrapped ``\x1f sym \x1f`` and symbols within a word
+#: abut (``\x1f\x1f`` boundary), so a merge pattern
+#: ``\x1f a \x1f\x1f b \x1f`` can only match a whole adjacent symbol
+#: pair, never the tail of a longer symbol; words are joined with a
+#: space (whitespace-split tokens cannot contain one) so merges never
+#: cross word boundaries.
+_BPE_SEP = "\x1f"
+
+#: Number of induced merges applied by ``text_bpe_tokenize``.  Constant
+#: by design: the merge table is vocabulary state, not data — real BPE
+#: vocabs are 32-64k entries, still a broadcast-trivial constant at any
+#: corpus size.
+_BPE_N_MERGES = 50
+
+def _bpe_encode(words_col):
+    """Encode a word array into the separator-wrapped symbol string:
+    each char becomes ``\\x1f c \\x1f``, words joined with a space."""
+    S = _BPE_SEP
+    return F.array_join(
+        F.transform(
+            words_col, lambda w: F.regexp_replace(w, "(.)", S + "$1" + S)
+        ),
+        " ",
+    )
+
+
+def _bpe_apply(col, merges):
+    """Apply char-pair merges in rank order, each exhaustively
+    left-to-right (both engines' ``replace`` is non-overlapping
+    left-to-right, so 'aaa' + merge (a,a) -> [aa, a]).  functools.reduce
+    builds ONE chained-replace column, keeping the whole apply stage a
+    single codegen'd projection — the expression-level equivalent of a
+    broadcast merge table."""
+    S = _BPE_SEP
+    return reduce(
+        lambda c, m: F.replace(
+            c, F.lit(S + m[0] + S + S + m[1] + S), F.lit(S + m + S)
+        ),
+        merges,
+        col,
+    )
+
+
+_BPE_TOKENIZE_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                                     i -> substr(tok, CAST(i AS INTEGER), 2)))
+               AS pair
+        FROM toks
+        WHERE length(tok) >= 2
+    ),
+    merges AS (
+        SELECT list(pair ORDER BY n DESC, pair) AS ms
+        FROM (SELECT pair, count(*) AS n FROM p
+              GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_N_MERGES})
+    ),
+    d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(length(array_to_string(words, '')) AS BIGINT) AS n_chars,
+               array_to_string(list_transform(words,
+                   w -> regexp_replace(w, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')),
+                   ' ') AS e
+        FROM d
+    ),
+    ap AS (
+        SELECT doc_id, n_words, n_chars,
+               list_reduce(
+                   list_prepend(e, (SELECT ms FROM merges)),
+                   (acc, m) -> replace(acc,
+                       '{_BPE_SEP}' || substr(m, 1, 1)
+                           || '{_BPE_SEP}{_BPE_SEP}'
+                           || substr(m, 2, 1) || '{_BPE_SEP}',
+                       '{_BPE_SEP}' || m || '{_BPE_SEP}')) AS e2
+        FROM enc
+    )
+    SELECT doc_id, n_words, n_chars,
+           CAST((length(e2) - length(replace(e2, '{_BPE_SEP}', ''))) // 2
+                AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN n_chars > 0 THEN
+               floor((CAST(n_chars AS DOUBLE)
+                      - (length(e2) - length(replace(e2, '{_BPE_SEP}', ''))) // 2)
+                     / n_chars * 10000 + 0.5) / 10000
+           END AS merge_compression
+    FROM ap
+"""
+
+
+@query(
+    "text_bpe_tokenize",
+    _BPE_TOKENIZE_ORACLE,
+    doc="BPE merge APPLICATION — completes the tokenizer story that "
+    "``text_bpe_pair_counts`` starts: the top-50 induced merges "
+    "(ordered count DESC, pair ASC — the rank order a BPE trainer "
+    "freezes into its vocab) are applied to every document in rank "
+    "order, each exhaustively left-to-right, yielding per-doc token "
+    "counts under the learned vocab plus the merge-compression ratio. "
+    "Scale shape: learning is one partial-aggregated pair count + "
+    "TakeOrdered(50) — the merge table is VOCABULARY STATE, constant "
+    "size at any corpus scale, collected to the driver (bounded O(50), "
+    "see SCALE.md §9) and folded into the apply expression as chained "
+    "``replace`` literals, the expression-level equivalent of a "
+    "broadcast merge table. The apply pass is then pure row-local "
+    "string work inside whole-stage codegen — zero joins, zero "
+    "windows, zero shuffles — so a 100 TB tokenization run is an "
+    "embarrassingly parallel scan. Encoding: each symbol wrapped in "
+    "U+001F with words space-joined, so a merge pattern can only match "
+    "a whole adjacent in-word symbol pair (both engines' ``replace`` "
+    "is left-to-right non-overlapping, making 'aaa'+(a,a) -> [aa,a] "
+    "identical cross-engine). Reference capability: none — "
+    "training-data-pipeline mandate (BASELINE.md north star).",
+)
+def text_bpe_tokenize(spark, sf_dir):
+    docs = spread(table(spark, sf_dir, "documents"))
+    # Learn the merge list: same pair statistics as text_bpe_pair_counts,
+    # same (n DESC, pair) rank order as the oracle's `merges` CTE.
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    merges = [
+        r["pair"]
+        for r in pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_N_MERGES)
+        .collect()
+    ]
+
+    S = _BPE_SEP
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.array_join(words, "")).cast("long").alias("n_chars"),
+        _bpe_encode(words).alias("e"),
+    )
+    applied = _bpe_apply(F.col("e"), merges)
+    sep_count = F.length(applied) - F.length(
+        F.replace(applied, F.lit(S), F.lit(""))
+    )
+    out = base.withColumn("n_bpe_tokens", F.floor(sep_count / 2).cast("long"))
+    nc = F.col("n_chars")
+    return out.withColumn(
+        "merge_compression",
+        F.when(
+            nc > 0,
+            F.floor(
+                (nc.cast("double") - F.col("n_bpe_tokens")) / nc * 10000 + 0.5
+            )
+            / 10000,
+        ),
+    ).drop("e")
 
 
 @query(

@@ -1000,3 +1000,28 @@ def test_pipeline_curate_v2_composition_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert not has_python_eval(df), plan
+
+
+def test_bpe_tokenize_apply_is_row_local(spark):
+    """BPE merge application must be an embarrassingly parallel scan:
+    the merge table is VOCABULARY STATE (constant-size, folded into the
+    projection as chained replace literals), so the returned plan has
+    zero shuffles, zero joins, zero windows, one parquet scan, and no
+    Python eval.  The learning pass (pair count + TakeOrdered(50)) runs
+    at build time as a separate bounded job and must not appear in the
+    apply plan."""
+    from durablestreams_spark.operators.text import _BPE_N_MERGES
+
+    assert _BPE_N_MERGES <= 64  # broadcast-trivial by construction
+    df = all_queries()["text_bpe_tokenize"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # spread() may add ONE round-robin balancing exchange on the tiny
+    # single-file fixture (no-op at scale); never a hash partitioning.
+    assert shuffle_count(df) <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert not has_python_eval(df), plan
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
