@@ -532,44 +532,22 @@ def _ivf_index(spark, sf_dir):
     )
 
 
-def _ivf_ranked(spark, sf_dir):
-    """Corpus vectors with their IVF_NPROBE nearest learned centroids:
-    (vec_id, label, emb, norm, cent_id, cr) where cr ranks centroids by
-    cosine — cr=1 is the vector's cell, cr<=NPROBE the probe set.
-    Shared by the cosine-IVF and the IVFPQ searchers."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    # spread: with the round-8 map-side assignment there is NO
-    # exchange between the scan and the scoring join, so on the
-    # single-row-group local fixture the whole search would run as
-    # one task on one core (the window it replaced used to hide this
-    # by shuffling n×K rows); at scale the scan has many splits and
-    # this is a no-op.
-    v = spread(emb).withColumn("norm", F.sqrt(_dot("emb", "emb")))
-    # FIXED-capacity training sample: the IVF_TRAIN_CAP lowest
-    # sample-hash vectors.  orderBy+limit plans as TakeOrdered
-    # (per-partition top-cap → one bounded merge), so the sample costs
-    # O(cap) memory at any corpus size; the eager localCheckpoint
-    # materializes it ONCE for the Lloyd rounds instead of re-running
-    # the corpus scan per iteration.
-    train = (
-        v.select("vec_id", "emb", "norm")
-        .withColumn("h", _sample_h_col())
-        .orderBy("h", "vec_id")
-        .limit(IVF_TRAIN_CAP)
-        .localCheckpoint(eager=True)
-    )
-    # Init = the first IVF_K sample rows in sample order, keyed
-    # 0..K-1.  The global window is bounded: it runs over the CAP-row
-    # checkpointed sample, never the corpus.
+def _train_centroids(train, k, iters=IVF_KMEANS_ITERS):
+    """Deterministic Lloyd training over the CHECKPOINTED sample:
+    init = the first ``k`` sample rows in sample order (the seed
+    window is bounded — it runs over the CAP-row sample, never the
+    corpus), then ``iters`` rounds of hard assignment + ascending-id
+    mean fold (bit-identical to the oracle's list_reduce).  Split out
+    of ``_ivf_ranked`` so the SemDeDup economics test can train with a
+    corpus-SCALED k (clusters pinned ~constant-size, the paper's own
+    recipe) against the graded pinned-K instance."""
     w_seed = W.orderBy("h", "vec_id")
     cent = (
         train.withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") <= IVF_K)
+        .where(F.col("rn") <= k)
         .select((F.col("rn") - 1).alias("cent_id"), F.col("emb").alias("cemb"))
     )
-    for _ in range(IVF_KMEANS_ITERS):
+    for _ in range(iters):
         cn = cent.withColumn("cnorm", F.sqrt(_dot("cemb", "cemb")))
         # try_divide: a zero-norm vector/centroid yields NULL (ranked
         # last by the DESC window, matching the oracle) instead of the
@@ -612,6 +590,38 @@ def _ivf_ranked(spark, sf_dir):
                 ).alias("cemb"),
             )
         )
+    return cent
+
+
+def _ivf_ranked(spark, sf_dir):
+    """Corpus vectors with their IVF_NPROBE nearest learned centroids:
+    (vec_id, label, emb, norm, cent_id, cr) where cr ranks centroids by
+    cosine — cr=1 is the vector's cell, cr<=NPROBE the probe set.
+    Shared by the cosine-IVF and the IVFPQ searchers."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # spread: with the round-8 map-side assignment there is NO
+    # exchange between the scan and the scoring join, so on the
+    # single-row-group local fixture the whole search would run as
+    # one task on one core (the window it replaced used to hide this
+    # by shuffling n×K rows); at scale the scan has many splits and
+    # this is a no-op.
+    v = spread(emb).withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    # FIXED-capacity training sample: the IVF_TRAIN_CAP lowest
+    # sample-hash vectors.  orderBy+limit plans as TakeOrdered
+    # (per-partition top-cap → one bounded merge), so the sample costs
+    # O(cap) memory at any corpus size; the eager localCheckpoint
+    # materializes it ONCE for the Lloyd rounds instead of re-running
+    # the corpus scan per iteration.
+    train = (
+        v.select("vec_id", "emb", "norm")
+        .withColumn("h", _sample_h_col())
+        .orderBy("h", "vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .localCheckpoint(eager=True)
+    )
+    cent = _train_centroids(train, IVF_K)
     # Final corpus-wide assignment WITHOUT the n×K window: ranking a
     # bounded K=16 centroid set per vector is an in-row array sort,
     # not a shuffle problem — the old crossJoin + row_number shape
@@ -1609,7 +1619,11 @@ SEMDEDUP_COS = 0.4
     "self-equi-join ON CLUSTER ID — never an all-pairs stage — so "
     "cost is sum(cluster_size^2) and at 100 TB K grows with the "
     "corpus (SemDeDup's own recipe: clusters stay ~constant-size) "
-    "while this graded instance pins K for oracle determinism.",
+    "while this graded instance pins K for oracle determinism — the "
+    "scaled-K economics are MEASURED, not asserted: across a 4x "
+    "fixture growth the pair cost grows 4.1x with K scaled vs 16x "
+    "pinned (tests/test_semdedup_reference.py::"
+    "test_semdedup_pair_cost_linear_with_scaled_k).",
 )
 def dedup_semantic_clusters(spark, sf_dir):
     cells = (
