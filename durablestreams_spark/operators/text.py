@@ -1017,15 +1017,26 @@ _GOPHER_KEEP_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORD
             AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
             AND n_stop >= {GOPHER_MIN_STOPWORDS})"""
 
-#: The four STRUCTURAL rules only (no stopword-lexicon term): the
-#: composed pipeline gates on these because the synthetic fixture's
-#: vocabulary contains at most ONE of Gopher's eight stopwords — the
-#: lexicon rule would zero the corpus and make every downstream stage
-#: vacuous.  text_gopher_rules still reports the full battery per doc.
-_GOPHER_KEEP_STRUCTURAL_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+#: The composed pipeline's stopword-lexicon threshold.  Gopher's
+#: published value is 2 DISTINCT stopwords (GOPHER_MIN_STOPWORDS); the
+#: driver-generated fixture's vocabulary contains exactly ONE of the
+#: eight lexicon words ("the"), so the published threshold would zero
+#: the corpus and make every downstream stage vacuous.  At 1 the rule
+#: participates with full production structure (all FIVE Gopher rules
+#: gate the pipeline) and is genuinely discriminative on the fixture
+#: (~24% of documents carry no lexicon word at all); a real-corpus run
+#: sets it back to GOPHER_MIN_STOPWORDS — a constant, not a code
+#: change.  text_gopher_rules reports the published-threshold flag
+#: per doc either way.
+CURATE_MIN_STOPWORDS = 1
+
+#: The full five-rule gate at the fixture-viable lexicon threshold —
+#: shared by pipeline_curate_v2's engine and oracle definitions.
+_GOPHER_KEEP_CURATE_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
             AND (mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
             AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
-            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO})"""
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND n_stop >= {CURATE_MIN_STOPWORDS})"""
 
 
 @query(
@@ -1143,7 +1154,7 @@ from .pipeline_llm import (  # noqa: E402
     f"""
     WITH {_GOPHER_METRICS_SQL},
     g AS (SELECT doc_id, n_words FROM m
-         WHERE {_GOPHER_KEEP_STRUCTURAL_SQL}),
+         WHERE {_GOPHER_KEEP_CURATE_SQL}),
     {_UNIGRAM_NLL_CTES},
     nll AS ({_UNIGRAM_NLL_SELECT}),
     scored AS (
@@ -1167,7 +1178,11 @@ from .pipeline_llm import (  # noqa: E402
     """,
     doc="END-TO-END modern curation pipeline (the composition a "
     "2024-era corpus run executes, cf. CCNet / Gopher / RefinedWeb): "
-    "Gopher structural-rule filter (word count / mean word length / alpha fraction / symbol ratio; the stopword-lexicon rule stays in the per-doc report — the synthetic fixture carries at most one of the eight Gopher stopwords, which would zero the corpus) → CCNet perplexity gate (drop each language's "
+    "FULL five-rule Gopher filter (word count / mean word length / "
+    "alpha fraction / symbol ratio / stopword lexicon — the lexicon "
+    "threshold runs at CURATE_MIN_STOPWORDS=1 because the fixture "
+    "vocabulary carries exactly one of the eight Gopher stopwords; "
+    "see the constant's note) → CCNet perplexity gate (drop each language's "
     "worst tercile under the truncated unigram LM — the LM is trained "
     "on the RAW corpus and applied to the filtered one, exactly "
     "CCNet's external-LM pattern) → exact content-hash dedup "
@@ -1191,9 +1206,9 @@ def pipeline_curate_v2(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
-    # Structural rules only — the stopword lexicon rule would zero the
-    # synthetic fixture (see _GOPHER_KEEP_STRUCTURAL_SQL); a production
-    # run swaps the gate for the full `keep` flag.
+    # Full five-rule gate; the lexicon threshold is the fixture-viable
+    # CURATE_MIN_STOPWORDS (see the constant's note — production sets
+    # it back to GOPHER_MIN_STOPWORDS).
     g = (
         text_gopher_rules(spark, sf_dir)
         .where(
@@ -1201,6 +1216,7 @@ def pipeline_curate_v2(spark, sf_dir):
             & F.col("ok_mean_word_len")
             & F.col("ok_alpha")
             & F.col("ok_symbols")
+            & (F.col("n_stopwords") >= CURATE_MIN_STOPWORDS)
         )
         .select("doc_id", "n_words")
     )
