@@ -79,6 +79,7 @@ SF1_EXTRA = [
     "text_gopher_rules",        # r8 Gopher rule battery: zero-shuffle row-local predicates
     "text_perplexity_buckets",  # r8->r9 CCNet terciles: percentile-boundary bucketing (window-free)
     "text_bpe_tokenize",        # r9 BPE merge application: bounded merge learn + row-local chained-replace apply
+    "dedup_span_contamination", # r9 per-doc duplicated-span fraction: one gram pass (checkpointed) + co-keyed join
 ]
 
 

@@ -1106,3 +1106,90 @@ def dedup_exact_substring(spark, sf_dir):
         .agg(F.min("gram").alias("gram"))
         .select("gram", "n_docs", "n_occurrences")
     )
+
+
+#: Per-document duplicated-span drop threshold (fraction of a doc's
+#: 8-token grams that appear in >= 2 distinct documents).  RefinedWeb
+#: drops documents whose duplicated-content fraction is high rather
+#: than deduplicating span-by-span; the fixture's planted near-dups
+#: sit >= 0.5 and clean docs at exactly 0, so 0.3 separates cleanly.
+SPAN_DUP_DROP = 0.3
+
+
+@query(
+    "dedup_span_contamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(t[i : i + {SUBSTR_NGRAM - 1}], ' ')),
+                      1, 16) AS gh
+        FROM toks, unnest(range(1, len(t) - {SUBSTR_NGRAM - 2})) AS u(i)
+        WHERE len(t) >= {SUBSTR_NGRAM}),
+    per AS (SELECT gh, doc_id, count(*) AS occ FROM grams GROUP BY gh, doc_id),
+    gs AS (SELECT gh, count(*) AS n_docs FROM per GROUP BY gh),
+    d AS (SELECT p.doc_id,
+                 CAST(sum(p.occ) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN g.n_docs >= 2 THEN p.occ ELSE 0 END)
+                      AS BIGINT) AS n_dup_grams
+          FROM per p JOIN gs g USING (gh)
+          GROUP BY p.doc_id)
+    SELECT doc_id, n_grams, n_dup_grams,
+           floor(n_dup_grams * 1.0 / n_grams * 10000 + 0.5) / 10000
+               AS dup_fraction,
+           (n_dup_grams * 1.0 / n_grams > {SPAN_DUP_DROP}) AS drop_flag
+    FROM d
+    """,
+    doc="Per-document duplicated-content fraction (the RefinedWeb "
+    "document-level complement of dedup_exact_substring's span "
+    "report): the share of a doc's overlapping 8-token grams that "
+    "also appear in >= 2 distinct documents, plus a drop flag at "
+    f"{SPAN_DUP_DROP} — 'mostly boilerplate/quoted content' documents "
+    "are dropped whole instead of surgically de-spanned.  Shuffle "
+    "shape: the gram explode fuses into the scan and runs ONCE — the "
+    "per-(gh, doc) count table is checkpointed and shared by the "
+    "doc-frequency rollup and the join back (the corpus-proportional "
+    "dup-gram set is never broadcast and never collected; the rollup "
+    "is a partial agg, so a boilerplate gram present in every "
+    "document combines map-side instead of flooding one task — the "
+    "skew reason this is a join, not a count-over-gh window).  Only "
+    "the final per-doc rollup re-shuffles, keyed by doc_id.  Short docs "
+    f"(< {SUBSTR_NGRAM} tokens) have no grams and are excluded, "
+    "exactly like the substring report.",
+)
+def dedup_span_contamination(spark, sf_dir):
+    d = _substring_tokens(spark, sf_dir)
+    # localCheckpoint: `per` feeds BOTH the doc-frequency rollup and
+    # the join back — without it Spark plans the scan + gram explode +
+    # gh shuffle TWICE (no exchange reuse across the join's children,
+    # measured), doubling the dominant cost.  The checkpoint holds the
+    # compact (gh, doc_id, occ) table, far smaller than the raw grams,
+    # and spills under MEMORY_AND_DISK.
+    per = (
+        _substring_grams(d, ["doc_id"])
+        .select("doc_id", _substring_gh().alias("gh"))
+        .repartition("gh")
+        .groupBy("gh", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+    gstats = per.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = per.join(gstats, "gh")
+    stats = joined.groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+    )
+    ratio = F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("dup_fraction"),
+        (ratio > SPAN_DUP_DROP).alias("drop_flag"),
+    )

@@ -1025,3 +1025,34 @@ def test_bpe_tokenize_apply_is_row_local(spark):
     import re as _re
 
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_span_contamination_single_gram_pass(spark):
+    """The duplicated-span fraction must compute its gram explode ONCE
+    (the checkpointed per-(gh, doc) table feeds both the doc-frequency
+    rollup and the join back — without it Spark plans the explode
+    twice), shuffle on the fixed-width hash key, and never broadcast
+    the corpus-proportional dup-gram set."""
+    import re as _re
+
+    # the dup-gram frequency table is corpus-proportional: with the
+    # size thresholds disabled the join must survive as a shuffle join
+    # (no forced broadcast hint anywhere); on the tiny fixture AQE is
+    # free to broadcast it by size.
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["dedup_span_contamination"].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        # the parquet scan + explode live BEHIND the checkpoint: the
+        # final plan must contain no parquet scan at all (only the
+        # checkpointed RDD), proving the gram pass ran exactly once
+        assert "Scan parquet" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert not has_python_eval(df), plan
+        assert not _re.search(r"windowspecdefinition", plan), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
