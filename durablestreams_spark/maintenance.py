@@ -374,8 +374,6 @@ def compact_by_key(
     with open(marker, "w") as f:
         f.write(str(int(time.time() * 1000)))
     metas: list[SegmentMeta] = []
-    dsts: list[str] = []
-    committed = False
     try:
         (
             latest.repartitionByRange(n_ranges, "offset")
@@ -419,9 +417,24 @@ def compact_by_key(
                     bytes=os.path.getsize(dst),
                 )
             )
-            dsts.append(dst)
         if not metas:
             return None
+        # Refresh the marker before committing (same protocol as
+        # produce_bulk's post-write utime): the per-part rename+fsync
+        # loop above can outlive BULK_INFLIGHT_ABANDON_MS on a huge
+        # multi-range run, and the abandon clock counts from the
+        # marker's mtime.  A reaped marker means the parts may already
+        # be purge candidates — committing anyway could reference
+        # deleted files, so fail with the real cause instead.
+        try:
+            os.utime(marker)
+        except FileNotFoundError:
+            raise RuntimeError(
+                "key compaction exceeded the in-flight abandon timeout "
+                "(BULK_INFLIGHT_ABANDON_MS) and its marker was reaped; "
+                "re-run, or touch the marker from a heartbeat for long "
+                "jobs"
+            ) from None
         try:
             stream._commit(
                 {
@@ -431,17 +444,22 @@ def compact_by_key(
                 },
                 guard=lambda st: all(s.name in st.active for s in window),
             )
-            committed = True
         except CommitConflict:
+            # The loser KNOWS its link never landed — eager cleanup is
+            # safe.  Any other commit exception (fsync error, I/O) may
+            # have fired AFTER the manifest durably linked: the run dir
+            # must NOT be deleted then (a landed manifest would point
+            # at missing segments) — it is left as an ordinary aged
+            # orphan, spared by purge if referenced, reaped after the
+            # grace if not.
+            shutil.rmtree(run_dir, ignore_errors=True)
             return None
         return metas
     finally:
-        # Marker drops on EVERY exit, but only after the commit has
-        # resolved: success makes the run's files manifest-referenced
-        # (purge now spares them by name); conflict/failure leaves an
-        # ordinary aged run dir, reaped after the normal grace.
-        if not committed:
-            shutil.rmtree(run_dir, ignore_errors=True)
+        # Marker drops on EVERY exit, after the commit has resolved:
+        # success makes the run's files manifest-referenced (purge now
+        # spares them by name); conflict/failure leaves an ordinary
+        # aged run dir under the normal grace rules.
         try:
             os.unlink(marker)
         except OSError:

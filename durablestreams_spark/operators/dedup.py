@@ -999,16 +999,15 @@ def _substring_gh():
     return F.substring(F.md5("gram"), 1, 16)
 
 
-def substring_top_plan(spark, sf_dir):
-    """The heavy subplan of ``dedup_exact_substring``, exposed for plan
-    audits: ONE shuffle — repartition by the hash key, after which BOTH
-    grouping levels (per-(hash, doc) occurrence counts and the per-hash
-    rollup) are satisfied by the same HashPartitioning(gh) and run
-    exchange-free (grouping by (gh, doc_id) is clustered by gh alone).
-    A naive two-stage groupBy would shuffle twice, and the mixed
-    countDistinct form pays Expand row-doubling; this pays neither.
-    min(doc_id) rides along as a free 8-byte representative for string
-    recovery."""
+def _substring_occ(spark, sf_dir):
+    """Per-(gh, doc_id) gram occurrence counts — the shuffle-shape-
+    critical subplan SHARED by ``substring_top_plan`` and
+    ``dedup_span_contamination`` (one definition, so the documented
+    single-shuffle / fixed-width-key invariants cannot drift between
+    them): explode fused in the scan, ONE repartition on the 16-byte
+    md5-prefix key, after which every downstream grouping level
+    (per-(gh, doc) counts, per-gh rollups) is satisfied by the same
+    HashPartitioning(gh) and runs exchange-free."""
     d = _substring_tokens(spark, sf_dir)
     return (
         _substring_grams(d, ["doc_id"])
@@ -1016,6 +1015,17 @@ def substring_top_plan(spark, sf_dir):
         .repartition("gh")
         .groupBy("gh", "doc_id")
         .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+def substring_top_plan(spark, sf_dir):
+    """The heavy subplan of ``dedup_exact_substring``, exposed for plan
+    audits: ONE shuffle (see ``_substring_occ``).  A naive two-stage
+    groupBy would shuffle twice, and the mixed countDistinct form pays
+    Expand row-doubling; this pays neither.  min(doc_id) rides along
+    as a free 8-byte representative for string recovery."""
+    return (
+        _substring_occ(spark, sf_dir)
         .groupBy("gh")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1162,21 +1172,13 @@ SPAN_DUP_DROP = 0.3
     "exactly like the substring report.",
 )
 def dedup_span_contamination(spark, sf_dir):
-    d = _substring_tokens(spark, sf_dir)
     # localCheckpoint: `per` feeds BOTH the doc-frequency rollup and
     # the join back — without it Spark plans the scan + gram explode +
     # gh shuffle TWICE (no exchange reuse across the join's children,
     # measured), doubling the dominant cost.  The checkpoint holds the
     # compact (gh, doc_id, occ) table, far smaller than the raw grams,
     # and spills under MEMORY_AND_DISK.
-    per = (
-        _substring_grams(d, ["doc_id"])
-        .select("doc_id", _substring_gh().alias("gh"))
-        .repartition("gh")
-        .groupBy("gh", "doc_id")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .localCheckpoint(eager=True)
-    )
+    per = _substring_occ(spark, sf_dir).localCheckpoint(eager=True)
     gstats = per.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = per.join(gstats, "gh")
     stats = joined.groupBy("doc_id").agg(

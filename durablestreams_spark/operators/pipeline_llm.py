@@ -352,7 +352,9 @@ _TERCILE_BUCKET_SQL = """cuts AS (
         SELECT s.*, CASE WHEN s.avg_nll <= c.c1 THEN 'head'
                          WHEN s.avg_nll <= c.c2 THEN 'middle'
                          ELSE 'tail' END AS bucket
-        FROM scored s JOIN cuts c USING (lang)
+        -- null-safe: a NULL lang forms its own group (like the window
+        -- form this replaced) instead of being dropped by the join
+        FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
     )"""
 
 
@@ -379,7 +381,7 @@ def with_lang_tercile_bucket(scored):
         # floor-form snap to the 1e-4 grid (see _TERCILE_BUCKET_SQL)
         return F.floor(c * 10000 + F.lit(0.5)) / 10000
 
-    cuts = scored.groupBy("lang").agg(
+    cuts = scored.groupBy(F.col("lang").alias("_cuts_lang")).agg(
         _grid(F.expr("percentile(avg_nll, 1.0D/3)")).alias("c1"),
         _grid(F.expr("percentile(avg_nll, 2.0D/3)")).alias("c2"),
     )
@@ -388,10 +390,15 @@ def with_lang_tercile_bucket(scored):
         .when(F.col("avg_nll") <= F.col("c2"), "middle")
         .otherwise("tail")
     )
+    # eqNullSafe: a NULL lang forms its own bucket group (exactly like
+    # the window form this replaced) instead of vanishing from the
+    # report / curation survivors through a null-dropping equi-join.
     return (
-        scored.join(F.broadcast(cuts), "lang")
+        scored.join(
+            F.broadcast(cuts), F.col("lang").eqNullSafe(F.col("_cuts_lang"))
+        )
         .withColumn("bucket", bucket)
-        .drop("c1", "c2")
+        .drop("_cuts_lang", "c1", "c2")
     )
 
 

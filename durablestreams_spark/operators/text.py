@@ -513,11 +513,16 @@ _BPE_N_MERGES = 50
 
 def _bpe_encode(words_col):
     """Encode a word array into the separator-wrapped symbol string:
-    each char becomes ``\\x1f c \\x1f``, words joined with a space."""
+    each char becomes ``\\x1f c \\x1f``, words joined with a space.
+    ``(?s)`` so the dot wraps EVERY char: Java's default dot skips all
+    line terminators (\\n, \\r, U+0085, U+2028, U+2029) while RE2's
+    skips only \\n — and U+2028/2029/0085 are NOT \\s in either engine,
+    so they survive inside words; without dotall Spark would leave
+    them unwrapped while DuckDB wraps them, diverging the counts."""
     S = _BPE_SEP
     return F.array_join(
         F.transform(
-            words_col, lambda w: F.regexp_replace(w, "(.)", S + "$1" + S)
+            words_col, lambda w: F.regexp_replace(w, "(?s)(.)", S + "$1" + S)
         ),
         " ",
     )
@@ -569,14 +574,19 @@ _BPE_TOKENIZE_ORACLE = f"""
                CAST(len(words) AS BIGINT) AS n_words,
                CAST(length(array_to_string(words, '')) AS BIGINT) AS n_chars,
                array_to_string(list_transform(words,
-                   w -> regexp_replace(w, '(.)', '{_BPE_SEP}\\1{_BPE_SEP}', 'g')),
+                   w -> regexp_replace(w, '(?s)(.)',
+                                       '{_BPE_SEP}\\1{_BPE_SEP}', 'g')),
                    ' ') AS e
         FROM d
     ),
     ap AS (
         SELECT doc_id, n_words, n_chars,
                list_reduce(
-                   list_prepend(e, (SELECT ms FROM merges)),
+                   -- coalesce: zero learned merges makes list() NULL,
+                   -- which would NULL the whole fold; the engine's
+                   -- reduce over an empty merge list returns e as-is
+                   list_prepend(e, coalesce((SELECT ms FROM merges),
+                                            CAST([] AS VARCHAR[]))),
                    (acc, m) -> replace(acc,
                        '{_BPE_SEP}' || substr(m, 1, 1)
                            || '{_BPE_SEP}{_BPE_SEP}'

@@ -48,3 +48,15 @@ def test_merged_symbol_is_atomic(spark):
 
 def test_single_char_words_pass_through(spark):
     assert _symbols(_run(spark, ["a"], ["aa"])) == [["a"]]
+
+
+def test_dotall_wraps_line_separator_chars(spark):
+    # U+2028 is not \s in Java or RE2, so it survives inside words;
+    # without (?s) Java's dot skips it (RE2's does not) and the engine
+    # under-counts symbols vs the oracle.
+    enc = (
+        spark.range(1)
+        .select(_bpe_encode(F.array(F.lit("a b"))).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert enc == f"{S}a{S}{S} {S}{S}b{S}"

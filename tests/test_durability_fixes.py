@@ -225,31 +225,31 @@ def test_purge_orphans_spares_aged_compacted_run_then_reaps_committed_dir_never(
     assert metas
     run_dir = os.path.join(s.segments_dir, metas[0].name.split("/")[0])
 
-    # (a) simulate the in-flight window: re-create the marker, age every
-    # file and the dir itself past the grace, then purge with a future
-    # clock — nothing in the run dir may be reaped while the marker lives.
-    marker = f"{run_dir}._inflight"
-    with open(marker, "w") as f:
-        f.write("0")
+    # (a) a SYNTHETIC in-flight run: parts in a keycompact dir that no
+    # manifest references (exactly the write->commit window), aged past
+    # the grace, with a fresh marker (a live producer heartbeat) — the
+    # marker alone must spare them.  The committed run from above can't
+    # exercise this: its parts are manifest-referenced, so purge would
+    # spare them regardless of the marker.
+    fake_dir = os.path.join(s.segments_dir, "keycompact-feedface")
+    os.makedirs(fake_dir)
+    fake_part = os.path.join(fake_dir, f"{0:016d}-x.compacted")
+    with open(fake_part, "wb") as f:
+        f.write(b"inflight-bytes")
+    fake_marker = f"{fake_dir}._inflight"
+    with open(fake_marker, "w") as f:
+        f.write(str(int(_time.time() * 1000)))
     old = _time.time() - 7200
-    for root, _dirs, files in os.walk(run_dir):
-        for fn in files:
-            os.utime(os.path.join(root, fn), (old, old))
-    os.utime(run_dir, (old, old))
-    # marker itself stays FRESH (a live producer heartbeat)
-    before = {
-        os.path.join(r, f) for r, _d, fs in os.walk(run_dir) for f in fs
-    }
-    # drop the manifest reference to make the parts look unreferenced,
-    # as they are during the write->commit window
-    purged = purge_orphans(
-        s, now_ms=int(_time.time() * 1000) + 2 * ORPHAN_GRACE_MS
-    )
-    after = {
-        os.path.join(r, f) for r, _d, fs in os.walk(run_dir) for f in fs
-    }
-    assert before == after, purged
-    os.unlink(marker)
+    os.utime(fake_part, (old, old))
+    os.utime(fake_dir, (old, old))
+    future = int(_time.time() * 1000) + 2 * ORPHAN_GRACE_MS
+    purged = purge_orphans(s, now_ms=future)
+    assert os.path.isfile(fake_part), purged
+    # negative control: drop the marker and the same aged unreferenced
+    # parts ARE reaped — the marker, not something else, was the shield
+    os.unlink(fake_marker)
+    purge_orphans(s, now_ms=future)
+    assert not os.path.exists(fake_part)
 
     # (b) committed (referenced) + aged + no marker: files are spared by
     # name AND the dir survives the empty-dir sweep (.compacted is live).
@@ -285,3 +285,67 @@ def test_compact_by_key_conflict_cleans_run_dir(spark, tmp_path):
     ]
     assert debris == []
     assert len(s.consume("-", 10)) == 2
+
+
+def test_compact_by_key_unknown_commit_error_preserves_run_dir(spark, tmp_path):
+    """A commit exception that is NOT CommitConflict may have fired
+    AFTER the manifest durably linked (e.g. the post-link dir fsync):
+    the run dir must SURVIVE — rmtree here would leave a landed
+    manifest pointing at deleted segments.  Only the marker drops
+    (purge spares the parts by name if the commit landed, reaps the
+    aged dir after the grace if it did not)."""
+    import pytest as _pytest
+
+    from durablestreams_spark.maintenance import compact_by_key
+
+    s = StreamCatalog(str(tmp_path)).stream("kcu")
+    s.produce([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+
+    def exploding_commit(actions, guard=None):
+        raise OSError("fsync failed after link")
+
+    s._commit = exploding_commit
+    with _pytest.raises(OSError, match="fsync failed"):
+        compact_by_key(s, spark, "$.k")
+    run_dirs = [
+        f
+        for f in os.listdir(s.segments_dir)
+        if f.startswith("keycompact-")
+        and os.path.isdir(os.path.join(s.segments_dir, f))
+    ]
+    assert len(run_dirs) == 1, run_dirs
+    parts = os.listdir(os.path.join(s.segments_dir, run_dirs[0]))
+    assert any(p.endswith(".compacted") for p in parts), parts
+    markers = [
+        f for f in os.listdir(s.segments_dir) if f.endswith("._inflight")
+    ]
+    assert markers == []
+
+
+def test_compact_by_key_reaped_marker_aborts_commit(spark, tmp_path, monkeypatch):
+    """If the in-flight marker vanished before the commit (the
+    abandon-timeout reap on a run that outlived it), compact_by_key
+    must raise instead of committing a manifest that may reference
+    already-purged parts — the same pre-commit abort produce_bulk
+    performs."""
+    import pytest as _pytest
+
+    from durablestreams_spark.maintenance import compact_by_key
+
+    s = StreamCatalog(str(tmp_path)).stream("kcr")
+    s.produce([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    committed = []
+    orig_commit = s._commit
+    s._commit = lambda *a, **kw: committed.append(1) or orig_commit(*a, **kw)
+
+    real_utime = os.utime
+
+    def reaped_utime(path, *a, **kw):
+        if str(path).endswith("._inflight"):
+            raise FileNotFoundError(path)
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(os, "utime", reaped_utime)
+    with _pytest.raises(RuntimeError, match="abandon timeout"):
+        compact_by_key(s, spark, "$.k")
+    assert committed == []

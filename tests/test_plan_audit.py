@@ -1056,3 +1056,24 @@ def test_span_contamination_single_gram_pass(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_tercile_bucket_keeps_null_lang_rows(spark):
+    """The boundary-classification join must be null-safe: a NULL lang
+    forms its own bucket group (exactly like the per-lang window it
+    replaced) instead of vanishing through a null-dropping equi-join —
+    silently excluding such docs from the perplexity report and the
+    curation survivors."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        with_lang_tercile_bucket,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, None if i < 6 else "en", float(i)) for i in range(9)],
+        "doc_id long, lang string, avg_nll double",
+    )
+    out = with_lang_tercile_bucket(scored)
+    rows = out.collect()
+    assert len(rows) == 9, rows
+    null_buckets = {r["bucket"] for r in rows if r["lang"] is None}
+    assert null_buckets == {"head", "middle", "tail"}, rows
