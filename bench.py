@@ -80,6 +80,7 @@ SF1_EXTRA = [
     "text_perplexity_buckets",  # r8->r9 CCNet terciles: percentile-boundary bucketing (window-free)
     "text_bpe_tokenize",        # r9 BPE merge application: bounded merge learn + row-local chained-replace apply
     "dedup_span_contamination", # r9 per-doc duplicated-span fraction: one gram pass (checkpointed) + co-keyed join
+    "text_bpe_train",           # r9 true iterative BPE trainer: 10 bounded count-argmax-apply rounds on the 256-doc sample
 ]
 
 

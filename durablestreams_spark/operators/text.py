@@ -679,6 +679,141 @@ def text_bpe_tokenize(spark, sf_dir):
     ).drop("e")
 
 
+#: True-BPE trainer capacity: the training corpus is the BPE_TRAIN_CAP
+#: lowest-md5(doc_id) documents — FIXED size at any corpus scale, the
+#: same bounded-sample contract as the IVF/PQ codebook training (real
+#: BPE vocabs are trained on corpus samples, not the full corpus).
+BPE_TRAIN_CAP = 256
+BPE_TRAIN_ROUNDS = 10
+
+
+def _bpe_pairs_expr():
+    """Adjacent-symbol pairs of the encoded string ``e`` — works on
+    MULTI-CHAR symbols (split on the double separator within a word),
+    which is what lets trained merges chain, unlike the one-pass
+    char-pair induction.  slice+zip_with so a single-symbol word
+    yields an empty pair list (Spark's sequence(1, 0) would DESCEND)."""
+    S = _BPE_SEP
+    return F.expr(
+        f"""flatten(transform(filter(split(e, ' '), w -> w != ''),
+            w -> zip_with(
+                slice(split(trim(BOTH '{S}' FROM w), '{S}{S}'), 1,
+                      size(split(trim(BOTH '{S}' FROM w), '{S}{S}')) - 1),
+                slice(split(trim(BOTH '{S}' FROM w), '{S}{S}'), 2,
+                      size(split(trim(BOTH '{S}' FROM w), '{S}{S}')) - 1),
+                (x, y) -> struct(x AS a, y AS b))))"""
+    )
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled BPE_TRAIN_ROUNDS-level training loop: each level counts
+    adjacent-symbol pairs of the previous encoding, takes the argmax
+    (n DESC, a, b — the trainer's frozen rank order), and applies it.
+    Generated from constants, so the SQL is static."""
+    S = _BPE_SEP
+    ctes = [
+        f"""d AS MATERIALIZED (SELECT doc_id, text FROM documents
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             LIMIT {BPE_TRAIN_CAP}),
+    enc0 AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''),
+                   w -> regexp_replace(w, '(?s)(.)', '{S}\\1{S}', 'g')),
+                   ' ') AS e
+        FROM d)"""
+    ]
+    selects = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"enc{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i+1] AS b, count(*) AS n
+        FROM (SELECT string_split(trim(w, '{S}'), '{S}{S}') AS syms
+              FROM (SELECT unnest(string_split(e, ' ')) AS w FROM {prev})
+              WHERE w <> ''),
+             unnest(range(1, len(syms))) AS u(i)
+        GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        if r < BPE_TRAIN_ROUNDS:
+            ctes.append(
+                f"""enc{r} AS MATERIALIZED (
+        SELECT doc_id, replace(e,
+            '{S}' || (SELECT a FROM p{r}) || '{S}{S}'
+                  || (SELECT b FROM p{r}) || '{S}',
+            '{S}' || (SELECT a FROM p{r}) || (SELECT b FROM p{r})
+                  || '{S}') AS e
+        FROM {prev})"""
+            )
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,
+           a || b AS merged, CAST(n AS BIGINT) AS n FROM p{r}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query(
+    "text_bpe_train",
+    _bpe_train_oracle(),
+    doc="TRUE iterative BPE training (Sennrich et al. 2016) — the real "
+    "trainer loop that text_bpe_pair_counts' one-pass induction "
+    "approximates: each of the 10 rounds counts adjacent-SYMBOL pairs "
+    "over the current segmentation, freezes the argmax (n DESC, then "
+    "pair — the rank order the vocab ships with), and applies it "
+    "before recounting, so merges CHAIN into multi-char symbols "
+    "(('a','a') then ('aa','b')) — the thing single-pass char-pair "
+    "counting cannot produce.  Trained on the BPE_TRAIN_CAP "
+    "lowest-md5(doc_id) documents: a FIXED-size sample at any corpus "
+    "scale (the IVF/PQ bounded-training contract; production BPE "
+    "trains on samples too), checkpointed once; each round is one "
+    "tiny distributed count + a 1-row bounded collect, so the whole "
+    "training loop costs O(rounds) trivial jobs regardless of corpus "
+    "size and never re-reads the corpus.  Output is the learned merge "
+    "table itself — the vocabulary artifact a tokenizer persists.  "
+    "The DuckDB oracle replays the identical loop as "
+    f"{BPE_TRAIN_ROUNDS} unrolled CTE levels.",
+)
+def text_bpe_train(spark, sf_dir):
+    S = _BPE_SEP
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    sample = (
+        docs.select("doc_id", _bpe_encode(words).alias("e"))
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(BPE_TRAIN_CAP)
+        .select("doc_id", "e")
+        .localCheckpoint(eager=True)
+    )
+    cur = sample
+    merges: list[tuple] = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        top = (
+            cur.select(F.explode(_bpe_pairs_expr()).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((r, a, b, a + b, int(n)))
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("e"), F.lit(S + a + S + S + b + S), F.lit(S + a + b + S)
+            ).alias("e"),
+        )
+    return spark.createDataFrame(
+        merges, "rank long, sym_a string, sym_b string, merged string, n long"
+    )
+
+
 @query(
     "text_zipf_slope",
     """

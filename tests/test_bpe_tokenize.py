@@ -60,3 +60,23 @@ def test_dotall_wraps_line_separator_chars(spark):
         .collect()[0]["e"]
     )
     assert enc == f"{S}a{S}{S} {S}{S}b{S}"
+
+
+def test_bpe_train_merges_chain_into_multichar_symbols(spark, tmp_path):
+    """The iterative trainer's whole point vs one-pass pair induction:
+    a later round must be able to merge a SYMBOL produced by an earlier
+    round.  Corpus of 'aab' words: round 1 merges (a,a) (tie with (a,b)
+    broken by pair order), round 2 must merge ('aa','b') -> 'aab'."""
+    from durablestreams_spark.operators.text import text_bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "aab aab") for i in range(40)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = text_bpe_train(spark, str(tmp_path)).orderBy("rank").collect()
+    assert (rows[0]["sym_a"], rows[0]["sym_b"]) == ("a", "a")
+    assert (rows[1]["sym_a"], rows[1]["sym_b"], rows[1]["merged"]) == (
+        "aa",
+        "b",
+        "aab",
+    )
