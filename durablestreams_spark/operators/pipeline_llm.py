@@ -1209,3 +1209,97 @@ def sample_dsir_resample(spark, sf_dir):
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+@query(
+    "sample_mixture_weights",
+    """
+    WITH per_doc AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               -- alpha=0.5 mass, snapped to a 1e-6 grid and summed as
+               -- an EXACT integer (order-independent normalizer)
+               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS s6
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+                   CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / n_total * 1000000 + 0.5) / 1000000
+               AS natural_share,
+           floor(CAST(s6 AS DOUBLE) / s6_total * 1000000 + 0.5) / 1000000
+               AS target_share,
+           floor((CAST(s6 AS DOUBLE) / s6_total)
+                 / (CAST(n_tokens AS DOUBLE) / n_total) * 10000 + 0.5) / 10000
+               AS up_weight,
+           least(1.0, (CAST(s6 AS DOUBLE) / s6_total)
+                      / (CAST(n_tokens AS DOUBLE) / n_total)) > 0.9999
+               AS keep_all
+    FROM per_src, tot
+    ORDER BY source
+    """,
+    doc="Data-mixing planner (the temperature-scaled mixture rule of "
+    "multilingual/multi-source LM training, alpha = 0.5): per-source "
+    "natural token share vs the alpha-tempered target share "
+    "p_i ∝ n_i^0.5, the up/down-weight factor between them, and a "
+    "keep-all flag for sources already at-or-under target — the table "
+    "a curation run feeds into its per-source sampling stage "
+    "(sample_source_quota / sample_temperature_mixture execute the "
+    "plan this query computes).  Scale shape: one partial-aggregated "
+    "pass over the corpus (per-source token sums are BIGINT-exact), "
+    "then O(#sources) rows; the alpha mass is snapped to a 1e-6 grid "
+    "and summed as an exact integer so the normalizer is "
+    "summation-order-independent (double sqrt sums would be "
+    "non-associative across partitions), and every published ratio "
+    "uses the repo's floor-form rounding.",
+)
+def sample_mixture_weights(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    per_src = (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "s6",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * 1000000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    tot = per_src.groupBy().agg(
+        F.sum("n_tokens").cast("long").alias("n_total"),
+        F.sum("s6").cast("long").alias("s6_total"),
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("n_total")
+    tgt = F.col("s6").cast("double") / F.col("s6_total")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.floor(nat * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "natural_share"
+            ),
+            (F.floor(tgt * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "target_share"
+            ),
+            (F.floor(tgt / nat * 10000 + F.lit(0.5)) / 10000).alias(
+                "up_weight"
+            ),
+            (F.least(F.lit(1.0), tgt / nat) > 0.9999).alias("keep_all"),
+        )
+        .orderBy("source")
+    )
