@@ -81,6 +81,9 @@ SF1_EXTRA = [
     "text_bpe_tokenize",        # r9 BPE merge application: bounded merge learn + row-local chained-replace apply
     "dedup_span_contamination", # r9 per-doc duplicated-span fraction: one gram pass (checkpointed) + co-keyed join
     "text_bpe_train",           # r9 true iterative BPE trainer: 10 bounded count-argmax-apply rounds on the 256-doc sample
+    "sample_mixture_weights",   # r9 data-mixing planner: one partial-agg corpus pass -> O(#sources) tempered-share table
+    "text_quality_classifier_nb",  # r9 NB quality classifier: 1024-bucket hashed uni+bigram llr table (bounded broadcast) + scoring pass
+    "sample_source_kl",         # r9 per-source KL mixture diagnostic: bounded (source x vocab) grid after one partial agg
 ]
 
 

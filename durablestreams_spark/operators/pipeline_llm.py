@@ -1303,3 +1303,110 @@ def sample_mixture_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_source_kl",
+    f"""
+    WITH toks AS (
+        SELECT source, UNNEST(string_split_regex(text, '\\s+')) AS tok
+        FROM documents),
+    clean AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, count(*) AS c FROM clean GROUP BY tok),
+    topk AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}),
+    mapped AS (
+        SELECT source,
+               CASE WHEN k.tok IS NULL THEN '<oov>' ELSE clean.tok END
+                   AS term
+        FROM clean LEFT JOIN topk k USING (tok)),
+    sc AS (SELECT source, term, count(*) AS c
+           FROM mapped GROUP BY source, term),
+    st AS (SELECT source, sum(c) AS n_s FROM sc GROUP BY source),
+    ct AS (SELECT term, sum(c) AS c_all FROM sc GROUP BY term),
+    tot AS (SELECT sum(c_all) AS n, count(*) AS v FROM ct),
+    grid AS (
+        SELECT s.source, t.term, coalesce(x.c, 0) AS c_s
+        FROM st s
+        CROSS JOIN ct t
+        LEFT JOIN sc x ON x.source = s.source AND x.term = t.term),
+    kl AS (
+        SELECT g.source,
+               sum(((g.c_s + 1.0) / (s.n_s + o.v))
+                   * (ln((g.c_s + 1.0) / (s.n_s + o.v))
+                      - ln((c.c_all + 1.0) / (o.n + o.v)))) AS kl
+        FROM grid g
+        JOIN st s USING (source)
+        JOIN ct c USING (term)
+        CROSS JOIN tot o
+        GROUP BY g.source)
+    SELECT source, CAST(s.n_s AS BIGINT) AS n_tokens,
+           round(k.kl, 6) AS kl_nats
+    FROM kl k JOIN st s USING (source)
+    ORDER BY source
+    """,
+    doc="Per-source token-distribution drift: KL(source ‖ corpus) in "
+    "nats over the shared truncated vocabulary (top-"
+    f"{VOCAB_SIZE} by corpus frequency, token tie-break, everything "
+    "else pooled into '<oov>') with add-one smoothing over the "
+    "observed support — the data-MIXING diagnostic that tells a "
+    "curation run which sources are distributionally far from the "
+    "blend (candidates for re-weighting in sample_mixture_weights) "
+    "and which are near-duplicates of it.  The vocabulary truncation "
+    "is the scale story (the text_unigram_logprob lesson): per-source "
+    "count vectors are O(#sources x (VOCAB+1)) rows NO MATTER the "
+    "corpus size, so after one map-side-combined aggregation over the "
+    "token stream every remaining table is driver-scale.  Plan: one "
+    "corpus pass for vocabulary induction (partial-agg + "
+    "TakeOrdered), one corpus pass mapping tokens through the "
+    "broadcast vocab and partial-aggregating to the bounded "
+    "(source, term) grid; the zero-fill cross join and the KL "
+    "aggregate run on a few thousand rows.  Sums are over <= "
+    f"{VOCAB_SIZE}+1 exact-integer-ratio log terms, rounded to the "
+    "1e-6 grid (round(): sums, per the core.py policy).",
+)
+def sample_source_kl(spark, sf_dir):
+    # spread(): the token explode runs twice (vocab pass + count
+    # pass); same guard as text_unigram_logprob.
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    topk = freq.orderBy(F.col("c").desc(), "tok").limit(VOCAB_SIZE)
+    mapped = toks.join(
+        F.broadcast(topk.select("tok", F.lit(1).alias("hit"))), "tok", "left"
+    ).select(
+        "source",
+        F.when(F.col("hit").isNull(), F.lit("<oov>"))
+        .otherwise(F.col("tok"))
+        .alias("term"),
+    )
+    # Bounded after this partial agg: <= #sources x (VOCAB_SIZE+1) rows.
+    sc_ = mapped.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = sc_.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = sc_.groupBy("term").agg(F.sum("c").alias("c_all"))
+    tot = ct.agg(F.sum("c_all").alias("n"), F.count(F.lit(1)).alias("v"))
+    grid = (
+        st.select("source")
+        .crossJoin(F.broadcast(ct.select("term")))
+        .join(sc_, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c_s"))
+    )
+    p_s = (F.col("c_s") + 1.0) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_all") + 1.0) / (F.col("n") + F.col("v"))
+    kl = (
+        grid.join(st, "source")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.sum(p_s * (F.log(p_s) - F.log(q))).alias("kl"))
+    )
+    return (
+        kl.join(st, "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.round("kl", 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

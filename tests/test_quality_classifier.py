@@ -1,0 +1,99 @@
+"""Round-9 curation additions: the hashed-feature Naive-Bayes quality
+classifier (the DCLM/fastText seed-classifier pattern) and the
+per-source KL mixture diagnostic.  Value parity vs DuckDB is covered
+by the all-queries oracle sweep; this module pins the SCALE
+properties (bounded broadcast sides, zero windows, JVM-side only) and
+the model semantics the sweep's hash can't explain on its own."""
+
+from durablestreams_spark.analytics.core import all_queries
+from durablestreams_spark.operators import text as T
+from durablestreams_spark.plans import formatted_plan, has_python_eval
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_nb_weight_table_is_bucket_bounded(spark):
+    """The scoring join's broadcast side is the learned per-bucket
+    llr table: its cardinality must be <= NB_BUCKETS (a CONSTANT) —
+    the hashing trick is the entire reason the learned model
+    broadcasts at 100 TB where a raw-vocabulary weight vector would
+    not.  The whole learn+apply must stay JVM-side with zero windows
+    (labels are row-local projections on the same row as the token
+    array, so there is no label join to shuffle)."""
+    df = all_queries()["text_quality_classifier_nb"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert not has_python_eval(df), "NB classifier must stay JVM-side"
+
+
+def test_nb_classifier_separates_seed_labels(spark):
+    """Trained on the Gopher seed labels, the classifier must actually
+    separate them: mean logit over positive-labeled docs strictly
+    above mean logit over negative-labeled docs, and the thresholded
+    prediction must agree with the seed label on a clear majority of
+    documents (the classifier generalizes the rules, it does not
+    memorize doc ids — hashed bag-of-words can't encode identity)."""
+    rows = (
+        all_queries()["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
+    )
+    pos = [r.nb_logit for r in rows if r.gopher_keep]
+    neg = [r.nb_logit for r in rows if not r.gopher_keep]
+    assert pos and neg, "fixture must carry both seed classes"
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    agree = sum(1 for r in rows if bool(r.pred_keep) == bool(r.gopher_keep))
+    assert agree / len(rows) > 0.6, f"only {agree}/{len(rows)} agree"
+
+
+def test_nb_prediction_uses_rounded_logit(spark):
+    """pred_keep must be derivable from the ROUNDED logit alone —
+    the 1e-4-grid boundary both engines agree on — for every row."""
+    rows = (
+        all_queries()["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
+    )
+    assert all(bool(r.pred_keep) == (r.nb_logit > 0) for r in rows)
+
+
+def test_source_kl_is_bounded_and_window_free(spark):
+    """After the one partial-aggregated corpus pass the per-source
+    count grid is O(#sources x (VOCAB+1)) rows; nothing downstream
+    may be a window or a Python eval.  Output: exactly one row per
+    distinct source, each KL >= 0 (both smoothed distributions are
+    normalized over the same support, so Gibbs' inequality holds; the
+    1e-6 rounding can only graze zero, never go meaningfully
+    negative)."""
+    df = all_queries()["sample_source_kl"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert not has_python_eval(df)
+    rows = df.collect()
+    n_sources = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    assert all(r.kl_nats >= -1e-6 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_gopher_metrics_shared_by_rules_and_classifier(spark):
+    """The classifier's seed label must equal the curate-threshold
+    combination of text_gopher_rules' own flags doc-by-doc — one
+    metric definition, two consumers (the drift guard that makes the
+    refactor safe)."""
+    qs = all_queries()
+    flags = {
+        r.doc_id: (
+            r.ok_word_count
+            and r.ok_mean_word_len
+            and r.ok_alpha
+            and r.ok_symbols
+            and r.n_stopwords >= T.CURATE_MIN_STOPWORDS
+        )
+        for r in qs["text_gopher_rules"].fn(spark, SF_DIR).collect()
+    }
+    nb = qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
+    assert all(bool(r.gopher_keep) == bool(flags[r.doc_id]) for r in nb)
