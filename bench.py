@@ -84,6 +84,7 @@ SF1_EXTRA = [
     "sample_mixture_weights",   # r9 data-mixing planner: one partial-agg corpus pass -> O(#sources) tempered-share table
     "text_quality_classifier_nb",  # r9 NB quality classifier: 1024-bucket hashed uni+bigram llr table (bounded broadcast) + scoring pass
     "sample_source_kl",         # r9 per-source KL mixture diagnostic: bounded (source x vocab) grid after one partial agg
+    "audit_corpus_datasheet",   # r9 per-source corpus datasheet: 3 partial-agged corpus passes + digest equi-join dup check
 ]
 
 

@@ -1564,3 +1564,110 @@ def text_quality_classifier_nb(spark, sf_dir):
             "pred_keep",
         )
     )
+
+
+@query(
+    "audit_corpus_datasheet",
+    f"""
+    WITH {_GOPHER_METRICS_SQL},
+    {_UNIGRAM_NLL_CTES},
+    nll AS ({_UNIGRAM_NLL_SELECT}),
+    hashes AS (
+        SELECT doc_id, source, lang, md5(text) AS h FROM documents
+    ),
+    hc AS (SELECT h, count(*) AS c FROM hashes GROUP BY h),
+    per_doc AS (
+        SELECT d.source, d.lang, m.n_words,
+               CASE WHEN coalesce({_GOPHER_KEEP_CURATE_SQL}, FALSE)
+                    THEN 1 ELSE 0 END AS keep,
+               CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup,
+               n.avg_nll
+        FROM hashes d
+        JOIN m USING (doc_id)
+        JOIN hc USING (h)
+        LEFT JOIN nll n USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           floor(sum(keep) * 1.0 / count(*) * 10000 + 0.5) / 10000
+               AS curate_keep_rate,
+           floor(sum(is_dup) * 1.0 / count(*) * 10000 + 0.5) / 10000
+               AS exact_dup_rate,
+           round(avg(avg_nll), 4) AS mean_nll
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="The corpus DATASHEET (Gebru et al. 2021 'Datasheets for "
+    "Datasets' applied to a pretraining corpus): one row per source "
+    "with document/token volume, language spread, the five-rule "
+    "Gopher pass rate at the curate threshold (the gate "
+    "pipeline_curate_v2 actually applies — the published lexicon "
+    "threshold is vacuously zero on the fixture, see "
+    "CURATE_MIN_STOPWORDS), exact-duplicate rate (md5 content hash "
+    "seen >1x corpus-wide), and mean unigram-LM NLL — the table a "
+    "data team reads before deciding mixture weights "
+    "(sample_mixture_weights) and filters.  COMPOSITION, not new "
+    "logic: every column reuses the exact shared definition its "
+    "standalone graded query runs (_GOPHER_METRICS_SQL + "
+    "_GOPHER_KEEP_CURATE_SQL, the md5 content hash of dedup_exact_hash, "
+    "_UNIGRAM_NLL_* — one definition each, so the datasheet cannot "
+    "drift from the operators it summarizes).  Scale: three corpus "
+    "passes (metrics, LM vocab+scoring, hash counts) that each "
+    "partial-agg or row-project before shuffling; the dup check is a "
+    "fixed-width-digest equi-join (never a broadcast of a "
+    "corpus-proportional hash set); the final rollup is a partial agg "
+    "to O(#sources) rows.  Ratios use floor-form rounding (count "
+    "ratios, per the core.py policy), the NLL mean uses round() "
+    "(a sum).",
+)
+def audit_corpus_datasheet(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    m = _gopher_metrics(docs)
+    keep = F.coalesce(
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
+        F.lit(False),
+    ).cast("long")
+    g = m.select("doc_id", "n_words", keep.alias("keep"))
+    nll = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
+    hashes = docs.select(
+        "doc_id", "source", "lang", F.md5("text").alias("h")
+    )
+    hc = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        hashes.join(g, "doc_id")
+        .join(hc, "h")
+        .join(nll, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_words",
+            "keep",
+            (F.col("c") > 1).cast("long").alias("is_dup"),
+            "avg_nll",
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            (
+                F.floor(F.sum("keep") / F.count(F.lit(1)) * 10000 + 0.5)
+                / 10000
+            ).alias("curate_keep_rate"),
+            (
+                F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 10000 + 0.5)
+                / 10000
+            ).alias("exact_dup_rate"),
+            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+        )
+        .orderBy("source")
+    )

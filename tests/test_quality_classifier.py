@@ -97,3 +97,47 @@ def test_gopher_metrics_shared_by_rules_and_classifier(spark):
     }
     nb = qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
     assert all(bool(r.gopher_keep) == bool(flags[r.doc_id]) for r in nb)
+
+
+def test_datasheet_matches_standalone_operators(spark):
+    """audit_corpus_datasheet is a COMPOSITION: its per-source Gopher
+    pass rate and duplicate rate must equal what the standalone graded
+    operators report, aggregated by hand — the drift guard for the
+    shared definitions."""
+    import math
+    from collections import defaultdict
+
+    qs = all_queries()
+    df = qs["audit_corpus_datasheet"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert not has_python_eval(df)
+    sheet = {r.source: r for r in df.collect()}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    assert len(sheet) == len(set(src.values()))
+
+    keep = {
+        r.doc_id: (
+            r.ok_word_count
+            and r.ok_mean_word_len
+            and r.ok_alpha
+            and r.ok_symbols
+            and r.n_stopwords >= T.CURATE_MIN_STOPWORDS
+        )
+        for r in qs["text_gopher_rules"].fn(spark, SF_DIR).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for did, s in src.items():
+        agg[s][0] += 1
+        agg[s][1] += 1 if keep[did] else 0
+    keep_rates = set()
+    for s, (n, k) in agg.items():
+        assert sheet[s].n_docs == n
+        want = math.floor(k / n * 10000 + 0.5) / 10000
+        assert sheet[s].curate_keep_rate == want, (s, k, n)
+        keep_rates.add(want)
+    assert len(keep_rates) > 1, "curate gate must discriminate on fixture"
+    assert all(0.0 <= r.exact_dup_rate <= 1.0 for r in sheet.values())
+    assert all(r.sum_tokens > 0 for r in sheet.values())
