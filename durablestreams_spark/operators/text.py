@@ -1671,3 +1671,60 @@ def audit_corpus_datasheet(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bpe_fertility",
+    f"""
+    WITH bpe AS ({_BPE_TOKENIZE_ORACLE})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe.n_words) AS BIGINT) AS sum_words,
+           CAST(sum(bpe.n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+           floor(sum(bpe.n_bpe_tokens) * 1.0 / sum(bpe.n_words)
+                 * 10000 + 0.5) / 10000 AS fertility,
+           floor(sum(bpe.n_bpe_tokens) * 1.0 / sum(bpe.n_chars)
+                 * 10000 + 0.5) / 10000 AS tokens_per_char
+    FROM bpe JOIN documents d USING (doc_id)
+    WHERE bpe.n_words > 0
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="Tokenizer FERTILITY report — the standard tokenizer-quality "
+    "metric (tokens emitted per word, cf. the multilingual tokenizer "
+    "evaluations in the XLM-R / BLOOM papers): per language, how many "
+    "BPE tokens the learned merge list produces per whitespace word "
+    "and per character.  High fertility on a language = the vocab "
+    "under-serves it (its merges never trained), the signal that "
+    "drives vocab-size and training-mix decisions.  COMPOSITION: the "
+    "per-doc token counts are EXACTLY text_bpe_tokenize's shared "
+    "definition (same induced merge list, same chained-replace "
+    "apply), rolled up per language through one metadata join.  "
+    "Scale: the apply pass is the same zero-shuffle row-local codegen "
+    "scan; the rollup is a partial agg to O(#languages) rows; the "
+    "lang join is doc_id-keyed (co-partitioned with the scan output "
+    "at scale).  Count ratios use floor-form rounding per the "
+    "core.py policy.",
+)
+def text_bpe_fertility(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bpe = text_bpe_tokenize(spark, sf_dir).where(F.col("n_words") > 0)
+    lang = docs.select("doc_id", "lang")
+    fert = F.floor(
+        F.sum("n_bpe_tokens") / F.sum("n_words") * 10000 + 0.5
+    ) / 10000
+    tpc = F.floor(
+        F.sum("n_bpe_tokens") / F.sum("n_chars") * 10000 + 0.5
+    ) / 10000
+    return (
+        bpe.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+            fert.alias("fertility"),
+            tpc.alias("tokens_per_char"),
+        )
+        .orderBy("lang")
+    )

@@ -141,3 +141,31 @@ def test_datasheet_matches_standalone_operators(spark):
     assert len(keep_rates) > 1, "curate gate must discriminate on fixture"
     assert all(0.0 <= r.exact_dup_rate <= 1.0 for r in sheet.values())
     assert all(r.sum_tokens > 0 for r in sheet.values())
+
+
+def test_bpe_fertility_bounds_and_composition(spark):
+    """Fertility is tokens-per-word under the learned merges: every
+    word yields >= 1 token, every token covers >= 1 char, so
+    fertility >= 1 and tokens_per_char <= 1 per language; the rollup
+    must equal text_bpe_tokenize's per-doc counts aggregated by hand
+    (one shared apply definition, two graded consumers)."""
+    import math
+    from collections import defaultdict
+
+    qs = all_queries()
+    rows = qs["text_bpe_fertility"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.fertility >= 1.0 for r in rows)
+    assert all(0.0 < r.tokens_per_char <= 1.0 for r in rows)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    per = defaultdict(lambda: [0, 0])
+    for r in qs["text_bpe_tokenize"].fn(spark, SF_DIR).collect():
+        if r.n_words > 0:
+            per[lang[r.doc_id]][0] += r.n_words
+            per[lang[r.doc_id]][1] += r.n_bpe_tokens
+    for r in rows:
+        w, t = per[r.lang]
+        assert r.sum_words == w and r.sum_bpe_tokens == t
+        assert r.fertility == math.floor(t / w * 10000 + 0.5) / 10000
