@@ -85,6 +85,8 @@ SF1_EXTRA = [
     "text_quality_classifier_nb",  # r9 NB quality classifier: 1024-bucket hashed uni+bigram llr table (bounded broadcast) + scoring pass
     "sample_source_kl",         # r9 per-source KL mixture diagnostic: bounded (source x vocab) grid after one partial agg
     "audit_corpus_datasheet",   # r9 per-source corpus datasheet: 3 partial-agged corpus passes + digest equi-join dup check
+    "text_bpe_fertility",       # r9 per-language fertility rollup over the shared BPE apply scan
+    "sample_classifier_topk",   # r9 DCLM selection: shared NB scores + per-source percentile boundary keep
 ]
 
 

@@ -1421,10 +1421,12 @@ def pipeline_curate_v2(spark, sf_dir):
 NB_BUCKETS = 1024
 
 
-@query(
-    "text_quality_classifier_nb",
-    f"""
-    WITH {_GOPHER_METRICS_SQL},
+#: Shared NB oracle CTE chain: Gopher seed labels -> hashed features
+#: -> class counts -> smoothed llr table + prior -> per-doc scores
+#: (``nbs``).  One definition feeds BOTH graded NB oracles
+#: (text_quality_classifier_nb and sample_classifier_topk) so the
+#: model cannot drift between them.
+_NB_SCORED_CTES = f"""{_GOPHER_METRICS_SQL},
     lbl AS (
         SELECT w.doc_id, w.wrds,
                coalesce({_GOPHER_KEEP_CURATE_SQL}, FALSE) AS pos
@@ -1457,13 +1459,23 @@ NB_BUCKETS = 1024
         SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
                   / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)) AS pri
         FROM lbl
-    )
-    SELECT f.doc_id, f.pos AS gopher_keep,
-           CAST(count(*) AS BIGINT) AS n_feats,
-           round(max(p.pri) + sum(l.lam), 4) AS nb_logit,
-           (round(max(p.pri) + sum(l.lam), 4) > 0) AS pred_keep
-    FROM f JOIN llr l USING (bkt) CROSS JOIN prior p
-    GROUP BY f.doc_id, f.pos
+    ),
+    nbs AS (
+        SELECT f.doc_id, f.pos AS gopher_keep,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               round(max(p.pri) + sum(l.lam), 4) AS nb_logit
+        FROM f JOIN llr l USING (bkt) CROSS JOIN prior p
+        GROUP BY f.doc_id, f.pos
+    )"""
+
+
+@query(
+    "text_quality_classifier_nb",
+    f"""
+    WITH {_NB_SCORED_CTES}
+    SELECT doc_id, gopher_keep, n_feats, nb_logit,
+           (nb_logit > 0) AS pred_keep
+    FROM nbs
     """,
     doc="Model-based document-quality scoring — the DCLM / "
     "fastText-classifier pattern (Li et al. 2024; Joulin et al. 2017) "
@@ -1727,4 +1739,66 @@ def text_bpe_fertility(spark, sf_dir):
             tpc.alias("tokens_per_char"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "sample_classifier_topk",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    s AS (
+        SELECT n.doc_id, d.source, n.nb_logit
+        FROM nbs n JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT source,
+               floor(quantile_cont(nb_logit, 2.0/3) * 10000 + 0.5) / 10000
+                   AS cut
+        FROM s GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.nb_logit, c.cut
+    FROM s JOIN cuts c USING (source)
+    WHERE s.nb_logit > c.cut
+    """,
+    doc="Classifier-based data SELECTION — the step DCLM actually "
+    "ships (Li et al. 2024): keep each source's top tercile by the "
+    "NB quality logit, selecting per-source rather than globally so "
+    "no source is wiped out by a cross-domain score shift (the same "
+    "reason CCNet cuts per language).  The scores are EXACTLY "
+    "text_quality_classifier_nb's shared definition (_NB_SCORED_CTES "
+    "— one model, two graded queries).  Selection is the repo's "
+    "signature window-free boundary pattern (with_lang_tercile_bucket "
+    "/ agg_value_quartile_buckets): one exact-percentile aggregate "
+    "per source (state bounded by the 4-dp score grid, O(#sources) "
+    "cut rows broadcast), then a row-local keep predicate — never an "
+    "ntile/rank window over a corpus-proportional partition.  The "
+    "cut is snapped to the 1e-4 grid with floor-form rounding; the "
+    "2/3 fraction's interpolation lands on thirds of a grid step, "
+    "never the 0.5 rounding boundary (the _TERCILE_BUCKET_SQL "
+    "argument), so engine and oracle agree on every boundary doc.  "
+    "Strict '>' keeps ties-at-the-cut together (both engines, same "
+    "grid).",
+)
+def sample_classifier_topk(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "nb_logit"
+    )
+    # localCheckpoint: the expensive NB scoring subtree feeds two
+    # consumers (cuts aggregate + selection join) — materialize once,
+    # same pattern as with_lang_tercile_bucket.
+    s = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+    )
+    cuts = s.groupBy(F.col("source").alias("_cut_src")).agg(
+        (
+            F.floor(F.expr("percentile(nb_logit, 2.0D/3)") * 10000 + 0.5)
+            / 10000
+        ).alias("cut")
+    )
+    return (
+        s.join(F.broadcast(cuts), F.col("source") == F.col("_cut_src"))
+        .where(F.col("nb_logit") > F.col("cut"))
+        .select("doc_id", "source", "nb_logit", "cut")
     )

@@ -169,3 +169,39 @@ def test_bpe_fertility_bounds_and_composition(spark):
         w, t = per[r.lang]
         assert r.sum_words == w and r.sum_bpe_tokens == t
         assert r.fertility == math.floor(t / w * 10000 + 0.5) / 10000
+
+
+def test_classifier_topk_selects_per_source_terciles(spark):
+    """The DCLM selection step: per source, exactly the docs whose
+    shared NB logit strictly exceeds the floor-snapped exact 2/3
+    percentile are kept — verified by recomputing the interpolated
+    percentile by hand from the classifier's own graded output.
+    Window-free (the boundary pattern), JVM-side."""
+    import math
+    from collections import defaultdict
+
+    qs = all_queries()
+    df = qs["sample_classifier_topk"].fn(spark, SF_DIR)
+    assert "Window" not in formatted_plan(df)
+    assert not has_python_eval(df)
+    kept = df.collect()
+    assert kept
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    scores = defaultdict(list)
+    for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect():
+        scores[src[r.doc_id]].append((r.doc_id, r.nb_logit))
+
+    for s, pairs in scores.items():
+        vals = sorted(v for _, v in pairs)
+        rank = (len(vals) - 1) * 2.0 / 3
+        lo, frac = int(math.floor(rank)), rank - math.floor(rank)
+        q = vals[lo] + frac * (vals[min(lo + 1, len(vals) - 1)] - vals[lo])
+        cut = math.floor(q * 10000 + 0.5) / 10000
+        want = {d for d, v in pairs if v > cut}
+        got = {r.doc_id for r in kept if r.source == s}
+        assert got == want, (s, cut, len(got), len(want))
+        for r in kept:
+            if r.source == s:
+                assert r.cut == cut
