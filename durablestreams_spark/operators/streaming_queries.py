@@ -992,3 +992,81 @@ def streaming_tws_lastn(spark, sf_dir):
             "max_ts_us",
         )
     )
+
+
+# Imported adjacent to its single consumer (streaming_quality_score):
+# the oracle is an f-string, so it must be module-level.  No cycle:
+# text never imports streaming_queries.
+from .text import _NB_SCORED_CTES  # noqa: E402
+
+
+@query(
+    "streaming_quality_score",
+    f"""
+    WITH {_NB_SCORED_CTES}
+    SELECT doc_id, n_feats, nb_logit, (nb_logit > 0) AS pred_keep
+    FROM nbs
+    """,
+    doc="LIVE model serving in a stream — the train-offline / "
+    "score-online topology every production quality classifier "
+    "deploys: the NB model is trained in BATCH on the static corpus "
+    "(the exact shared _nb_training definition the graded batch "
+    "classifier runs — one model, three graded consumers), its "
+    "NB_BUCKETS-row llr table and scalar prior are collected "
+    "(bounded O(1024), the BPE-merge-collect contract) and folded "
+    "into the streaming projection as a MAP LITERAL, then the "
+    "documents stream is scored row-locally: feats array -> "
+    "transform(bucket -> element_at(map)) -> aggregate sum + prior.  "
+    "The streaming query is therefore completely STATELESS — no "
+    "watermark, no state store, no stream-side join or aggregation — "
+    "which is the only shape that serves a model at 100 TB/day "
+    "ingest: scoring throughput is scan throughput, and the model "
+    "'broadcast' is vocabulary state of constant size exactly like "
+    "the BPE merge table.  Drained append-mode sink must equal the "
+    "batch classifier's scores doc-for-doc (same oracle CTEs).",
+)
+def streaming_quality_score(spark, sf_dir):
+    from .text import _nb_bucket, _nb_feats_array, _nb_training
+
+    _, llr, prior = _nb_training(spark, sf_dir)
+    # Bounded collects: the llr table is NB_BUCKETS rows by
+    # construction (hashed-feature space), the prior is one scalar —
+    # vocabulary state, corpus-size-independent (SCALE.md §9).
+    lam = sorted((r["bkt"], r["lam"]) for r in llr.collect())
+    pri = prior.collect()[0]["pri"]
+    items = []
+    for b, v in lam:
+        items += [F.lit(int(b)), F.lit(float(v))]
+    lam_map = F.create_map(*items)
+
+    raw = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    wrds = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    scored = raw.select(
+        "doc_id", _nb_feats_array(wrds).alias("feats")
+    ).where(F.size("feats") > 0)
+    logit = F.round(
+        F.lit(float(pri))
+        + F.aggregate(
+            F.transform(
+                F.col("feats"),
+                lambda t: F.element_at(lam_map, _nb_bucket(t)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        4,
+    )
+    out = scored.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feats"),
+        logit.alias("nb_logit"),
+        (logit > 0).alias("pred_keep"),
+    )
+    return _drain(out, "append")

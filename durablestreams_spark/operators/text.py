@@ -1469,6 +1469,79 @@ _NB_SCORED_CTES = f"""{_GOPHER_METRICS_SQL},
     )"""
 
 
+def _nb_bucket(tok_col):
+    """Hashed-feature bucket id for one token/bigram — md5-prefix mod
+    NB_BUCKETS (the DSIR idiom), shared by batch training/scoring and
+    the streaming scorer so the model applies identically."""
+    return (
+        F.conv(F.substring(F.md5(F.lower(tok_col)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % NB_BUCKETS
+    )
+
+
+def _nb_feats_array(wrds_col):
+    """Unigrams + array-side bigrams (zip_with over two slices — the
+    DSIR idiom: zero windows, the whole feature expansion stays in the
+    scan stage's project)."""
+    nw = F.size(wrds_col)
+    bigrams = F.zip_with(
+        F.slice(wrds_col, F.lit(1), F.greatest(nw - 1, F.lit(0))),
+        F.slice(wrds_col, F.lit(2), F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(wrds_col, bigrams)
+
+
+def _nb_training(spark, sf_dir):
+    """Closed-form NB training over the Gopher seed labels: returns
+    (f, llr, prior) — the labeled per-feature bucket stream, the
+    NB_BUCKETS-row log-likelihood-ratio table, and the 1-row doc-count
+    prior.  Shared by the batch classifier (joins f back to llr) and
+    the streaming scorer (collects llr+prior into the serving
+    expression) — one trained model, two consumers."""
+    # spread(): the labeled token stream is built twice (count pass +
+    # scoring pass) and the explode is the whole cost — same guard as
+    # _dsir_scored; no-op at scale (files >= cores).
+    docs = spread(table(spark, sf_dir, "documents"))
+    m = _gopher_metrics(docs, keep_words=True)
+    pos = F.coalesce(
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
+        F.lit(False),
+    )
+    lbl = m.select("doc_id", "wrds", pos.alias("pos"))
+    f = lbl.select(
+        "doc_id",
+        "pos",
+        F.explode(_nb_feats_array(F.col("wrds"))).alias("tok"),
+    ).select("doc_id", "pos", _nb_bucket(F.col("tok")).alias("bkt"))
+    c = f.groupBy("bkt").agg(
+        F.sum(F.col("pos").cast("long")).alias("pc"),
+        F.sum((~F.col("pos")).cast("long")).alias("nc"),
+    )
+    t = c.agg(F.sum("pc").alias("pn"), F.sum("nc").alias("nn"))
+    llr = c.crossJoin(F.broadcast(t)).select(
+        "bkt",
+        (
+            F.log((F.col("pc") + 1.0) / (F.col("pn") + NB_BUCKETS))
+            - F.log((F.col("nc") + 1.0) / (F.col("nn") + NB_BUCKETS))
+        ).alias("lam"),
+    )
+    prior = lbl.agg(
+        F.log(
+            (F.sum(F.col("pos").cast("long")) + 1.0)
+            / (F.sum((~F.col("pos")).cast("long")) + 1.0)
+        ).alias("pri")
+    )
+    return f, llr, prior
+
+
+
 @query(
     "text_quality_classifier_nb",
     f"""
@@ -1506,58 +1579,7 @@ _NB_SCORED_CTES = f"""{_GOPHER_METRICS_SQL},
     "none — BASELINE.json north-star operator.",
 )
 def text_quality_classifier_nb(spark, sf_dir):
-    # spread(): the labeled token stream is built twice (count pass +
-    # scoring pass) and the explode is the whole cost — same guard as
-    # _dsir_scored; no-op at scale (files >= cores).
-    docs = spread(table(spark, sf_dir, "documents"))
-    m = _gopher_metrics(docs, keep_words=True)
-    pos = F.coalesce(
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
-        F.lit(False),
-    )
-    lbl = m.select("doc_id", "wrds", pos.alias("pos"))
-    bkt = (
-        F.conv(F.substring(F.md5(F.lower(F.col("tok"))), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % NB_BUCKETS
-    )
-    # Bigrams ARRAY-SIDE (zip_with over two slices — the DSIR idiom):
-    # zero windows, the whole feature expansion stays in the scan
-    # stage's project.
-    nw = F.size("wrds")
-    bigrams = F.zip_with(
-        F.slice("wrds", F.lit(1), F.greatest(nw - 1, F.lit(0))),
-        F.slice("wrds", F.lit(2), F.greatest(nw - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    f = lbl.select(
-        "doc_id",
-        "pos",
-        F.explode(F.concat(F.col("wrds"), bigrams)).alias("tok"),
-    ).select("doc_id", "pos", bkt.alias("bkt"))
-    c = f.groupBy("bkt").agg(
-        F.sum(F.col("pos").cast("long")).alias("pc"),
-        F.sum((~F.col("pos")).cast("long")).alias("nc"),
-    )
-    t = c.agg(F.sum("pc").alias("pn"), F.sum("nc").alias("nn"))
-    llr = c.crossJoin(F.broadcast(t)).select(
-        "bkt",
-        (
-            F.log((F.col("pc") + 1.0) / (F.col("pn") + NB_BUCKETS))
-            - F.log((F.col("nc") + 1.0) / (F.col("nn") + NB_BUCKETS))
-        ).alias("lam"),
-    )
-    prior = lbl.agg(
-        F.log(
-            (F.sum(F.col("pos").cast("long")) + 1.0)
-            / (F.sum((~F.col("pos")).cast("long")) + 1.0)
-        ).alias("pri")
-    )
+    f, llr, prior = _nb_training(spark, sf_dir)
     logit = F.round(F.max("pri") + F.sum("lam"), 4)
     return (
         f.join(F.broadcast(llr), "bkt")

@@ -205,3 +205,22 @@ def test_classifier_topk_selects_per_source_terciles(spark):
         for r in kept:
             if r.source == s:
                 assert r.cut == cut
+
+
+def test_streaming_scorer_matches_batch_model(spark):
+    """Train-offline/score-online parity: the streaming scorer's
+    drained output must equal the batch classifier's (doc_id,
+    n_feats, nb_logit) triples exactly — one trained model, folded
+    into a stateless streaming projection.  The streaming plan must
+    carry NO state: no watermark, no stateful operator, no
+    stream-side join (the map literal is vocabulary state inside the
+    projection)."""
+    qs = all_queries()
+    batch = {
+        r.doc_id: (r.n_feats, r.nb_logit)
+        for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
+    }
+    live = qs["streaming_quality_score"].fn(spark, SF_DIR).collect()
+    assert len(live) == len(batch)
+    for r in live:
+        assert (r.n_feats, r.nb_logit) == batch[r.doc_id], r.doc_id
