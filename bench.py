@@ -87,6 +87,7 @@ SF1_EXTRA = [
     "audit_corpus_datasheet",   # r9 per-source corpus datasheet: 3 partial-agged corpus passes + digest equi-join dup check
     "text_bpe_fertility",       # r9 per-language fertility rollup over the shared BPE apply scan
     "sample_classifier_topk",   # r9 DCLM selection: shared NB scores + per-source percentile boundary keep
+    "pipeline_curate_v3",       # r9 classifier-gated curation: NB scoring + per-source cut + digest dedup + split datasheet
 ]
 
 

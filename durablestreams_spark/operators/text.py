@@ -1824,3 +1824,107 @@ def sample_classifier_topk(spark, sf_dir):
         .where(F.col("nb_logit") > F.col("cut"))
         .select("doc_id", "source", "nb_logit", "cut")
     )
+
+
+@query(
+    "pipeline_curate_v3",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    s AS (
+        SELECT n.doc_id, d.source, mm.n_words,
+               md5(d.text) AS content_hash, n.nb_logit
+        FROM nbs n
+        JOIN documents d USING (doc_id)
+        JOIN m mm USING (doc_id)
+    ),
+    cuts AS (
+        SELECT source,
+               floor(quantile_cont(nb_logit, 1.0/3) * 10000 + 0.5) / 10000
+                   AS cut
+        FROM s GROUP BY source
+    ),
+    kept AS (
+        SELECT s.* FROM s JOIN cuts c USING (source)
+        WHERE s.nb_logit > c.cut
+    ),
+    canon AS (
+        SELECT doc_id, source, n_words
+        FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                           ORDER BY doc_id) AS rn
+              FROM kept)
+        WHERE rn = 1
+    )
+    SELECT {_SPLIT_CASE} AS split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens
+    FROM canon
+    GROUP BY 1, 2
+    """,
+    doc="END-TO-END classifier-gated curation (the DCLM-era "
+    "composition, one generation past pipeline_curate_v2's rule+LM "
+    "recipe): NB quality scoring over the whole corpus (the shared "
+    "_NB_SCORED_CTES model — trained once on the Gopher seed labels) "
+    "→ drop each SOURCE's worst tercile by logit (per-source cuts so "
+    "no domain is wiped out by a cross-domain score shift — the "
+    "classifier twin of curate_v2's per-language CCNet gate) → exact "
+    "content-hash dedup (min-id canonical, one digest window) → "
+    "reproducible md5 split assignment, reported as docs/tokens per "
+    "(split, source) — the datasheet a training run consumes.  Every "
+    "stage reuses the exact shared definition its standalone graded "
+    "query runs (_NB_SCORED_CTES, the sample_classifier_topk boundary "
+    "pattern at the 1/3 cut, pipeline_curate_v2's digest-window dedup "
+    "and _SPLIT_CASE).  Scale: scoring is the bounded-broadcast NB "
+    "pass; the gate is one exact-percentile aggregate per source "
+    "(state bounded by the 4-dp grid, O(#sources) cuts broadcast) + "
+    "a row-local keep; dedup is ONE row_number window on the 16-byte "
+    "digest (key-partitioned, never corpus-proportional); split and "
+    "datasheet are row-local projection + partial agg.  Each stage "
+    "drops data before the next shuffle.",
+)
+def pipeline_curate_v3(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "n_feats", "nb_logit"
+    )
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.md5("text").alias("content_hash"),
+    )
+    # localCheckpoint: the NB-scored subtree feeds the cuts aggregate
+    # AND the selection join — materialize once (the
+    # with_lang_tercile_bucket pattern).
+    s = scored.join(meta, "doc_id").localCheckpoint()
+    cuts = s.groupBy(F.col("source").alias("_cut_src")).agg(
+        (
+            F.floor(F.expr("percentile(nb_logit, 1.0D/3)") * 10000 + 0.5)
+            / 10000
+        ).alias("cut")
+    )
+    kept = (
+        s.join(F.broadcast(cuts), F.col("source") == F.col("_cut_src"))
+        .where(F.col("nb_logit") > F.col("cut"))
+        .drop("_cut_src", "cut")
+    )
+    canon = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        canon.select(_split_col().alias("split"), "source", "n_words")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_tokens"),
+        )
+    )

@@ -224,3 +224,45 @@ def test_streaming_scorer_matches_batch_model(spark):
     assert len(live) == len(batch)
     for r in live:
         assert (r.n_feats, r.nb_logit) == batch[r.doc_id], r.doc_id
+
+
+def test_curate_v3_composition_matches_hand_rollup(spark):
+    """pipeline_curate_v3's datasheet must equal the hand-composed
+    stages run from the standalone graded outputs: NB scores ->
+    per-source 1/3-percentile cut (strict >) -> min-id dedup by
+    content md5 -> md5 split -> (split, source) doc/token rollup."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    qs = all_queries()
+    nb = {r.doc_id: r.nb_logit
+          for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    meta = {r.doc_id: r for r in docs}
+
+    by_src = defaultdict(list)
+    for did, v in nb.items():
+        by_src[meta[did].source].append(v)
+    cut = {}
+    for s, vals in by_src.items():
+        vals.sort()
+        rank = (len(vals) - 1) / 3.0
+        lo, frac = int(math.floor(rank)), rank - math.floor(rank)
+        q = vals[lo] + frac * (vals[min(lo + 1, len(vals) - 1)] - vals[lo])
+        cut[s] = math.floor(q * 10000 + 0.5) / 10000
+    kept = [did for did, v in nb.items() if v > cut[meta[did].source]]
+    canon = {}
+    for did in sorted(kept):
+        h = hashlib.md5(meta[did].text.encode()).hexdigest()
+        canon.setdefault(h, did)
+    want = defaultdict(lambda: [0, 0])
+    for did in canon.values():
+        h2 = hashlib.md5(f"{did}:split".encode()).hexdigest()[:2]
+        split = "train" if h2 < "cc" else ("valid" if h2 < "e6" else "test")
+        n_words = len([t for t in __import__("re").split(r"\s+", meta[did].text) if t])
+        want[(split, meta[did].source)][0] += 1
+        want[(split, meta[did].source)][1] += n_words
+    got = {(r.split, r.source): (r.n_docs, r.sum_tokens)
+           for r in qs["pipeline_curate_v3"].fn(spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in want.items()}
