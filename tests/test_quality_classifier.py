@@ -263,6 +263,15 @@ def test_curate_v3_composition_matches_hand_rollup(spark):
         n_words = len([t for t in __import__("re").split(r"\s+", meta[did].text) if t])
         want[(split, meta[did].source)][0] += 1
         want[(split, meta[did].source)][1] += n_words
+    df = qs["pipeline_curate_v3"].fn(spark, SF_DIR)
+    # exactly ONE Window operator in the whole composed plan: the
+    # row_number over the 16-byte content digest (key-partitioned
+    # dedup) — the classifier gate itself is window-free boundary
+    # classification.  (WindowGroupLimit nodes are the rank-limit
+    # pushdown of that same window, not extra sorts.)
+    import re
+
+    assert len(re.findall(r"\bWindow \(\d+\)", formatted_plan(df))) == 1
     got = {(r.split, r.source): (r.n_docs, r.sum_tokens)
-           for r in qs["pipeline_curate_v3"].fn(spark, SF_DIR).collect()}
+           for r in df.collect()}
     assert got == {k: tuple(v) for k, v in want.items()}
