@@ -92,9 +92,17 @@ def main():
             continue
         rec = {"q": name}
         try:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # Engine wall time to full materialization — makes every
+            # full-mirror artifact double as a per-query timing record
+            # (the per-round evidence VERDICT r8 asked for), at mirror
+            # concurrency (MIRROR_CPUS), not the bench's local[32].
+            rec["spark_sec"] = round(_time.perf_counter() - _t0, 2)
             rec["spark_rows"] = len(srows)
             if name in oracles:
                 dcols, drows = duck(oracles[name])
