@@ -680,3 +680,80 @@ def sequence_pattern_match(spark, sf_dir):
         F.length("journey").cast("long").alias("journey_len"),
         n_matches.cast("long").alias("n_matches"),
     ).where(F.col("n_matches") >= 1)
+
+
+@query(
+    "timeseries_hour_anomaly",
+    """
+    WITH hc AS (
+        SELECT user_id, hour(ts) AS h, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ut AS (SELECT user_id, sum(c) AS n_u FROM hc GROUP BY 1),
+    gt AS (SELECT h, sum(c) AS c_g FROM hc GROUP BY 1),
+    tot AS (SELECT sum(c_g) AS n FROM gt),
+    grid AS (
+        SELECT u.user_id, u.n_u, hh.h, coalesce(x.c, 0) AS c_u
+        FROM ut u
+        CROSS JOIN (SELECT unnest(range(24)) AS h) hh
+        LEFT JOIN hc x ON x.user_id = u.user_id AND x.h = hh.h
+    ),
+    kl AS (
+        SELECT g.user_id, max(g.n_u) AS n_events,
+               sum(((g.c_u + 1.0) / (g.n_u + 24))
+                   * (ln((g.c_u + 1.0) / (g.n_u + 24))
+                      - ln((t2.c_g + 1.0) / (o.n + 24)))) AS kl
+        FROM grid g JOIN gt t2 USING (h) CROSS JOIN tot o
+        GROUP BY g.user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(kl, 6) AS kl_nats
+    FROM kl
+    ORDER BY kl_nats DESC, user_id
+    LIMIT 50
+    """,
+    doc="Behavioral time-series anomaly screen: each user's hour-of-"
+    "day activity histogram vs the global profile as an add-one-"
+    "smoothed KL divergence over the FIXED 24-bin support, top-50 "
+    "most-divergent users — the bot/abuse/timezone-outlier triage "
+    "pass a production event pipeline runs (cf. the stream-"
+    "similarity line of work, e.g. 'Time Series Similarity Search "
+    "for Streaming Data', EDBT 2019 — here with a constant-length "
+    "profile vector so the comparison is row-local instead of "
+    "all-pairs).  Scale: the ONLY corpus-sized pass is the "
+    "(user, hour) partial agg, whose output is <= 24 rows per user "
+    "(linear, map-side-combined); the hour grid is a broadcast "
+    "24-row table, the global profile is 24 rows + one scalar, the "
+    "KL is a per-user aggregation over <= 24 rows, and the top-50 is "
+    "TakeOrdered on the ROUNDED divergence with user_id tie-break "
+    "(the DSIR ranking rule: ulp noise cannot reorder graded rows).  "
+    "No windows, no corpus-proportional broadcast, no all-pairs.",
+)
+def timeseries_hour_anomaly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ut = hc.groupBy("user_id").agg(F.sum("c").alias("n_u"))
+    gt = hc.groupBy("h").agg(F.sum("c").alias("c_g"))
+    tot = gt.agg(F.sum("c_g").alias("n"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    grid = (
+        ut.crossJoin(F.broadcast(hours))
+        .join(hc, ["user_id", "h"], "left")
+        .select(
+            "user_id", "n_u", "h", F.coalesce("c", F.lit(0)).alias("c_u")
+        )
+    )
+    p = (F.col("c_u") + 1.0) / (F.col("n_u") + 24)
+    q = (F.col("c_g") + 1.0) / (F.col("n") + 24)
+    kl = (
+        grid.join(F.broadcast(gt), "h")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_u").cast("long").alias("n_events"),
+            F.round(F.sum(p * (F.log(p) - F.log(q))), 6).alias("kl_nats"),
+        )
+    )
+    return kl.orderBy(F.col("kl_nats").desc(), "user_id").limit(50)
