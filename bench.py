@@ -88,6 +88,8 @@ SF1_EXTRA = [
     "text_bpe_fertility",       # r9 per-language fertility rollup over the shared BPE apply scan
     "sample_classifier_topk",   # r9 DCLM selection: shared NB scores + per-source percentile boundary keep
     "pipeline_curate_v3",       # r9 classifier-gated curation: NB scoring + per-source cut + digest dedup + split datasheet
+    "streaming_quality_score",  # r9 stateless streaming model serving: batch-trained NB map literal over the doc stream
+    "timeseries_hour_anomaly",  # r9 behavioral KL anomaly screen: (user,hour) partial agg + 24-bin broadcast profile
 ]
 
 
