@@ -275,3 +275,39 @@ def test_curate_v3_composition_matches_hand_rollup(spark):
     got = {(r.split, r.source): (r.n_docs, r.sum_tokens)
            for r in df.collect()}
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_nb_model_cache_cold_warm_parity(spark, tmp_path):
+    """The persisted NB model must serve the same scores cold
+    (training inline, writing the cache) and warm (reading it), and a
+    fixture fingerprint change must invalidate the marker — the
+    cache_marker doctrine applied to the model store."""
+    import os
+    import shutil
+
+    from durablestreams_spark.operators.cache_marker import marker_current
+
+    root = os.path.join(
+        "/tmp/durablestreams_nbmodel_v1",
+        os.path.basename(os.path.normpath(SF_DIR)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    qs = all_queries()
+    cold = {
+        r.doc_id: r.nb_logit
+        for r in qs["streaming_quality_score"].fn(spark, SF_DIR).collect()
+    }
+    assert os.path.exists(os.path.join(root, "model.json"))
+    warm = {
+        r.doc_id: r.nb_logit
+        for r in qs["streaming_quality_score"].fn(spark, SF_DIR).collect()
+    }
+    assert cold == warm
+    # a different fixture dir (different fingerprint) must not reuse
+    # this marker
+    assert not marker_current(
+        os.path.join(root, "_built"),
+        "/root/testdata/sf0.01",
+        name="documents",
+        params="nb1024:uni+bi:curate-stop1:v1",
+    )
