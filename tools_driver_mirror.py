@@ -87,8 +87,11 @@ def main():
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     n_pass = n_fail = 0
     failures = []
-    for name in sorted(qs):
-        if only and name not in only:
+    # An explicit include list runs in ITS order (lets a time-boxed
+    # run put the highest-value queries first); the full sweep stays
+    # alphabetical.
+    for name in (only if only else sorted(qs)):
+        if name not in qs:
             continue
         rec = {"q": name}
         try:
