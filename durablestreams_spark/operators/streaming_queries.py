@@ -1099,8 +1099,14 @@ def streaming_quality_score(spark, sf_dir):
     scored = raw.select(
         "doc_id", _nb_feats_array(wrds).alias("feats")
     ).where(F.size("feats") > 0)
+    # Exact decimal accumulation (the batch classifier's policy — see
+    # _NB_SCORED_CTES): each lam double casts to DECIMAL(38,18)
+    # identically everywhere and the decimal sum is order-independent,
+    # so the streamed logit is bit-equal to the batch logit by
+    # construction, not by luck of summation order.
+    dec = "decimal(38,18)"
     logit = F.round(
-        F.lit(float(pri))
+        F.lit(float(pri)).cast(dec)
         + F.aggregate(
             F.transform(
                 F.col("feats"),
@@ -1109,11 +1115,11 @@ def streaming_quality_score(spark, sf_dir):
                     lam_arr, (_nb_bucket(t) + 1).cast("int")
                 ),
             ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+            F.lit(0).cast(dec),
+            lambda a, x: (a + x.cast(dec)).cast(dec),
         ),
         4,
-    )
+    ).cast("double")
     out = scored.select(
         "doc_id",
         F.size("feats").cast("long").alias("n_feats"),

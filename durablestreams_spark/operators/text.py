@@ -1461,9 +1461,18 @@ _NB_SCORED_CTES = f"""{_GOPHER_METRICS_SQL},
         FROM lbl
     ),
     nbs AS (
+        -- DECIMAL(38,18) per-term cast + exact decimal sum (the
+        -- SCALE.md money-aggregate policy): a double sum of ~1000
+        -- lam terms carries order-dependent ulp noise that can flip
+        -- round(.,4) between engines and BETWEEN RUNS (observed once
+        -- at sf1: hash-flip that a rerun couldn't reproduce).  The
+        -- per-term double->decimal cast is identical in every engine
+        -- and the decimal sum is order-independent.
         SELECT f.doc_id, f.pos AS gopher_keep,
                CAST(count(*) AS BIGINT) AS n_feats,
-               round(max(p.pri) + sum(l.lam), 4) AS nb_logit
+               CAST(round(CAST(max(p.pri) AS DECIMAL(38, 18))
+                          + sum(CAST(l.lam AS DECIMAL(38, 18))), 4)
+                    AS DOUBLE) AS nb_logit
         FROM f JOIN llr l USING (bkt) CROSS JOIN prior p
         GROUP BY f.doc_id, f.pos
     )"""
@@ -1580,7 +1589,14 @@ def _nb_training(spark, sf_dir):
 )
 def text_quality_classifier_nb(spark, sf_dir):
     f, llr, prior = _nb_training(spark, sf_dir)
-    logit = F.round(F.max("pri") + F.sum("lam"), 4)
+    # Exact decimal sum of the per-bucket llr terms — see the
+    # _NB_SCORED_CTES note: double summation order flips round(.,4)
+    # at scale; the decimal sum is order-independent and bit-equal
+    # across engines and runs (SCALE.md money-aggregate policy).
+    dec = "decimal(38,18)"
+    logit = F.round(
+        F.max(F.col("pri").cast(dec)) + F.sum(F.col("lam").cast(dec)), 4
+    ).cast("double")
     return (
         f.join(F.broadcast(llr), "bkt")
         .crossJoin(F.broadcast(prior))
