@@ -1944,3 +1944,60 @@ def pipeline_curate_v3(spark, sf_dir):
             F.sum("n_words").cast("long").alias("sum_tokens"),
         )
     )
+
+
+@query(
+    "sample_quality_resample",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    g AS (
+        SELECT doc_id, nb_logit,
+               -ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':nbsel'), 1, 8) AS BIGINT)
+                        + 0.5) / 4294967296.0)) AS gum
+        FROM nbs
+    )
+    SELECT doc_id, nb_logit,
+           round(nb_logit + gum, 4) AS gumbel_key
+    FROM g
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc="SOFT quality selection — the sampling twin of "
+    "sample_classifier_topk's hard cut: Gumbel-top-k over the shared "
+    "NB logits (key = logit + Gumbel(0,1)) draws an exact weighted "
+    "sample without replacement with p ∝ exp(logit) — the "
+    "temperature-1 softmax selection FineWeb-Edu-style pipelines use "
+    "to keep quality-correlated DIVERSITY that a hard top-k "
+    "collapses (borderline docs keep a proportional chance instead "
+    "of a cliff).  Mechanics are exactly sample_dsir_resample's "
+    "graded idiom: the Gumbel uniform is md5-derived (never rand() — "
+    "must survive re-runs, engine swaps, repartitioning; u=(h+0.5)/"
+    "2^32 keeps the key finite), selection is TakeOrdered on the "
+    "ROUNDED key with doc_id tie-break so cross-engine ulp noise "
+    "cannot reorder graded rows.  Scale: one row-local key "
+    "expression over the bounded-broadcast NB scoring pass + "
+    "TakeOrdered(50) — no window, no global sort.",
+)
+def sample_quality_resample(spark, sf_dir):
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "nb_logit"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":nbsel"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("nb_logit") + (-F.log(-F.log(u))), 4)
+    return (
+        scored.select("doc_id", "nb_logit", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(50)
+    )

@@ -311,3 +311,28 @@ def test_nb_model_cache_cold_warm_parity(spark, tmp_path):
         name="documents",
         params="nb1024:uni+bi:curate-stop1:v1",
     )
+
+
+def test_quality_resample_is_weighted_sample_not_rank(spark):
+    """Gumbel-top-k must differ from plain rank-by-logit (otherwise
+    it silently degenerated into the hard cut), every key must equal
+    logit + Gumbel(md5-uniform) recomputed by hand, and the plan must
+    be TakeOrdered (no window, no global sort)."""
+    import hashlib
+    import math
+
+    qs = all_queries()
+    df = qs["sample_quality_resample"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    nb = {r.doc_id: r.nb_logit
+          for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()}
+    for r in rows:
+        h = int(hashlib.md5(f"{r.doc_id}:nbsel".encode()).hexdigest()[:8], 16)
+        gum = -math.log(-math.log((h + 0.5) / 4294967296.0))
+        assert abs(r.gumbel_key - (nb[r.doc_id] + gum)) < 1e-4
+    top_rank = set(sorted(nb, key=lambda d: (-nb[d], d))[: len(rows)])
+    assert {r.doc_id for r in rows} != top_rank, "degenerated into rank"
