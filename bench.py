@@ -90,6 +90,7 @@ SF1_EXTRA = [
     "pipeline_curate_v3",       # r9 classifier-gated curation: NB scoring + per-source cut + digest dedup + split datasheet
     "streaming_quality_score",  # r9 stateless streaming model serving: batch-trained NB map literal over the doc stream
     "timeseries_hour_anomaly",  # r9 behavioral KL anomaly screen: (user,hour) partial agg + 24-bin broadcast profile
+    "sample_quality_resample",  # r9 soft quality selection: Gumbel-top-k over the shared NB logits, TakeOrdered
 ]
 
 
