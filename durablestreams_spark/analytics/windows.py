@@ -702,8 +702,8 @@ def sequence_pattern_match(spark, sf_dir):
         SELECT g.user_id, max(g.n_u) AS n_events,
                sum(((g.c_u + 1.0) / (g.n_u + 24))
                    * (ln((g.c_u + 1.0) / (g.n_u + 24))
-                      - ln((t2.c_g + 1.0) / (o.n + 24)))) AS kl
-        FROM grid g JOIN gt t2 USING (h) CROSS JOIN tot o
+                      - ln((coalesce(t2.c_g, 0) + 1.0) / (o.n + 24)))) AS kl
+        FROM grid g LEFT JOIN gt t2 USING (h) CROSS JOIN tot o
         GROUP BY g.user_id
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
@@ -746,9 +746,13 @@ def timeseries_hour_anomaly(spark, sf_dir):
         )
     )
     p = (F.col("c_u") + 1.0) / (F.col("n_u") + 24)
-    q = (F.col("c_g") + 1.0) / (F.col("n") + 24)
+    # left join + coalesce: an hour with zero corpus-wide events must
+    # keep its smoothed term (the support is the FIXED 24 bins, not
+    # the observed ones) — an inner join would silently shrink every
+    # user's sum and distort the ranking on data with ingest gaps.
+    q = (F.coalesce(F.col("c_g"), F.lit(0)) + 1.0) / (F.col("n") + 24)
     kl = (
-        grid.join(F.broadcast(gt), "h")
+        grid.join(F.broadcast(gt), "h", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("user_id")
         .agg(

@@ -1154,15 +1154,40 @@ def sample_dsir_importance(spark, sf_dir):
     )
 
 
+def gumbel_col(id_col, salt: str):
+    """Deterministic Gumbel(0,1) noise from an md5-derived uniform —
+    the shared weighted-sampling primitive (Gumbel-top-k = exact
+    weighted sample without replacement): u = (h + 0.5) / 2^32 keeps
+    u strictly inside (0,1) so -ln(-ln(u)) is always finite; never
+    rand(), which could not survive re-runs, engine swaps or
+    repartitioning.  One definition for every engine-side consumer
+    (sample_dsir_resample, sample_quality_resample); the matching SQL
+    is gumbel_sql()."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    return -F.log(-F.log(u))
+
+
+def gumbel_sql(id_expr: str, salt: str) -> str:
+    """The DuckDB half of :func:`gumbel_col` — one definition, every
+    oracle consumer."""
+    return (
+        f"-ln(-ln((CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) "
+        f"|| '{salt}'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0))"
+    )
+
+
 @query(
     "sample_dsir_resample",
     f"""
     WITH {_DSIR_CTES},
     g AS (
         SELECT doc_id, lang, w_raw,
-               -ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                            || ':dsir'), 1, 8) AS BIGINT)
-                        + 0.5) / 4294967296.0)) AS gum
+               {gumbel_sql("doc_id", ":dsir")} AS gum
         FROM scored)
     SELECT doc_id, lang,
            round(w_raw, 4) AS dsir_logweight,
@@ -1188,17 +1213,7 @@ def sample_dsir_importance(spark, sf_dir):
 )
 def sample_dsir_resample(spark, sf_dir):
     scored = _dsir_scored(spark, sf_dir)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-    gum = -F.log(-F.log(u))
+    gum = gumbel_col(F.col("doc_id"), ":dsir")
     return (
         scored.select(
             "doc_id",

@@ -1037,7 +1037,7 @@ def streaming_quality_score(spark, sf_dir):
     import json as _json
     import shutil as _shutil
 
-    from .text import NB_BUCKETS
+    from .text import CURATE_MIN_STOPWORDS, NB_BUCKETS
 
     # Persisted-model cache (the similarity.py ANN-index pattern —
     # FAISS's train-once/serve-many): the collected model is 1024
@@ -1057,7 +1057,7 @@ def streaming_quality_score(spark, sf_dir):
     # seed-label threshold.  Changing any of them — or bumping the
     # trailing version on a training-logic change — invalidates every
     # existing cache automatically.
-    params = f"nb{NB_BUCKETS}:uni+bi:curate-stop1:v1"
+    params = f"nb{NB_BUCKETS}:uni+bi:curate-stop{CURATE_MIN_STOPWORDS}:v1"
     if marker_current(marker, sf_dir, name="documents", params=params):
         with open(model_p) as fh:
             model = _json.load(fh)
@@ -1100,11 +1100,19 @@ def streaming_quality_score(spark, sf_dir):
         "doc_id", _nb_feats_array(wrds).alias("feats")
     ).where(F.size("feats") > 0)
     # Exact decimal accumulation (the batch classifier's policy — see
-    # _NB_SCORED_CTES): each lam double casts to DECIMAL(38,18)
+    # _NB_SCORED_CTES): each lam double casts to scale-18 decimal
     # identically everywhere and the decimal sum is order-independent,
     # so the streamed logit is bit-equal to the batch logit by
-    # construction, not by luck of summation order.
-    dec = "decimal(38,18)"
+    # construction, not by luck of summation order.  Precision 28,
+    # NOT 38: Spark types (38,18)+(38,18) as (38,17) — the precision
+    # cap forces a scale drop that rounds the 18th digit away on
+    # EVERY fold step (verified: 1e-18 + 1e-18 at (38,18) evaluates
+    # to 0E-17).  At (28,18) the add result is (29,18) — no precision
+    # loss — and the cast back to (28,18) is exact for any |sum| <
+    # 1e10, far above any logit.  The double→decimal(.,18) cast
+    # itself is precision-independent, so the terms still equal the
+    # batch/oracle (38,18) terms digit-for-digit.
+    dec = "decimal(28,18)"
     logit = F.round(
         F.lit(float(pri)).cast(dec)
         + F.aggregate(

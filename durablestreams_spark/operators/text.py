@@ -1236,6 +1236,24 @@ def _gopher_metrics(docs, keep_words=False):
 
 
 
+def _gopher_keep_curate_col():
+    """The five-rule curate-threshold keep over _gopher_metrics
+    columns — the Spark half of _GOPHER_KEEP_CURATE_SQL (one
+    definition; coalesce makes a zero-word doc's NULL metrics read as
+    drop, matching the SQL).  Consumers: the NB seed labels and the
+    corpus datasheet; pipeline_curate_v2 gates on text_gopher_rules'
+    graded flag columns instead (same thresholds via the shared
+    constants)."""
+    return F.coalesce(
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
+        F.lit(False),
+    )
+
+
 @query(
     "text_gopher_rules",
     f"""
@@ -1515,15 +1533,7 @@ def _nb_training(spark, sf_dir):
     # _dsir_scored; no-op at scale (files >= cores).
     docs = spread(table(spark, sf_dir, "documents"))
     m = _gopher_metrics(docs, keep_words=True)
-    pos = F.coalesce(
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
-        F.lit(False),
-    )
-    lbl = m.select("doc_id", "wrds", pos.alias("pos"))
+    lbl = m.select("doc_id", "wrds", _gopher_keep_curate_col().alias("pos"))
     f = lbl.select(
         "doc_id",
         "pos",
@@ -1645,7 +1655,8 @@ def text_quality_classifier_nb(spark, sf_dir):
                AS curate_keep_rate,
            floor(sum(is_dup) * 1.0 / count(*) * 10000 + 0.5) / 10000
                AS exact_dup_rate,
-           round(avg(avg_nll), 4) AS mean_nll
+           floor(CAST(sum(CAST(avg_nll AS DECIMAL(38, 6))) AS DOUBLE)
+                 / count(avg_nll) * 10000 + 0.5) / 10000 AS mean_nll
     FROM per_doc
     GROUP BY source
     ORDER BY source
@@ -1676,15 +1687,9 @@ def text_quality_classifier_nb(spark, sf_dir):
 def audit_corpus_datasheet(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     m = _gopher_metrics(docs)
-    keep = F.coalesce(
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
-        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("n_stop") >= CURATE_MIN_STOPWORDS),
-        F.lit(False),
-    ).cast("long")
-    g = m.select("doc_id", "n_words", keep.alias("keep"))
+    g = m.select(
+        "doc_id", "n_words", _gopher_keep_curate_col().cast("long").alias("keep")
+    )
     nll = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
     hashes = docs.select(
         "doc_id", "source", "lang", F.md5("text").alias("h")
@@ -1717,7 +1722,22 @@ def audit_corpus_datasheet(spark, sf_dir):
                 F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 10000 + 0.5)
                 / 10000
             ).alias("exact_dup_rate"),
-            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+            # exact decimal sum (per-doc avg_nll is 4-dp rounded, so
+            # the DECIMAL(38,6) cast is lossless) then ONE double
+            # division + floor-form rounding: a plain double avg over
+            # a corpus-sized per-source set is order-dependent — the
+            # same flip class the NB logit hit at sf1.
+            (
+                F.floor(
+                    F.sum(F.col("avg_nll").cast("decimal(38,6)")).cast(
+                        "double"
+                    )
+                    / F.count("avg_nll")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_nll"),
         )
         .orderBy("source")
     )
@@ -1902,7 +1922,7 @@ def pipeline_curate_v3(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     scored = text_quality_classifier_nb(spark, sf_dir).select(
-        "doc_id", "n_feats", "nb_logit"
+        "doc_id", "nb_logit"
     )
     meta = docs.select(
         "doc_id",
@@ -1946,15 +1966,17 @@ def pipeline_curate_v3(spark, sf_dir):
     )
 
 
+# Shared Gumbel SQL — one definition with sample_dsir_resample.
+from .pipeline_llm import gumbel_sql  # noqa: E402
+
+
 @query(
     "sample_quality_resample",
     f"""
     WITH {_NB_SCORED_CTES},
     g AS (
         SELECT doc_id, nb_logit,
-               -ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                            || ':nbsel'), 1, 8) AS BIGINT)
-                        + 0.5) / 4294967296.0)) AS gum
+               {gumbel_sql("doc_id", ":nbsel")} AS gum
         FROM nbs
     )
     SELECT doc_id, nb_logit,
@@ -1980,22 +2002,12 @@ def pipeline_curate_v3(spark, sf_dir):
     "TakeOrdered(50) — no window, no global sort.",
 )
 def sample_quality_resample(spark, sf_dir):
+    from .pipeline_llm import gumbel_col
+
     scored = text_quality_classifier_nb(spark, sf_dir).select(
         "doc_id", "nb_logit"
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":nbsel"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 0.5
-    ) / F.lit(4294967296.0)
-    key = F.round(F.col("nb_logit") + (-F.log(-F.log(u))), 4)
+    key = F.round(F.col("nb_logit") + gumbel_col(F.col("doc_id"), ":nbsel"), 4)
     return (
         scored.select("doc_id", "nb_logit", key.alias("gumbel_key"))
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
