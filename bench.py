@@ -91,6 +91,7 @@ SF1_EXTRA = [
     "streaming_quality_score",  # r9 stateless streaming model serving: batch-trained NB map literal over the doc stream
     "timeseries_hour_anomaly",  # r9 behavioral KL anomaly screen: (user,hour) partial agg + 24-bin broadcast profile
     "sample_quality_resample",  # r9 soft quality selection: Gumbel-top-k over the shared NB logits, TakeOrdered
+    "streaming_quality_monitor",  # r9 LIVE per-source quality dashboard: bounded O(#sources) complete-mode state
 ]
 
 

@@ -1001,6 +1001,97 @@ def streaming_tws_lastn(spark, sf_dir):
 from .text import _NB_SCORED_CTES  # noqa: E402
 
 
+def _nb_serving_model(spark, sf_dir):
+    """(lam dict, prior) from the persisted-model cache — trains and
+    writes the cache on miss (the similarity.py ANN-index pattern,
+    FAISS's train-once/serve-many: the offline training pass must not
+    be charged to every serve; measured 15 s of the 28 s sf1 serve
+    before the cache landed).  The collected model is NB_BUCKETS
+    floats + a scalar, fingerprint-keyed to the documents fixture
+    with every model-shaping knob folded into the params tag
+    (cache_marker doctrine); bump the trailing version on a
+    training-logic change."""
+    import json as _json
+    import shutil as _shutil
+
+    from .text import CURATE_MIN_STOPWORDS, NB_BUCKETS, _nb_training
+
+    root = os.path.join(
+        "/tmp/durablestreams_nbmodel_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    model_p = os.path.join(root, "model.json")
+    params = f"nb{NB_BUCKETS}:uni+bi:curate-stop{CURATE_MIN_STOPWORDS}:v1"
+    if marker_current(marker, sf_dir, name="documents", params=params):
+        with open(model_p) as fh:
+            model = _json.load(fh)
+        return (
+            {int(k): float(v) for k, v in model["lam"].items()},
+            float(model["pri"]),
+        )
+    _shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _, llr, prior = _nb_training(spark, sf_dir)
+    # Bounded collects: llr is NB_BUCKETS rows by construction, the
+    # prior one scalar — vocabulary state (SCALE.md §9).
+    lam = {int(r["bkt"]): float(r["lam"]) for r in llr.collect()}
+    pri = float(prior.collect()[0]["pri"])
+    with open(model_p + ".tmp", "w") as fh:
+        _json.dump({"lam": lam, "pri": pri}, fh)
+    os.replace(model_p + ".tmp", model_p)
+    write_marker(marker, sf_dir, name="documents", params=params)
+    return lam, pri
+
+
+def _nb_logit_col(feats_col, lam, pri):
+    """Row-local serving expression: the 4-dp-rounded NB logit of a
+    features array under the collected model.  The model is a DENSE
+    ARRAY literal indexed by bucket id, NOT a map literal: element_at
+    on a literal map is an O(buckets) LINEAR SCAN per lookup
+    (ArrayBasedMapData has no hash index; measured 28 s vs 3 s for
+    the same sf1 scoring pass); array indexing is O(1).  Accumulation
+    is exact decimal at scale 18 (the batch classifier's policy, see
+    _NB_SCORED_CTES) — precision 28, NOT 38: Spark types
+    (38,18)+(38,18) as (38,17), a per-step scale drop (verified:
+    1e-18 + 1e-18 at (38,18) evaluates to 0E-17); (28,18) adds to
+    (29,18) losslessly and casts back exactly for any |sum| < 1e10.
+    Buckets absent from training default to 0.0 (no evidence) —
+    unreachable when serving the training corpus."""
+    from .text import NB_BUCKETS, _nb_bucket
+
+    lam_arr = F.array(*[F.lit(lam.get(b, 0.0)) for b in range(NB_BUCKETS)])
+    dec = "decimal(28,18)"
+    return F.round(
+        F.lit(float(pri)).cast(dec)
+        + F.aggregate(
+            F.transform(
+                feats_col,
+                # +1: element_at on arrays is 1-indexed
+                lambda t: F.element_at(
+                    lam_arr, (_nb_bucket(t) + 1).cast("int")
+                ),
+            ),
+            F.lit(0).cast(dec),
+            lambda a, x: (a + x.cast(dec)).cast(dec),
+        ),
+        4,
+    ).cast("double")
+
+
+def _docs_stream(spark, sf_dir: str):
+    """The documents table replayed as a stream."""
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+
 @query(
     "streaming_quality_score",
     f"""
@@ -1032,102 +1123,14 @@ from .text import _NB_SCORED_CTES  # noqa: E402
     "batch classifier's scores doc-for-doc (same oracle CTEs).",
 )
 def streaming_quality_score(spark, sf_dir):
-    from .text import _nb_bucket, _nb_feats_array, _nb_training
+    from .text import _nb_feats_array
 
-    import json as _json
-    import shutil as _shutil
-
-    from .text import CURATE_MIN_STOPWORDS, NB_BUCKETS
-
-    # Persisted-model cache (the similarity.py ANN-index pattern —
-    # FAISS's train-once/serve-many): the collected model is 1024
-    # floats + a scalar, fingerprint-keyed to the documents fixture
-    # and the bucket count.  Training inline on every serve would
-    # charge the one-time offline cost (a full labeled explode+count
-    # pass) to every streaming run — measured 15 s of the 28 s sf1
-    # serve; cached, serving is just the stateless scan.
-    root = os.path.join(
-        "/tmp/durablestreams_nbmodel_v1",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    marker = os.path.join(root, "_built")
-    model_p = os.path.join(root, "model.json")
-    # The params tag folds every model-shaping knob into the cache
-    # key (cache_marker doctrine): bucket count + feature set +
-    # seed-label threshold.  Changing any of them — or bumping the
-    # trailing version on a training-logic change — invalidates every
-    # existing cache automatically.
-    params = f"nb{NB_BUCKETS}:uni+bi:curate-stop{CURATE_MIN_STOPWORDS}:v1"
-    if marker_current(marker, sf_dir, name="documents", params=params):
-        with open(model_p) as fh:
-            model = _json.load(fh)
-        lam = {int(k): float(v) for k, v in model["lam"].items()}
-        pri = float(model["pri"])
-    else:
-        _shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        _, llr, prior = _nb_training(spark, sf_dir)
-        # Bounded collects: llr is NB_BUCKETS rows by construction,
-        # the prior one scalar — vocabulary state (SCALE.md §9).
-        lam = {int(r["bkt"]): float(r["lam"]) for r in llr.collect()}
-        pri = float(prior.collect()[0]["pri"])
-        with open(model_p + ".tmp", "w") as fh:
-            _json.dump({"lam": lam, "pri": pri}, fh)
-        os.replace(model_p + ".tmp", model_p)
-        write_marker(marker, sf_dir, name="documents", params=params)
-    # Served as a DENSE ARRAY literal indexed by bucket id, NOT a map
-    # literal: element_at on a literal map is an O(buckets) linear
-    # scan PER LOOKUP (ArrayBasedMapData has no hash index), which
-    # measured 28 s vs 3 s for the same scoring pass at sf1; array
-    # indexing is O(1).  Buckets absent from training default to 0.0
-    # (no evidence) — unreachable when serving the training corpus
-    # (every scored bucket was counted), and for genuinely new data
-    # it is the neutral score.
-    lam_arr = F.array(
-        *[F.lit(lam.get(b, 0.0)) for b in range(NB_BUCKETS)]
-    )
-
-    raw = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, "
-            "n_chars long"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    lam, pri = _nb_serving_model(spark, sf_dir)
     wrds = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    scored = raw.select(
+    scored = _docs_stream(spark, sf_dir).select(
         "doc_id", _nb_feats_array(wrds).alias("feats")
     ).where(F.size("feats") > 0)
-    # Exact decimal accumulation (the batch classifier's policy — see
-    # _NB_SCORED_CTES): each lam double casts to scale-18 decimal
-    # identically everywhere and the decimal sum is order-independent,
-    # so the streamed logit is bit-equal to the batch logit by
-    # construction, not by luck of summation order.  Precision 28,
-    # NOT 38: Spark types (38,18)+(38,18) as (38,17) — the precision
-    # cap forces a scale drop that rounds the 18th digit away on
-    # EVERY fold step (verified: 1e-18 + 1e-18 at (38,18) evaluates
-    # to 0E-17).  At (28,18) the add result is (29,18) — no precision
-    # loss — and the cast back to (28,18) is exact for any |sum| <
-    # 1e10, far above any logit.  The double→decimal(.,18) cast
-    # itself is precision-independent, so the terms still equal the
-    # batch/oracle (38,18) terms digit-for-digit.
-    dec = "decimal(28,18)"
-    logit = F.round(
-        F.lit(float(pri)).cast(dec)
-        + F.aggregate(
-            F.transform(
-                F.col("feats"),
-                # +1: element_at on arrays is 1-indexed
-                lambda t: F.element_at(
-                    lam_arr, (_nb_bucket(t) + 1).cast("int")
-                ),
-            ),
-            F.lit(0).cast(dec),
-            lambda a, x: (a + x.cast(dec)).cast(dec),
-        ),
-        4,
-    ).cast("double")
+    logit = _nb_logit_col(F.col("feats"), lam, pri)
     out = scored.select(
         "doc_id",
         F.size("feats").cast("long").alias("n_feats"),
@@ -1135,3 +1138,78 @@ def streaming_quality_score(spark, sf_dir):
         (logit > 0).alias("pred_keep"),
     )
     return _drain(out, "append")
+
+
+@query(
+    "streaming_quality_monitor",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    j AS (
+        SELECT n.doc_id, d.source, n.gopher_keep, n.nb_logit
+        FROM nbs n JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           floor(CAST(sum(CAST(nb_logit AS DECIMAL(38, 6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS mean_logit
+    FROM j
+    GROUP BY source
+    """,
+    doc="LIVE per-source ingest-quality DASHBOARD — the monitor every "
+    "production data pipeline runs next to its firehose: the "
+    "documents stream is annotated row-locally with the shared "
+    "five-rule Gopher gate (_gopher_metrics + _gopher_keep_curate_col "
+    "— the exact seed-label definition the NB model trains on) and "
+    "the served NB logit (the cached model via _nb_serving_model / "
+    "_nb_logit_col — same serving expression as "
+    "streaming_quality_score), then rolled up per source in a "
+    "complete-mode streaming aggregation whose state is O(#sources) "
+    "— BOUNDED, unlike a per-key rollup, so the monitor runs forever "
+    "at any ingest rate.  mean_logit aggregates the 4-dp-rounded "
+    "logits as exact DECIMAL(38,6) sums (lossless cast, "
+    "order-independent) with floor-form rounding, per the SCALE.md "
+    "policy — a streaming shuffle must not be able to flip the "
+    "reported mean.  Drained sink must equal the batch oracle built "
+    "from the shared NB CTEs.",
+)
+def streaming_quality_monitor(spark, sf_dir):
+    from .text import (
+        _gopher_keep_curate_col,
+        _gopher_metrics,
+        _nb_feats_array,
+    )
+
+    lam, pri = _nb_serving_model(spark, sf_dir)
+    m = _gopher_metrics(
+        _docs_stream(spark, sf_dir), keep_words=True, extra_cols=("source",)
+    )
+    ann = m.select(
+        "source",
+        _gopher_keep_curate_col().alias("keep"),
+        _nb_feats_array(F.col("wrds")).alias("feats"),
+    ).where(F.size("feats") > 0)
+    scored = ann.select(
+        "source",
+        "keep",
+        _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.col("nb_logit").cast("decimal(38,6)")).alias("logit_sum"),
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        (
+            F.floor(
+                F.col("logit_sum").cast("double") / F.col("n_docs") * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("mean_logit"),
+    )

@@ -1184,7 +1184,7 @@ _GOPHER_KEEP_CURATE_SQL = f"""((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_M
             AND n_stop >= {CURATE_MIN_STOPWORDS})"""
 
 
-def _gopher_metrics(docs, keep_words=False):
+def _gopher_metrics(docs, keep_words=False, extra_cols=()):
     """Row-local Gopher rule metrics per document: (doc_id, n_words,
     mwl, alpha_frac, symbol_ratio, n_stop), optionally carrying the
     words array through (``keep_words``) so a downstream token explode
@@ -1201,6 +1201,7 @@ def _gopher_metrics(docs, keep_words=False):
     n_ellipsis = n_ellipsis.cast("long")
     base = docs.select(
         "doc_id",
+        *extra_cols,
         wrds.alias("wrds"),
         n_hash.alias("n_hash"),
         n_ellipsis.alias("n_ellipsis"),
@@ -1226,6 +1227,7 @@ def _gopher_metrics(docs, keep_words=False):
     )
     return base.select(
         "doc_id",
+        *extra_cols,
         *(["wrds"] if keep_words else []),
         n_words.cast("long").alias("n_words"),
         mwl.alias("mwl"),

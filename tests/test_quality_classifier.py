@@ -336,3 +336,30 @@ def test_quality_resample_is_weighted_sample_not_rank(spark):
         assert abs(r.gumbel_key - (nb[r.doc_id] + gum)) < 1e-4
     top_rank = set(sorted(nb, key=lambda d: (-nb[d], d))[: len(rows)])
     assert {r.doc_id for r in rows} != top_rank, "degenerated into rank"
+
+
+def test_streaming_monitor_matches_batch_rollup(spark):
+    """The LIVE quality monitor's per-source rows must equal a
+    hand-rollup of the batch classifier's graded output (shared
+    labels + shared served logits), with the decimal-exact floor-form
+    mean — and its streaming state is keyed by source (bounded), not
+    by doc."""
+    import math
+    from collections import defaultdict
+
+    qs = all_queries()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    agg = defaultdict(lambda: [0, 0, 0.0])
+    for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect():
+        a = agg[src[r.doc_id]]
+        a[0] += 1
+        a[1] += 1 if r.gopher_keep else 0
+        a[2] += r.nb_logit
+    rows = qs["streaming_quality_monitor"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, k, s = agg[r.source]
+        assert (r.n_docs, r.n_keep) == (n, k)
+        want = math.floor(s / n * 10000 + 0.5) / 10000
+        assert abs(r.mean_logit - want) < 1e-9, (r.source, r.mean_logit, want)
