@@ -699,15 +699,20 @@ def sequence_pattern_match(spark, sf_dir):
         LEFT JOIN hc x ON x.user_id = u.user_id AND x.h = hh.h
     ),
     kl AS (
+        -- DECIMAL(38,18) per-term cast + exact decimal sum (the
+        -- _NB_SCORED_CTES / SCALE.md long-log-sum policy): the rounded
+        -- value drives the top-50 cut, so an order-dependent double
+        -- ulp flip could change WHICH users appear in the graded rows.
         SELECT g.user_id, max(g.n_u) AS n_events,
-               sum(((g.c_u + 1.0) / (g.n_u + 24))
+               sum(CAST(((g.c_u + 1.0) / (g.n_u + 24))
                    * (ln((g.c_u + 1.0) / (g.n_u + 24))
-                      - ln((coalesce(t2.c_g, 0) + 1.0) / (o.n + 24)))) AS kl
+                      - ln((coalesce(t2.c_g, 0) + 1.0) / (o.n + 24)))
+                   AS DECIMAL(38, 18))) AS kl
         FROM grid g LEFT JOIN gt t2 USING (h) CROSS JOIN tot o
         GROUP BY g.user_id
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-           round(kl, 6) AS kl_nats
+           CAST(round(kl, 6) AS DOUBLE) AS kl_nats
     FROM kl
     ORDER BY kl_nats DESC, user_id
     LIMIT 50
@@ -751,13 +756,18 @@ def timeseries_hour_anomaly(spark, sf_dir):
     # the observed ones) — an inner join would silently shrink every
     # user's sum and distort the ranking on data with ingest gaps.
     q = (F.coalesce(F.col("c_g"), F.lit(0)) + 1.0) / (F.col("n") + 24)
+    # Per-term DECIMAL(38,18) cast + exact decimal sum (SCALE.md
+    # long-log-sum policy): the rounded KL drives the top-50 cut, so
+    # an order-dependent double ulp flip could change WHICH users make
+    # the graded output, not just a trailing digit.
+    term = (p * (F.log(p) - F.log(q))).cast("decimal(38,18)")
     kl = (
         grid.join(F.broadcast(gt), "h", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("user_id")
         .agg(
             F.max("n_u").cast("long").alias("n_events"),
-            F.round(F.sum(p * (F.log(p) - F.log(q))), 6).alias("kl_nats"),
+            F.round(F.sum(term), 6).cast("double").alias("kl_nats"),
         )
     )
     return kl.orderBy(F.col("kl_nats").desc(), "user_id").limit(50)

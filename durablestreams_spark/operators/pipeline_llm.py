@@ -1345,17 +1345,24 @@ def sample_mixture_weights(spark, sf_dir):
         CROSS JOIN ct t
         LEFT JOIN sc x ON x.source = s.source AND x.term = t.term),
     kl AS (
+        -- DECIMAL(38,18) per-term cast + exact decimal sum (the
+        -- _NB_SCORED_CTES / SCALE.md long-log-sum policy): a plain
+        -- double sum over ~VOCAB+1 terms is shuffle-order-dependent
+        -- and can flip round(.,6) between runs/engines; the per-term
+        -- double->decimal cast is identical in every engine and the
+        -- decimal sum is order-independent.
         SELECT g.source,
-               sum(((g.c_s + 1.0) / (s.n_s + o.v))
+               sum(CAST(((g.c_s + 1.0) / (s.n_s + o.v))
                    * (ln((g.c_s + 1.0) / (s.n_s + o.v))
-                      - ln((c.c_all + 1.0) / (o.n + o.v)))) AS kl
+                      - ln((c.c_all + 1.0) / (o.n + o.v)))
+                   AS DECIMAL(38, 18))) AS kl
         FROM grid g
         JOIN st s USING (source)
         JOIN ct c USING (term)
         CROSS JOIN tot o
         GROUP BY g.source)
     SELECT source, CAST(s.n_s AS BIGINT) AS n_tokens,
-           round(k.kl, 6) AS kl_nats
+           CAST(round(k.kl, 6) AS DOUBLE) AS kl_nats
     FROM kl k JOIN st s USING (source)
     ORDER BY source
     """,
@@ -1375,9 +1382,11 @@ def sample_mixture_weights(spark, sf_dir):
     "TakeOrdered), one corpus pass mapping tokens through the "
     "broadcast vocab and partial-aggregating to the bounded "
     "(source, term) grid; the zero-fill cross join and the KL "
-    "aggregate run on a few thousand rows.  Sums are over <= "
-    f"{VOCAB_SIZE}+1 exact-integer-ratio log terms, rounded to the "
-    "1e-6 grid (round(): sums, per the core.py policy).",
+    "aggregate run on a few thousand rows.  The per-source KL is a "
+    f"sum of <= {VOCAB_SIZE}+1 log terms — long enough for double "
+    "summation order to flip round(.,6), so each term is cast to "
+    "DECIMAL(38,18) and summed exactly on both sides (the "
+    "_NB_SCORED_CTES / SCALE.md long-log-sum policy).",
 )
 def sample_source_kl(spark, sf_dir):
     # spread(): the token explode runs twice (vocab pass + count
@@ -1409,19 +1418,25 @@ def sample_source_kl(spark, sf_dir):
     )
     p_s = (F.col("c_s") + 1.0) / (F.col("n_s") + F.col("v"))
     q = (F.col("c_all") + 1.0) / (F.col("n") + F.col("v"))
+    # Exact decimal sum of the per-term KL contributions — the
+    # _NB_SCORED_CTES / SCALE.md long-log-sum policy: double summation
+    # over ~VOCAB+1 terms is shuffle-order-dependent and can flip
+    # round(.,6) between runs/engines; the per-term double->decimal
+    # cast is engine-identical and the decimal column sum is exact.
+    term = (p_s * (F.log(p_s) - F.log(q))).cast("decimal(38,18)")
     kl = (
         grid.join(st, "source")
         .join(F.broadcast(ct), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
-        .agg(F.sum(p_s * (F.log(p_s) - F.log(q))).alias("kl"))
+        .agg(F.sum(term).alias("kl"))
     )
     return (
         kl.join(st, "source")
         .select(
             "source",
             F.col("n_s").cast("long").alias("n_tokens"),
-            F.round("kl", 6).alias("kl_nats"),
+            F.round("kl", 6).cast("double").alias("kl_nats"),
         )
         .orderBy("source")
     )

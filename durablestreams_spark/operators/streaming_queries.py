@@ -14,6 +14,7 @@ the oracle; single-batch just means no superseded rows in the sink.)
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -1014,7 +1015,18 @@ def _nb_serving_model(spark, sf_dir):
     import json as _json
     import shutil as _shutil
 
-    from .text import CURATE_MIN_STOPWORDS, NB_BUCKETS, _nb_training
+    from .text import (
+        CURATE_MIN_STOPWORDS,
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        NB_BUCKETS,
+        _nb_training,
+    )
 
     root = os.path.join(
         "/tmp/durablestreams_nbmodel_v1",
@@ -1022,7 +1034,22 @@ def _nb_serving_model(spark, sf_dir):
     )
     marker = os.path.join(root, "_built")
     model_p = os.path.join(root, "model.json")
-    params = f"nb{NB_BUCKETS}:uni+bi:curate-stop{CURATE_MIN_STOPWORDS}:v1"
+    # EVERY label-shaping knob is folded in: the five Gopher gate
+    # thresholds and a digest of the stopword lexicon shape the seed
+    # labels and thus the trained model — leaving any of them out
+    # serves a stale cached model after a constant change unless
+    # someone remembers to bump :v1 (the round-5 failure mode the
+    # cache_marker doctrine exists to prevent).
+    lex = hashlib.md5(",".join(GOPHER_STOPWORDS).encode()).hexdigest()[:8]
+    gate = (
+        f"w{GOPHER_MIN_WORDS}-{GOPHER_MAX_WORDS}"
+        f":mwl{GOPHER_MIN_MWL}-{GOPHER_MAX_MWL}"
+        f":a{GOPHER_MIN_ALPHA_FRAC}:s{GOPHER_MAX_SYMBOL_RATIO}"
+        f":lex{lex}"
+    )
+    params = (
+        f"nb{NB_BUCKETS}:uni+bi:curate-stop{CURATE_MIN_STOPWORDS}:{gate}:v1"
+    )
     if marker_current(marker, sf_dir, name="documents", params=params):
         with open(model_p) as fh:
             model = _json.load(fh)

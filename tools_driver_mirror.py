@@ -85,14 +85,24 @@ def main():
     qs = queries()
     oracles = oracle_sql()
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # Validate the include list UP FRONT: a typo'd name silently
+    # skipped would yield a green summary that omits the requested
+    # query (the exact wrong-confidence artifact a time-boxed run
+    # can't afford).  Dedupe while preserving order so a repeated
+    # name doesn't run (and count) twice.
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(
+                f"unknown queries in include list: {','.join(unknown)}"
+            )
+        only = list(dict.fromkeys(only))
     n_pass = n_fail = 0
     failures = []
     # An explicit include list runs in ITS order (lets a time-boxed
     # run put the highest-value queries first); the full sweep stays
     # alphabetical.
     for name in (only if only else sorted(qs)):
-        if name not in qs:
-            continue
         rec = {"q": name}
         try:
             import time as _time
