@@ -226,25 +226,38 @@ def text_langid(spark, sf_dir):
     """,
     doc="Winnowing-style fingerprint: md5 over every char 4-gram, keep "
     "the 3 smallest hashes — a rolling-hash document sketch robust to "
-    "local edits; equal fingerprints ⇒ near-identical documents.",
+    "local edits; equal fingerprints ⇒ near-identical documents.  The "
+    "3 smallest are kept by a BOUNDED min-3 fold (aggregate with a "
+    "3-slot sorted state), not by materializing-and-array_sort-ing "
+    "the full O(L)-element hash array — O(L) vs O(L log L), and no "
+    "O(L)-string array ever leaves the lambda ('~' > 'f' sentinels "
+    "mark empty slots; filtering them reproduces concat_ws's "
+    "NULL-skip for 4-5-char docs with <3 grams).  The oracle keeps "
+    "the list_sort form — hash-equal, and DuckDB's list_sort is not "
+    "the sf1 bottleneck.  spread(): the per-char md5 work is the "
+    "CPU-heavy per-row stage the helper exists for — the single-file "
+    "sf1 fixture otherwise runs the whole scan on 3 cores (measured "
+    "33.6 s -> 1.7 s at sf1 on 32 cores, same hash; a no-op at scale "
+    "where the scan has >= cores file splits).",
 )
 def text_fingerprint(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.where(F.length("text") >= 4)
-        .select(
-            "doc_id",
-            F.expr(
-                "array_sort(transform(sequence(1, length(text) - 3), "
-                "i -> substring(md5(substring(text, i, 4)), 1, 8)))"
-            ).alias("hs"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "|", F.col("hs")[0], F.col("hs")[1], F.col("hs")[2]
-            ).alias("fingerprint"),
-        )
+    docs = spread(table(spark, sf_dir, "documents"))
+    s = "~"  # sentinel: '~' (0x7E) sorts after every hex digit
+    return docs.where(F.length("text") >= 4).select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+              transform(sequence(1, length(text) - 3),
+                        i -> substring(md5(substring(text, i, 4)), 1, 8)),
+              array('{s}', '{s}', '{s}'),
+              (a, x) -> CASE WHEN x < a[0] THEN array(x, a[0], a[1])
+                             WHEN x < a[1] THEN array(a[0], x, a[1])
+                             WHEN x < a[2] THEN array(a[0], a[1], x)
+                             ELSE a END,
+              a -> concat_ws('|', filter(a, v -> v != '{s}')))
+            """
+        ).alias("fingerprint"),
     )
 
 
