@@ -331,10 +331,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_simhash",
-    """
-    WITH toks AS (
+#: SimHash signature CTEs, shared VERBATIM by the batch graded query
+#: (dedup_simhash) and the online near-dup serving oracle
+#: (streaming_dedup_neardup) — one definition so the two cannot drift.
+_SIMHASH_CTES = """
+    toks AS (
         SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
         FROM documents
     ),
@@ -348,10 +349,75 @@ def dedup_ngram_jaccard(spark, sf_dir):
                sum(CASE WHEN (h // (1::BIGINT << b.i)) % 2 = 1 THEN w ELSE -w END) AS score
         FROM tok_hashes, (SELECT UNNEST(generate_series(0, 31)) AS i) b
         GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN score > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN score > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+"""
+
+#: Online near-dup banding geometry: 32-bit SimHash split into 4
+#: bands of 8 bits.  Pigeonhole: two signatures within hamming
+#: distance <= NEARDUP_MAX_HAMMING (< NEARDUP_BANDS) MUST agree on at
+#: least one whole band, so an equi-join on (band_id, band_key) has
+#: EXACT recall at the graded threshold — banding is an implementation
+#: detail, not an approximation.  (Production-scale note: a 100 TB
+#: corpus wants the 64-bit SimHash / 16-bit bands of Manku et al.,
+#: WWW'07 — same plan shape, wider key; 32 bits is the engine-portable
+#: width both engines' signed-BIGINT bit ops agree on.)
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 8
+NEARDUP_MAX_HAMMING = 3
+
+
+def simhash_expr(text_col: str = "text"):
+    """Row-local 32-bit SimHash of whitespace tokens — bit-identical
+    to ``dedup_simhash``'s aggregated form (a sum of ±1 over every
+    token OCCURRENCE equals the per-distinct-token w·±1 sum), but
+    computed entirely inside one row so a STREAMING scorer can carry
+    it with zero aggregation state.  The md5-per-token hash array is
+    the fold's input, evaluated once per row; the fold accumulates
+    all 32 bit-scores in one 32-slot state array (folding per-bit
+    instead would re-run the md5 transform once per bit — the lambda
+    no-subexpression-reuse landmine, core.py).  Rows with zero tokens
+    get simhash 0 — callers must pre-filter them to match the batch
+    form, which emits no row for a token-less doc."""
+    hs = (
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''), "
+        "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          {hs},
+          array_repeat(0L, 32),
+          (acc, h) -> zip_with(acc, sequence(0, 31),
+              (a, i) -> a + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)),
+          acc -> aggregate(zip_with(acc, sequence(0, 31),
+              (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)),
+              0L, (x, y) -> x + y))
+        """
+    )
+
+
+def band_structs_expr(sig_col: str = "simhash"):
+    """Array of (band_id, band_key) structs for a 32-bit signature —
+    the banding geometry shared by the persisted index build and the
+    streaming scorer (explode to get one row per band)."""
+    return F.expr(
+        f"transform(sequence(0, {NEARDUP_BANDS - 1}), b -> "
+        f"struct(cast(b as int) AS band_id, "
+        f"({sig_col} div shiftleft(1L, b * {NEARDUP_BAND_BITS}))"
+        f" % {1 << NEARDUP_BAND_BITS} AS band_key))"
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig
     """,
     doc="SimHash: 32-bit fingerprint — token hashes vote ±weight per bit "
     "position, sign of the sum sets the bit. Near-dup docs differ in "

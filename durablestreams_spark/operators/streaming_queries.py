@@ -1118,6 +1118,32 @@ def _docs_stream(spark, sf_dir: str):
     )
 
 
+def _spread_stream(df, src_path: str):
+    """core.spread() for a STREAMING scan feeding a CPU-heavy row-local
+    stage (md5 feature hashing, SimHash): a streaming DF exposes no
+    inputFiles(), so the split estimate comes from the source file's
+    size directly — same FilePartition math as spread(), same
+    contract: repartition ONLY when the scan would yield fewer
+    partitions than the cluster has cores (the single-file local
+    fixture), a no-op at scale where each micro-batch carries >= cores
+    file splits.  Measured on streaming_dedup_neardup at sf1: the
+    simhash scan stage ran 3 tasks on 32 cores without it."""
+    spark = df.sparkSession
+    n_par = spark.sparkContext.defaultParallelism
+    from ..analytics.core import _parse_bytes
+
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+    )
+    try:
+        size = os.stat(src_path).st_size
+    except OSError:
+        return df  # remote/unstatable — assume at-scale, don't shuffle
+    if -(-size // max_split) >= n_par:
+        return df
+    return df.repartition(n_par)
+
+
 
 @query(
     "streaming_quality_score",
@@ -1240,3 +1266,156 @@ def streaming_quality_monitor(spark, sf_dir):
             / 10000
         ).alias("mean_logit"),
     )
+
+
+def _neardup_index(spark, sf_dir):
+    """The persisted banded SimHash signature index — the batch-built
+    artifact the online near-dup scorer joins against (the ANN-index /
+    NB-model train-once/serve-many protocol: the corpus-wide signature
+    pass must not be charged to every serve).  One parquet row per
+    (band_id, band_key, doc_id, simhash) — the classic posting-list
+    layout (Manku et al., WWW'07: one sorted table per permutation);
+    at 100 TB the table is bucketBy(band_key)-written so the serving
+    join needs no index-side shuffle.  Fingerprint-keyed to the
+    documents fixture with the banding geometry in the params tag."""
+    from .dedup import (
+        NEARDUP_BAND_BITS,
+        NEARDUP_BANDS,
+        band_structs_expr,
+        dedup_simhash,
+    )
+
+    root = os.path.join(
+        "/tmp/durablestreams_neardup_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = f"simhash32:bands{NEARDUP_BANDS}x{NEARDUP_BAND_BITS}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        sig = dedup_simhash(spark, sf_dir)
+        banded = sig.select(
+            "doc_id", "simhash", F.explode(band_structs_expr()).alias("bk")
+        ).select("bk.band_id", "bk.band_key", "doc_id", "simhash")
+        banded.write.mode("overwrite").parquet(idx_p)
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return spark.read.parquet(idx_p)
+
+
+# Shared verbatim with the batch dedup_simhash oracle (one signature
+# definition, two graded consumers — the _NB_SCORED_CTES pattern).
+from .dedup import _SIMHASH_CTES  # noqa: E402
+
+
+@query(
+    "streaming_dedup_neardup",
+    f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band_id,
+               (simhash // (1::BIGINT << (8 * b.b))) % 256 AS band_key
+        FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT s.doc_id AS doc_id, c.doc_id AS dup_of,
+           CAST(bit_count(xor(s.simhash, c.simhash)) AS BIGINT) AS hamming
+    FROM bands s
+    JOIN bands c ON s.band_id = c.band_id AND s.band_key = c.band_key
+               AND c.doc_id < s.doc_id
+    WHERE bit_count(xor(s.simhash, c.simhash)) <= 3
+    """,
+    doc="LIVE online near-dup detection — the ingest-time twin of the "
+    "batch near-dup family, and the serving topology a production "
+    "pipeline runs on its firehose: each incoming document's 32-bit "
+    "SimHash is computed ROW-LOCALLY in the stream (simhash_expr — "
+    "bit-identical to the batch dedup_simhash aggregate, but zero "
+    "aggregation state), exploded into 4x8-bit band keys (a "
+    "stateless 1->4 flatMap), and equi-joined per micro-batch "
+    "against the PERSISTED batch-built signature index "
+    "(_neardup_index — the ANN/NB train-once/serve-many artifact).  "
+    "Pigeonhole makes the band join EXACT at the graded threshold: "
+    "hamming <= 3 < 4 bands forces agreement on a whole band, so "
+    "the oracle is the clean all-near-dup-pairs semantic.  A pair "
+    "matching in several bands would fan out k rows; a row-local "
+    "first-matching-band predicate (band_id = the smallest agreeing "
+    "band, recomputed from the two signatures in the row) keeps "
+    "exactly one — DISTINCT-free dedup of the join fan-out, so the "
+    "stream side needs NO aggregation, NO watermark, NO state store: "
+    "detection throughput is scan throughput, the only shape that "
+    "screens 100 TB/day at ingest.  dup_of < doc_id orients each "
+    "pair at the later arrival (its 'already-ingested' match, the "
+    "batch min-id-wins convention).  Drained append-mode sink must "
+    "equal the batch band-join oracle pair-for-pair.  Reference "
+    "capability: none — BASELINE.json north-star operator (VERDICT "
+    "r9 top task).",
+)
+def streaming_dedup_neardup(spark, sf_dir):
+    return _drain(_neardup_stream_df(spark, sf_dir), "append")
+
+
+def _neardup_stream_df(spark, sf_dir):
+    """The un-drained streaming topology of streaming_dedup_neardup —
+    split out so the plan audit can assert statelessness (no
+    Aggregate, no watermark, no state store) and the persisted-index
+    provenance on the live streaming DF itself."""
+    from .dedup import (
+        NEARDUP_BAND_BITS,
+        NEARDUP_BANDS,
+        NEARDUP_MAX_HAMMING,
+        band_structs_expr,
+        simhash_expr,
+    )
+
+    idx = _neardup_index(spark, sf_dir)
+    cand = idx.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("dup_of"),
+        F.col("simhash").alias("c_sig"),
+    )
+    src = _spread_stream(
+        _docs_stream(spark, sf_dir).select("doc_id", "text"),
+        f"{sf_dir}/documents.parquet",
+    )
+    sig = src.where(
+        F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
+    ).select("doc_id", simhash_expr().alias("simhash"))
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(band_structs_expr()).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+    # Stream-static inner equi-join: stateless on the stream side
+    # (re-resolves the static index per micro-batch).  No broadcast
+    # hint — the index is corpus-proportional (the
+    # streaming_enrich_static_join rule).
+    j = bands.join(cand, ["band_id", "band_key"])
+    ham = F.expr("bit_count(simhash ^ c_sig)")
+    # Smallest agreeing band, recomputed row-locally from the two
+    # signatures: keep the pair only in THAT band's join row, so the
+    # multi-band fan-out dedups with zero stream-side state.
+    # Deliberately UNROLLED to a CASE (first match = smallest band),
+    # not an aggregate() fold: a higher-order-function lambda in a
+    # post-join predicate of a stream-static join can collide its
+    # lambda-variable exprIds with the static side's attributes when
+    # the micro-batch planner re-analyzes the plan (observed as
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on warm-cache sessions where
+    # the static read allocates low ids); CASE has no lambda scope.
+    mod = 1 << NEARDUP_BAND_BITS
+    arms = " ".join(
+        f"WHEN (simhash div shiftleft(1L, {b * NEARDUP_BAND_BITS})) % {mod}"
+        f" = (c_sig div shiftleft(1L, {b * NEARDUP_BAND_BITS})) % {mod}"
+        f" THEN {b}"
+        for b in range(NEARDUP_BANDS)
+    )
+    least_band = F.expr(f"CASE {arms} ELSE -1 END")
+    out = (
+        j.where(
+            (F.col("dup_of") < F.col("doc_id"))
+            & (ham <= NEARDUP_MAX_HAMMING)
+            & (F.col("band_id") == least_band)
+        )
+        .select("doc_id", "dup_of", ham.cast("long").alias("hamming"))
+    )
+    return out

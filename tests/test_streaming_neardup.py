@@ -1,0 +1,147 @@
+"""Online near-dup detection (streaming_dedup_neardup).
+
+The LIVE serving path must (a) compute signatures bit-identically to
+the batch SimHash, (b) find EXACTLY the all-pairs hamming<=3 truth —
+the pigeonhole claim that 4x8-bit banding has perfect recall at the
+graded threshold — and (c) stay completely stateless on the stream
+side, joining the PERSISTED batch-built index.
+"""
+
+import os
+
+from durablestreams_spark.analytics.core import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rowlocal_simhash_matches_batch(spark):
+    """simhash_expr (the stream-side row-local fold) must equal
+    dedup_simhash (the batch shuffle aggregate) bit-for-bit: a sum of
+    ±1 over every token occurrence equals the per-distinct-token
+    w·(±1) sum, and both use the same md5-prefix token hash."""
+    from pyspark.sql import functions as F
+
+    from durablestreams_spark.operators.dedup import (
+        dedup_simhash,
+        simhash_expr,
+    )
+
+    batch = dedup_simhash(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rl = docs.where(
+        F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
+    ).select("doc_id", simhash_expr().alias("simhash"))
+    joined = batch.alias("b").join(rl.alias("r"), "doc_id", "full")
+    assert (
+        joined.where("b.simhash IS DISTINCT FROM r.simhash").count() == 0
+    )
+    assert batch.count() == rl.count() > 0
+
+
+def test_streaming_neardup_equals_allpairs_truth(spark):
+    """The drained banded output must equal the TRUE all-pairs
+    hamming<=NEARDUP_MAX_HAMMING set computed in Python from the
+    batch signatures — banding is exact recall (pigeonhole:
+    hamming <= 3 < 4 bands forces one whole agreeing band), not an
+    approximation, and the min-band predicate emits each pair exactly
+    once."""
+    from durablestreams_spark.operators.dedup import (
+        NEARDUP_MAX_HAMMING,
+        dedup_simhash,
+    )
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup_simhash(spark, SF_DIR).collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= NEARDUP_MAX_HAMMING:
+                want[(b, a)] = h  # (doc_id, dup_of) with dup_of < doc_id
+    live = all_queries()["streaming_dedup_neardup"].fn(spark, SF_DIR)
+    rows = live.collect()
+    got = {(r.doc_id, r.dup_of): r.hamming for r in rows}
+    assert len(rows) == len(got), "a pair was emitted more than once"
+    assert got == want
+    assert len(want) > 0
+
+
+def test_neardup_stream_is_stateless_and_index_is_persisted(spark):
+    """Plan audit: the streaming side carries NO aggregation state, no
+    watermark, no dropDuplicates — detection throughput must be scan
+    throughput — and the static join side scans the persisted
+    signature artifact (train-once/serve-many), not a live signature
+    recompute."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_index,
+        _neardup_stream_df,
+    )
+
+    sdf = _neardup_stream_df(spark, SF_DIR)
+    assert sdf.isStreaming
+    analyzed = sdf._jdf.queryExecution().analyzed().toString()
+    for forbidden in (
+        "Aggregate",
+        "EventTimeWatermark",
+        "Deduplicate",
+        "FlatMapGroups",
+    ):
+        assert forbidden not in analyzed, forbidden
+    # exactly one streaming relation (the docs stream), one static side
+    assert analyzed.count("StreamingRelation") == 1
+    # the static side is the persisted artifact under the cache root
+    idx = _neardup_index(spark, SF_DIR)
+    files = idx.inputFiles()
+    assert files and all(
+        "/durablestreams_neardup_v1/" in f for f in files
+    )
+    # and the joined plan's batch leaf reads that artifact, not a live
+    # signature recompute over documents.parquet
+    leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()
+    batch_paths = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRelation":
+            roots = leaf.relation().location().rootPaths()
+            batch_paths += [
+                roots.apply(j).toString() for j in range(roots.size())
+            ]
+    assert batch_paths and all(
+        "/durablestreams_neardup_v1/" in p for p in batch_paths
+    ), batch_paths
+
+
+def test_neardup_index_cache_invalidates_on_params(spark, tmp_path):
+    """The marker protocol: a fingerprint/params mismatch rebuilds
+    rather than serving a stale index (the cache_marker doctrine)."""
+    from durablestreams_spark.operators.cache_marker import (
+        marker_current,
+        write_marker,
+    )
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_index,
+    )
+
+    _neardup_index(spark, SF_DIR)  # ensure built
+    root = os.path.join(
+        "/tmp/durablestreams_neardup_v1",
+        os.path.basename(os.path.normpath(SF_DIR)),
+    )
+    marker = os.path.join(root, "_built")
+    assert os.path.exists(marker)
+    # current params validate; a different geometry tag must not
+    with open(marker) as fh:
+        content = fh.read()
+    assert ":v1" in content
+    write_marker(marker, SF_DIR, name="documents", params="other:v9")
+    assert not marker_current(
+        marker, SF_DIR, name="documents", params="simhash32:bands4x8:v1"
+    )
+    # restore by rebuilding through the public path
+    _neardup_index(spark, SF_DIR)
+    assert marker_current(
+        marker, SF_DIR, name="documents", params="simhash32:bands4x8:v1"
+    )
