@@ -1180,7 +1180,12 @@ def streaming_quality_score(spark, sf_dir):
 
     lam, pri = _nb_serving_model(spark, sf_dir)
     wrds = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    scored = _docs_stream(spark, sf_dir).select(
+    # _spread_stream: the per-token feature hashing is the CPU-heavy
+    # row-local stage; the single-file fixture otherwise scores on 3
+    # of 32 cores (no-op at scale — see the helper's contract).
+    scored = _spread_stream(
+        _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    ).select(
         "doc_id", _nb_feats_array(wrds).alias("feats")
     ).where(F.size("feats") > 0)
     logit = _nb_logit_col(F.col("feats"), lam, pri)
@@ -1235,8 +1240,14 @@ def streaming_quality_monitor(spark, sf_dir):
     )
 
     lam, pri = _nb_serving_model(spark, sf_dir)
+    # _spread_stream: Gopher metrics + per-token feature hashing are
+    # the CPU-heavy row-local stages (see streaming_quality_score).
     m = _gopher_metrics(
-        _docs_stream(spark, sf_dir), keep_words=True, extra_cols=("source",)
+        _spread_stream(
+            _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
+        ),
+        keep_words=True,
+        extra_cols=("source",),
     )
     ann = m.select(
         "source",
