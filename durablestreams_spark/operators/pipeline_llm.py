@@ -23,9 +23,12 @@ prefixes so the DuckDB oracle agrees bit-for-bit (same policy as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, spread, table
+from .cache_marker import marker_current, write_marker
 from .dedup import dedup_simhash
 
 #: Top-V corpus vocabulary shared by the OOV-coverage scorer and the
@@ -559,10 +562,11 @@ PACK_SEQ_LEN = 512
 PACK_SHARDS = 8
 
 
-@query(
-    "pipeline_pack_sequences",
-    f"""
-    WITH t AS (
+#: Concat-and-chunk packing CTEs, shared VERBATIM by the packing
+#: graded query and the shard WRITER's oracle (pipeline_write_shards)
+#: — one definition so the two cannot drift.
+_PACK_CTES = f"""
+    t AS (
         SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
                len(list_filter(string_split_regex(text, '\\s+'),
                                x -> x <> '')) AS n_tok
@@ -574,14 +578,25 @@ PACK_SHARDS = 8
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS cum
         FROM t
+    ),
+    packed AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_in
+        FROM c
+        GROUP BY shard, seq_id
     )
-    SELECT CAST(shard AS BIGINT) AS shard,
-           CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(doc_id) AS BIGINT) AS first_doc,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens_in
-    FROM c
-    GROUP BY shard, seq_id
+"""
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH {_PACK_CTES}
+    SELECT shard, seq_id, n_docs, first_doc, n_tokens_in
+    FROM packed
     ORDER BY shard, seq_id
     """,
     doc=f"Training-sequence packing (concat-and-chunk, the GPT-style "
@@ -626,6 +641,195 @@ def pipeline_pack_sequences(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("n_tokens_in"),
         )
         .orderBy("shard", "seq_id")
+    )
+
+
+#: Training-shard writer geometry: output shard fan-out and the
+#: deterministic-shuffle seed (folded into the md5 sort key AND the
+#: cache marker, so changing it rebuilds every artifact).
+WRITE_SHARDS = 16
+SHARD_SEED = 42
+
+
+def _write_shards(spark, sf_dir, root: str | None = None):
+    """Build (or serve from cache) the written training shards: the
+    packed sequences of ``pipeline_pack_sequences`` in a SEEDED
+    deterministic global shuffle (md5-key order — never rand(), the
+    split_train_valid_test idiom), split into WRITE_SHARDS fixed-size
+    rank blocks and written as one parquet partition per output shard.
+    Returns the read-back DataFrame.
+
+    The exact global rank over the shuffled order is computed by the
+    two-phase 256-bucket plan (the sample_token_budget pattern): a
+    per-bucket row_number (partitioned window — no global sort) plus
+    broadcast bucket-prefix offsets from an O(256) rollup, so the only
+    corpus-sized exchange is the bucket hash partition — the shape
+    that still works when the sequence count is billions."""
+    import shutil as _shutil
+
+    from pyspark.sql import Window as W
+
+    root = root or os.path.join(
+        "/tmp/durablestreams_shards_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    data_p = os.path.join(root, "shards.parquet")
+    params = (
+        f"pack{PACK_SEQ_LEN}x{PACK_SHARDS}:ws{WRITE_SHARDS}"
+        f":seed{SHARD_SEED}:v1"
+    )
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        seqs = pipeline_pack_sequences(spark, sf_dir)
+        key = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("seq_id").cast("string"),
+                    F.lit(f":shard:{SHARD_SEED}"),
+                )
+            ),
+            1,
+            16,
+        )
+        d = seqs.withColumn("key", key).withColumn(
+            "bucket", F.substring("key", 1, 2)
+        )
+        bcnt = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        # 256 rows: the bounded single-partition window is fine here.
+        wb = W.orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        bases = bcnt.select(
+            "bucket",
+            (F.sum("cnt").over(wb) - F.col("cnt")).alias("base"),
+            F.sum("cnt")
+            .over(
+                W.orderBy("bucket").rangeBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("total"),
+        )
+        wr = W.partitionBy("bucket").orderBy("key", "shard", "seq_id")
+        ranked = (
+            d.join(F.broadcast(bases), "bucket")
+            .withColumn("rank", F.col("base") + F.row_number().over(wr))
+            .withColumn(
+                "shard_out",
+                F.expr(
+                    f"(rank - 1) DIV ((total + {WRITE_SHARDS - 1})"
+                    f" DIV {WRITE_SHARDS})"
+                ).cast("long"),
+            )
+        )
+        (
+            ranked.select(
+                "shard_out",
+                "rank",
+                "key",
+                "shard",
+                "seq_id",
+                "n_docs",
+                "first_doc",
+                "n_tokens_in",
+            )
+            .repartition("shard_out")
+            .sortWithinPartitions("rank")
+            .write.mode("overwrite")
+            .partitionBy("shard_out")
+            .parquet(data_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return spark.read.parquet(data_p)
+
+
+@query(
+    "pipeline_write_shards",
+    f"""
+    WITH {_PACK_CTES},
+    keyed AS (
+        SELECT *,
+               substr(md5(CAST(shard AS VARCHAR) || ':'
+                          || CAST(seq_id AS VARCHAR)
+                          || ':shard:{SHARD_SEED}'), 1, 16) AS key
+        FROM packed
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY key, shard, seq_id) AS rank,
+               count(*) OVER () AS total
+        FROM keyed
+    ),
+    assigned AS (
+        SELECT *,
+               (rank - 1) // ((total + {WRITE_SHARDS - 1})
+                              // {WRITE_SHARDS}) AS shard_out
+        FROM ranked
+    )
+    SELECT CAST(shard_out AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST('0x' || substr(
+               md5(key || ':' || CAST(rank AS VARCHAR)), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_fp
+    FROM assigned
+    GROUP BY shard_out
+    ORDER BY shard_id
+    """,
+    doc="The training-shard WRITER — the last step a data pipeline "
+    "ships (the WebDataset/TFRecord step): packed sequences "
+    "(pipeline_pack_sequences' exact shared definition) in a SEEDED "
+    "deterministic global shuffle — sort key = md5(seq identity ‖ "
+    f"seed {SHARD_SEED}), never rand(), so the assignment is "
+    "reproducible byte-for-byte across runs (pinned by test) — cut "
+    f"into {WRITE_SHARDS} fixed-size rank blocks and WRITTEN as one "
+    "parquet partition per shard (persisted artifact, the cache-"
+    "marker protocol).  The graded rows are the per-shard MANIFEST "
+    "read back FROM THE WRITTEN FILES: seq count, token count, and a "
+    "position-sensitive content fingerprint (sum of per-(key, rank) "
+    "32-bit md5 prefixes — commutative, so it partial-aggregates at "
+    "any scale, yet any membership or ORDER change flips it); the "
+    "oracle recomputes all three from the raw corpus, so a writer "
+    "that drops, duplicates, misorders, or misassigns one sequence "
+    "is a hash mismatch.  Scale: the exact global rank uses the "
+    "two-phase 256-bucket plan (per-bucket row_number + broadcast "
+    "prefix offsets — no global sort window); the write is one hash "
+    "partition by shard.  Reference capability: none — BASELINE.json "
+    "north-star operator (VERDICT r9 task 3).",
+)
+def pipeline_write_shards(spark, sf_dir):
+    shards = _write_shards(spark, sf_dir)
+    member_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("key"), F.lit(":"), F.col("rank").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        shards.groupBy("shard_out")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_tokens_in").cast("long").alias("n_tokens"),
+            F.sum(member_h).cast("long").alias("content_fp"),
+        )
+        .select(
+            F.col("shard_out").cast("long").alias("shard_id"),
+            "n_seqs",
+            "n_tokens",
+            "content_fp",
+        )
+        .orderBy("shard_id")
     )
 
 
