@@ -1641,6 +1641,111 @@ def text_quality_classifier_nb(spark, sf_dir):
     )
 
 
+#: Fixed calibration threshold ladder (logit space).  Every value is
+#: exactly representable in binary AND off the 4-dp logit grid's
+#: rounding boundary, so `nb_logit > thr` is engine-stable.
+CALIB_THRESHOLDS = (-4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0)
+
+
+@query(
+    "text_classifier_calibration",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    thr AS (SELECT CAST(UNNEST([{", ".join(str(t) for t in CALIB_THRESHOLDS)}])
+                        AS DOUBLE) AS thr),
+    e AS (
+        SELECT t.thr, n.gopher_keep, (n.nb_logit > t.thr) AS pred
+        FROM nbs n CROSS JOIN thr t
+    ),
+    cm AS (
+        SELECT thr,
+               CAST(sum(CASE WHEN gopher_keep AND pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN NOT gopher_keep AND pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN gopher_keep AND NOT pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT gopher_keep AND NOT pred THEN 1 ELSE 0
+                        END) AS BIGINT) AS tn
+        FROM e GROUP BY thr
+    )
+    SELECT thr, tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5)
+                     / 1000000 END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000 + 0.5)
+                     / 1000000 END AS rec,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE floor(2.0 * tp / (2 * tp + fp + fn) * 1000000 + 0.5)
+                     / 1000000 END AS f1,
+           floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+                 * 1000000 + 0.5) / 1000000 AS acc
+    FROM cm
+    ORDER BY thr
+    """,
+    doc="Classifier CALIBRATION report — the quality-of-the-quality-"
+    "classifier artifact (previously only a docstring accuracy "
+    "note): precision / recall / F1 / accuracy of the NB logit "
+    "against the Gopher seed labels at a FIXED threshold ladder of "
+    f"{len(CALIB_THRESHOLDS)} operating points, the sweep a data "
+    "team reads before picking the selection cut (DCLM reports "
+    "exactly this table for its fastText filter).  The scores are "
+    "text_quality_classifier_nb's shared definition (_NB_SCORED_CTES "
+    "— one model, N graded consumers); the sweep is ONE pass over "
+    "the doc-level scored rows: a bounded 1->|ladder| explode "
+    "(doc-granularity, after the token stream has already been "
+    "reduced) then a per-threshold conditional-count rollup to "
+    "O(|ladder|) rows.  Confusion counts are exact BIGINTs; the "
+    "derived ratios are ratios of identical longs (bit-equal IEEE "
+    "division in both engines) snapped floor-form to the 1e-6 grid, "
+    "with NULL where undefined (division-by-zero semantics differ "
+    "between engines, so the guard is explicit).  F1 uses the "
+    "2tp/(2tp+fp+fn) form — one division, no compounded rounding.",
+)
+def text_classifier_calibration(spark, sf_dir):
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "gopher_keep", "nb_logit"
+    )
+    t = scored.select(
+        "gopher_keep",
+        "nb_logit",
+        F.explode(
+            F.array(*[F.lit(x) for x in CALIB_THRESHOLDS])
+        ).alias("thr"),
+    ).withColumn("pred", F.col("nb_logit") > F.col("thr"))
+    keep = F.col("gopher_keep")
+    pred = F.col("pred")
+    cm = t.groupBy("thr").agg(
+        F.sum((keep & pred).cast("long")).cast("long").alias("tp"),
+        F.sum((~keep & pred).cast("long")).cast("long").alias("fp"),
+        F.sum((keep & ~pred).cast("long")).cast("long").alias("fn"),
+        F.sum((~keep & ~pred).cast("long")).cast("long").alias("tn"),
+    )
+
+    def _snap(x):
+        return F.floor(x * 1000000 + F.lit(0.5)) / 1000000
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            tp + fp == 0, F.lit(None).cast("double")
+        ).otherwise(_snap(tp.cast("double") / (tp + fp))).alias("prec"),
+        F.when(
+            tp + fn == 0, F.lit(None).cast("double")
+        ).otherwise(_snap(tp.cast("double") / (tp + fn))).alias("rec"),
+        F.when(
+            2 * tp + fp + fn == 0, F.lit(None).cast("double")
+        ).otherwise(_snap(2.0 * tp / (2 * tp + fp + fn))).alias("f1"),
+        _snap((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("acc"),
+    ).orderBy("thr")
+
+
 @query(
     "audit_corpus_datasheet",
     f"""
