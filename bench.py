@@ -40,6 +40,18 @@ HEADLINE = [
     "text_tfidf_top_term",
     "log_consume_page",
     "partitioned_roundtrip_offsets",
+    # r10 rotation (VERDICT r9 task 7): one representative per
+    # post-r4 family so cross-round deltas exist on the same box.
+    # NOTE for cross-round diffs: the headline total is a SUPERSET of
+    # the r1-r9 list from here on — compare per-query times, or the
+    # total minus these seven, against older rounds.
+    "text_quality_classifier_nb",   # NB quality classifier (r9)
+    "text_bpe_tokenize",            # BPE merge application (r9)
+    "pipeline_curate_v3",           # classifier-gated curation (r9)
+    "dedup_span_contamination",     # duplicated-span fraction (r9)
+    "text_fingerprint",             # r10 min-3 fold + spread rewrite
+    "streaming_dedup_neardup",      # r10 online near-dup serving
+    "pipeline_write_shards",        # r10 training-shard writer
 ]
 
 # Shuffle-heavy plans re-timed at ~sf1 (10x sf0.1): join fan-out (q9),

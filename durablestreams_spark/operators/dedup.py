@@ -469,23 +469,61 @@ _PAIRS_SQL = f"""
 """
 
 
-#: Recursive-CTE transitive closure shared VERBATIM by both graded
+#: Unrolled min-label-propagation depth for the CC oracles.  Each
+#: level adds one hop of propagation PLUS a pointer-jump shortcut
+#: (label := label-of-label), so the distance-to-component-minimum
+#: shrinks geometrically — 8 levels cover any component a near-dup
+#: graph can realistically produce (the engine's own convergence loop
+#: measured 4 plain rounds at sf3).  Safety property: the fixpoint is
+#: unique, so an UNDER-unrolled oracle cannot false-pass — any
+#: unconverged label differs from the engine's converged one and the
+#: row hash goes red (fail-loud, never wrong-green).
+CC_ORACLE_LEVELS = 8
+
+
+def _cc_unrolled_levels(edges: str = "edges", prefix: str = "ccl") -> str:
+    """Bounded iterative connected-components CTE chain (the
+    PageRank/BPE unrolled-MATERIALIZED-CTE trick): level k computes
+    label_k(v) = min(label_{k-1}(v), min over neighbors
+    label_{k-1}(u), label_{k-1}(label_{k-1}(v))).  State per level is
+    O(V) rows — the recursive-CTE transitive closure this replaces
+    materialized O(sum of component size squared) reach pairs, which
+    is what stalled the DuckDB oracle at sf1 (three
+    InterruptExceptions in the r9 mirror).  Final labels live in
+    ``{prefix}{CC_ORACLE_LEVELS}`` (node, label)."""
+    parts = [
+        f"{prefix}0 AS MATERIALIZED ("
+        f"SELECT DISTINCT a AS node, a AS label FROM {edges})"
+    ]
+    for k in range(1, CC_ORACLE_LEVELS + 1):
+        parts.append(
+            f"""{prefix}{k} AS MATERIALIZED (
+        SELECT l.node,
+               least(min(l.label),
+                     coalesce(min(nl.label), min(l.label)),
+                     coalesce(min(sc.label), min(l.label))) AS label
+        FROM {prefix}{k - 1} l
+        LEFT JOIN {edges} e ON e.a = l.node
+        LEFT JOIN {prefix}{k - 1} nl ON nl.node = e.b
+        LEFT JOIN {prefix}{k - 1} sc ON sc.node = l.label
+        GROUP BY l.node
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+#: Bounded iterative closure shared VERBATIM by both graded
 #: connected-components entries (min-propagation and large-star/
 #: small-star) — one definition so their oracles cannot drift.
 _CC_ORACLE = f"""
-    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
-    edges AS (
+    WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
     ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS doc_id,
-           least(a, min(b)) AS cluster_id
-    FROM reach GROUP BY a
+    {_cc_unrolled_levels()}
+    SELECT node AS doc_id, label AS cluster_id
+    FROM ccl{CC_ORACLE_LEVELS}
     """
 
 

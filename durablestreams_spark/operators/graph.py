@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..analytics.core import query
-from .dedup import _PAIRS_SQL, dedup_minhash_lsh_pairs
+from .dedup import (
+    CC_ORACLE_LEVELS,
+    _cc_unrolled_levels,
+    _PAIRS_SQL,
+    dedup_minhash_lsh_pairs,
+)
 
 #: Damping factor — the standard 0.85 from the original paper.
 PR_DAMPING = 0.85
@@ -168,19 +173,15 @@ def _pagerank_ranks(spark, sf_dir, pairs=None):
 @query(
     "dedup_canonical_by_centrality",
     f"""
-    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
-    cc_edges AS (
+    WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+    cc_edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
     ),
-    reach(a, b) AS (
-        SELECT a, b FROM cc_edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN cc_edges e ON r.b = e.a
-    ),
+    {_cc_unrolled_levels(edges="cc_edges")},
     clusters AS (
-        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        FROM reach GROUP BY a
+        SELECT node AS doc_id, label AS cluster_id
+        FROM ccl{CC_ORACLE_LEVELS}
     ),
     {_pagerank_chain("pr_")},
     ranked AS (

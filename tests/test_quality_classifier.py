@@ -363,3 +363,48 @@ def test_streaming_monitor_matches_batch_rollup(spark):
         assert (r.n_docs, r.n_keep) == (n, k)
         want = math.floor(s / n * 10000 + 0.5) / 10000
         assert abs(r.mean_logit - want) < 1e-9, (r.source, r.mean_logit, want)
+
+
+def test_fixture_stopword_ceiling_pins_curate_threshold(spark):
+    """The documented justification for CURATE_MIN_STOPWORDS=1,
+    pinned as evidence: EVERY document in the driver-generated fixture
+    carries at most ONE distinct word of the eight-entry Gopher
+    lexicon (measured here, not asserted in prose), so the published
+    >= 2-distinct-stopwords rule (GOPHER_MIN_STOPWORDS, which
+    text_gopher_rules reports per doc) would zero the corpus and
+    degenerate every downstream consumer, including the NB seed
+    labels.  The fixture is outside the builder's write boundary
+    (/root/testdata is driver-owned, read-only), so the gate runs the
+    full five-rule structure at the fixture-viable threshold; if the
+    driver ever regenerates the corpus with natural stopword
+    frequencies, THIS TEST FAILS — the signal to flip the constant
+    back to the published value."""
+    from pyspark.sql import functions as F
+
+    import durablestreams_spark.operators.text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lex = F.array(*[F.lit(s) for s in T.GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ),
+            lex,
+        )
+    )
+    dist = {
+        r.n_stop: r.n
+        for r in docs.select(n_stop.alias("n_stop"))
+        .groupBy("n_stop")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(dist) <= 1, (
+        f"fixture now carries docs with {max(dist)} distinct stopwords - "
+        "raise CURATE_MIN_STOPWORDS to GOPHER_MIN_STOPWORDS "
+        f"(distribution: {dist})"
+    )
+    # and the threshold-1 rule is genuinely discriminative: both
+    # classes are populated
+    assert dist.get(0, 0) > 0 and dist.get(1, 0) > 0, dist
