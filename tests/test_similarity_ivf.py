@@ -218,3 +218,34 @@ def test_rank_centroids_null_cosine_sorts_last(spark):
     assert ranks[(1, 1)] == 3
     # zero-norm vector: every cosine NULL -> ties broken by cent_id asc
     assert ranks[(2, 0)] == 1 and ranks[(2, 1)] == 2 and ranks[(2, 2)] == 3
+
+
+def test_ivf_upsert_delta_is_searchable_and_flagged(spark):
+    """The upsert contract: vectors OUTSIDE the base training snapshot
+    (the ~20% md5 delta) must surface as neighbors through the frozen
+    base-trained quantizer — assignment alone makes them searchable —
+    and the from_delta flag must agree with the split rule on every
+    row.  Recall floor: the upsert index's top-K must recover a
+    sensible fraction of brute force despite the quantizer never
+    having seen the delta."""
+    import hashlib
+
+    qs = all_queries()
+    rows = qs["similarity_ivf_upsert"].fn(spark, SF_DIR).collect()
+    assert rows
+
+    def is_delta(vid):
+        return (
+            hashlib.md5(f"{vid}:ivfup".encode()).hexdigest()[:2] >= "cc"
+        )
+
+    assert all(r.from_delta == is_delta(r.neighbor_id) for r in rows)
+    flags = {r.from_delta for r in rows}
+    assert flags == {True, False}, (
+        f"expected both base and delta neighbors, got {flags}"
+    )
+    # recall floor vs exact brute force on the same query stride
+    brute = _pairs(qs["similarity_knn_brute"].fn(spark, SF_DIR))
+    got = _pairs(qs["similarity_ivf_upsert"].fn(spark, SF_DIR))
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, recall
