@@ -833,6 +833,94 @@ def pipeline_write_shards(spark, sf_dir):
     )
 
 
+#: Candidate training-sequence lengths for the packing-efficiency
+#: sweep (powers of two around PACK_SEQ_LEN, the lengths a team
+#: actually debates).
+PACK_LEN_LADDER = (128, 256, 512, 1024, 2048)
+
+
+@query(
+    "pipeline_pack_efficiency",
+    f"""
+    WITH t AS (
+        SELECT doc_id % {PACK_SHARDS} AS shard,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    st AS (SELECT shard, CAST(sum(n_tok) AS BIGINT) AS shard_toks
+           FROM t GROUP BY shard),
+    ladder AS (SELECT CAST(UNNEST([{", ".join(str(x) for x in PACK_LEN_LADDER)}])
+                           AS BIGINT) AS seq_len),
+    g AS (
+        SELECT l.seq_len, s.shard, s.shard_toks,
+               (s.shard_toks + l.seq_len - 1) // l.seq_len AS n_seqs,
+               (s.shard_toks + l.seq_len - 1) // l.seq_len * l.seq_len
+                   - s.shard_toks AS pad
+        FROM st s CROSS JOIN ladder l
+    )
+    SELECT seq_len,
+           CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(sum(shard_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(pad) AS BIGINT) AS pad_tokens,
+           floor(CAST(sum(pad) AS DOUBLE)
+                 / (sum(shard_toks) + sum(pad)) * 1000000 + 0.5)
+               / 1000000 AS pad_frac
+    FROM g
+    GROUP BY seq_len
+    ORDER BY seq_len
+    """,
+    doc="Packing-efficiency sweep — the table a team reads before "
+    "fixing the training sequence length: for each candidate length "
+    "in the ladder, the sequence count, the padding wasted by "
+    "concat-and-chunk packing (under this engine's shard-local "
+    "geometry, pipeline_pack_sequences' exact rule: waste = the final "
+    "partial chunk of each of the " f"{PACK_SHARDS} shards), and the "
+    "padded fraction of compute.  ONE corpus pass (the per-shard "
+    "token totals, a partial-aggregated O(#shards) rollup); the sweep "
+    "itself is O(#shards x |ladder|) arithmetic on driver-scale rows "
+    "— the length decision costs nothing more than the token count "
+    "the pipeline already maintains.  All-integer counts; the one "
+    "ratio floor-snaps to 1e-6.",
+)
+def pipeline_pack_efficiency(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    st = t.groupBy("shard").agg(F.sum("n_tok").alias("shard_toks"))
+    ladder = F.explode(
+        F.array(*[F.lit(int(x)).cast("long") for x in PACK_LEN_LADDER])
+    )
+    g = st.select("shard", "shard_toks", ladder.alias("seq_len")).select(
+        "seq_len",
+        "shard_toks",
+        F.expr("(shard_toks + seq_len - 1) DIV seq_len").alias("n_seqs"),
+        F.expr(
+            "(shard_toks + seq_len - 1) DIV seq_len * seq_len - shard_toks"
+        ).alias("pad"),
+    )
+    pad_frac = F.floor(
+        F.sum("pad").cast("double")
+        / (F.sum("shard_toks") + F.sum("pad"))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return (
+        g.groupBy("seq_len")
+        .agg(
+            F.sum("n_seqs").cast("long").alias("n_seqs"),
+            F.sum("shard_toks").cast("long").alias("n_tokens"),
+            F.sum("pad").cast("long").alias("pad_tokens"),
+            pad_frac.alias("pad_frac"),
+        )
+        .orderBy("seq_len")
+    )
+
+
 #: Source-balancing cap: at most this many docs survive per source.
 QUOTA_PER_SOURCE = 120
 
