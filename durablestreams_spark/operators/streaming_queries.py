@@ -1430,3 +1430,109 @@ def _neardup_stream_df(spark, sf_dir):
         .select("doc_id", "dup_of", ham.cast("long").alias("hamming"))
     )
     return out
+
+
+def _exact_hash_index(spark, sf_dir):
+    """Persisted exact-dedup index: (content md5 -> first doc_id) over
+    the historical corpus — the artifact an ingest gate joins to
+    answer 'have we already got these bytes?' without any stream-side
+    state.  One partial-aggregated corpus pass at build, O(1) rows per
+    distinct content at rest; fingerprint-keyed like the SimHash band
+    index and the NB model (the train-once/serve-many protocol).  At
+    100 TB: bucketBy(h) so serving joins need no index-side shuffle."""
+    import shutil as _shutil
+
+    root = os.path.join(
+        "/tmp/durablestreams_hashidx_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = "md5:minid:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        (
+            table(spark, sf_dir, "documents")
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("first_id"))
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return spark.read.parquet(idx_p)
+
+
+@query(
+    "streaming_ingest_gate",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    hx AS (SELECT md5(text) AS h, min(doc_id) AS first_id
+           FROM documents GROUP BY 1),
+    j AS (
+        SELECT d.doc_id, (x.first_id < d.doc_id) AS exact_dup,
+               n.gopher_keep, n.nb_logit
+        FROM documents d
+        JOIN hx x ON md5(d.text) = x.h
+        JOIN nbs n USING (doc_id)
+    )
+    SELECT doc_id, exact_dup, gopher_keep, nb_logit,
+           (NOT exact_dup AND gopher_keep AND nb_logit > 0) AS keep
+    FROM j
+    """,
+    doc="The composed LIVE ingest GATE — the per-document admission "
+    "decision a production firehose actually applies, every signal "
+    "served from a batch-built artifact with ZERO stream-side state: "
+    "(1) exact-dup against the PERSISTED content-hash index "
+    "(_exact_hash_index: md5 -> first doc_id; a 1:1 stream-static "
+    "equi-join, so 'is this already in the corpus' costs one shuffled "
+    "lookup, not a stateful dropDuplicates over unbounded history), "
+    "(2) the row-local five-rule Gopher gate (the shared "
+    "_gopher_metrics / _gopher_keep_curate_col definitions), and "
+    "(3) the served NB quality logit (the persisted model via "
+    "_nb_serving_model, dense-array O(1) lookups).  keep = not "
+    "exact_dup AND gopher_keep AND logit > 0 — the decision "
+    "pipeline_curate_v2/v3 make offline, now made per document AT "
+    "INGEST, hash-gated against the batch composition of the same "
+    "shared definitions.  Gate throughput is scan throughput; every "
+    "artifact is train-once/serve-many.  Reference capability: none "
+    "— BASELINE.json north-star operator.",
+)
+def streaming_ingest_gate(spark, sf_dir):
+    from .text import (
+        _gopher_keep_curate_col,
+        _gopher_metrics,
+        _nb_feats_array,
+    )
+
+    lam, pri = _nb_serving_model(spark, sf_dir)
+    hx = _exact_hash_index(spark, sf_dir)
+    src = _spread_stream(
+        _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    )
+    m = _gopher_metrics(src, keep_words=True, extra_cols=("text",))
+    ann = m.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        _gopher_keep_curate_col().alias("gopher_keep"),
+        _nb_feats_array(F.col("wrds")).alias("feats"),
+    ).where(F.size("feats") > 0)
+    scored = ann.select(
+        "doc_id",
+        "h",
+        "gopher_keep",
+        _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
+    )
+    # 1:1 stream-static equi-join on the content hash; no broadcast
+    # hint (the index is corpus-proportional).
+    gated = scored.join(hx, "h").select(
+        "doc_id",
+        (F.col("first_id") < F.col("doc_id")).alias("exact_dup"),
+        "gopher_keep",
+        "nb_logit",
+    )
+    out = gated.withColumn(
+        "keep",
+        ~F.col("exact_dup") & F.col("gopher_keep") & (F.col("nb_logit") > 0),
+    )
+    return _drain(out, "append")

@@ -408,3 +408,33 @@ def test_fixture_stopword_ceiling_pins_curate_threshold(spark):
     # and the threshold-1 rule is genuinely discriminative: both
     # classes are populated
     assert dist.get(0, 0) > 0 and dist.get(1, 0) > 0, dist
+
+
+def test_streaming_ingest_gate_matches_batch_composition(spark):
+    """The LIVE gate's per-doc decisions must equal the hand-composed
+    batch signals: exact_dup from a min-id-by-content-md5 fold,
+    gopher_keep + logit from the batch classifier, keep = the AND of
+    the three — one set of shared definitions, online and offline."""
+    import hashlib
+
+    qs = all_queries()
+    nb = {
+        r.doc_id: (r.gopher_keep, r.nb_logit)
+        for r in qs["text_quality_classifier_nb"].fn(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    first = {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        first.setdefault(h, d.doc_id)
+    dup = {
+        d.doc_id: first[hashlib.md5(d.text.encode()).hexdigest()] < d.doc_id
+        for d in docs
+    }
+    live = qs["streaming_ingest_gate"].fn(spark, SF_DIR).collect()
+    assert len(live) == len(nb)
+    for r in live:
+        gk, logit = nb[r.doc_id]
+        assert r.exact_dup == dup[r.doc_id], r.doc_id
+        assert (r.gopher_keep, r.nb_logit) == (gk, logit), r.doc_id
+        assert r.keep == ((not r.exact_dup) and gk and logit > 0), r.doc_id
