@@ -651,6 +651,24 @@ WRITE_SHARDS = 16
 SHARD_SEED = 42
 
 
+def _shard_sort_key() -> F.Column:
+    """The seeded deterministic-shuffle sort key over packed sequences
+    — one definition shared by the builder and the plan audit (so the
+    audited ranking subplan cannot drift from the one that runs)."""
+    return F.substring(
+        F.md5(
+            F.concat(
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("seq_id").cast("string"),
+                F.lit(f":shard:{SHARD_SEED}"),
+            )
+        ),
+        1,
+        16,
+    )
+
+
 def _write_shards(spark, sf_dir, root: str | None = None):
     """Build (or serve from cache) the written training shards: the
     packed sequences of ``pipeline_pack_sequences`` in a SEEDED
@@ -683,19 +701,7 @@ def _write_shards(spark, sf_dir, root: str | None = None):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         seqs = pipeline_pack_sequences(spark, sf_dir)
-        key = F.substring(
-            F.md5(
-                F.concat(
-                    F.col("shard").cast("string"),
-                    F.lit(":"),
-                    F.col("seq_id").cast("string"),
-                    F.lit(f":shard:{SHARD_SEED}"),
-                )
-            ),
-            1,
-            16,
-        )
-        d = seqs.withColumn("key", key).withColumn(
+        d = seqs.withColumn("key", _shard_sort_key()).withColumn(
             "bucket", F.substring("key", 1, 2)
         )
         bcnt = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))

@@ -77,8 +77,9 @@ IVF_NPROBE = 5
 #: embeddings the same structure probes far fewer cells; the knobs
 #: are the recall/cost dial, and capacity stays corpus-independent).
 IVF_ASSIGN = 2
-#: Query stride for the graded IVF searchers (every 100th vector
-#: queries) - keeps graded outputs O(n/100) rows.
+#: Query-subset stride of the IVF-family consumers (their SQL oracles
+#: carry the literal `% 100`); kept as a named constant so
+#: _ivf_index_pred can track EVERY consumer's query filter.
 IVF_QUERY_MOD = 100
 #: IVFPQ probes the same schedule as the cosine IVF searcher now that
 #: the refine stage exists.  (Pre-refine, ADC mis-ranking made extra
@@ -626,9 +627,6 @@ def _ann_cached(spark, sf_dir, name, build):
     return _spread_fn(spark.read.parquet(path))
 
 
-#: Query-subset stride of the IVF-family consumers (their SQL oracles
-#: carry the literal `% 100`); kept as a named constant so the index
-#: predicate below can track EVERY consumer's query filter.
 def _ivf_index_pred():
     """Rows the persisted IVF index keeps: the index CELLS (every
     vector under its IVF_ASSIGN nearest centroids — the IVFFlat

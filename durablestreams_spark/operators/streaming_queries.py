@@ -1106,6 +1106,13 @@ def _nb_logit_col(feats_col, lam, pri):
     ).cast("double")
 
 
+#: The documents fixture file name — ONE definition feeding both the
+#: stream's pathGlobFilter and the split estimate of _spread_stream
+#: (a rename must not be able to silently disable the rebalance at
+#: one call site and reintroduce the scan starvation).
+_DOCS_FILE = "documents.parquet"
+
+
 def _docs_stream(spark, sf_dir: str):
     """The documents table replayed as a stream."""
     return (
@@ -1113,8 +1120,17 @@ def _docs_stream(spark, sf_dir: str):
             "doc_id long, text string, lang string, source string, "
             "n_chars long"
         )
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", _DOCS_FILE)
         .parquet(sf_dir)
+    )
+
+
+def _docs_stream_spread(spark, sf_dir: str):
+    """_docs_stream with the CPU-heavy-stage rebalance (see
+    _spread_stream) — use this for any consumer whose scan stage does
+    per-token hashing / metric work."""
+    return _spread_stream(
+        _docs_stream(spark, sf_dir), os.path.join(sf_dir, _DOCS_FILE)
     )
 
 
@@ -1183,9 +1199,7 @@ def streaming_quality_score(spark, sf_dir):
     # _spread_stream: the per-token feature hashing is the CPU-heavy
     # row-local stage; the single-file fixture otherwise scores on 3
     # of 32 cores (no-op at scale — see the helper's contract).
-    scored = _spread_stream(
-        _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
-    ).select(
+    scored = _docs_stream_spread(spark, sf_dir).select(
         "doc_id", _nb_feats_array(wrds).alias("feats")
     ).where(F.size("feats") > 0)
     logit = _nb_logit_col(F.col("feats"), lam, pri)
@@ -1243,9 +1257,7 @@ def streaming_quality_monitor(spark, sf_dir):
     # _spread_stream: Gopher metrics + per-token feature hashing are
     # the CPU-heavy row-local stages (see streaming_quality_score).
     m = _gopher_metrics(
-        _spread_stream(
-            _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
-        ),
+        _docs_stream_spread(spark, sf_dir),
         keep_words=True,
         extra_cols=("source",),
     )
@@ -1318,8 +1330,15 @@ def _neardup_index(spark, sf_dir):
 
 
 # Shared verbatim with the batch dedup_simhash oracle (one signature
-# definition, two graded consumers — the _NB_SCORED_CTES pattern).
-from .dedup import _SIMHASH_CTES  # noqa: E402
+# definition, two graded consumers — the _NB_SCORED_CTES pattern);
+# the banding geometry interpolates the SAME constants the stream
+# side uses so a knob change cannot leave a stale oracle.
+from .dedup import (  # noqa: E402
+    _SIMHASH_CTES,
+    NEARDUP_BAND_BITS as _ND_BITS,
+    NEARDUP_BANDS as _ND_BANDS,
+    NEARDUP_MAX_HAMMING as _ND_HAM,
+)
 
 
 @query(
@@ -1328,15 +1347,16 @@ from .dedup import _SIMHASH_CTES  # noqa: E402
     WITH {_SIMHASH_CTES},
     bands AS (
         SELECT doc_id, simhash, b.b AS band_id,
-               (simhash // (1::BIGINT << (8 * b.b))) % 256 AS band_key
-        FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+               (simhash // (1::BIGINT << ({_ND_BITS} * b.b)))
+                   % {1 << _ND_BITS} AS band_key
+        FROM sig, (SELECT UNNEST(generate_series(0, {_ND_BANDS - 1})) AS b) b
     )
     SELECT DISTINCT s.doc_id AS doc_id, c.doc_id AS dup_of,
            CAST(bit_count(xor(s.simhash, c.simhash)) AS BIGINT) AS hamming
     FROM bands s
     JOIN bands c ON s.band_id = c.band_id AND s.band_key = c.band_key
                AND c.doc_id < s.doc_id
-    WHERE bit_count(xor(s.simhash, c.simhash)) <= 3
+    WHERE bit_count(xor(s.simhash, c.simhash)) <= {_ND_HAM}
     """,
     doc="LIVE online near-dup detection — the ingest-time twin of the "
     "batch near-dup family, and the serving topology a production "
@@ -1387,10 +1407,7 @@ def _neardup_stream_df(spark, sf_dir):
         F.col("doc_id").alias("dup_of"),
         F.col("simhash").alias("c_sig"),
     )
-    src = _spread_stream(
-        _docs_stream(spark, sf_dir).select("doc_id", "text"),
-        f"{sf_dir}/documents.parquet",
-    )
+    src = _docs_stream_spread(spark, sf_dir).select("doc_id", "text")
     sig = src.where(
         F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
     ).select("doc_id", simhash_expr().alias("simhash"))
@@ -1507,9 +1524,7 @@ def streaming_ingest_gate(spark, sf_dir):
 
     lam, pri = _nb_serving_model(spark, sf_dir)
     hx = _exact_hash_index(spark, sf_dir)
-    src = _spread_stream(
-        _docs_stream(spark, sf_dir), f"{sf_dir}/documents.parquet"
-    )
+    src = _docs_stream_spread(spark, sf_dir)
     m = _gopher_metrics(src, keep_words=True, extra_cols=("text",))
     ann = m.select(
         "doc_id",

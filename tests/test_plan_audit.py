@@ -1090,23 +1090,17 @@ def test_write_shards_rank_is_bucket_partitioned(spark, tmp_path):
     from durablestreams_spark.operators.pipeline_llm import _write_shards
 
     df = _write_shards(spark, SF_DIR, root=str(tmp_path / "aud"))
-    # the artifact itself must already be written per shard; auditing
-    # the BUILD plan requires rebuilding, so audit the builder's rank
-    # stage directly: re-run the build into a fresh root and inspect
-    # the plan it executes via the written row invariants instead.
-    rows = df.select("bucket").limit(1).columns if "bucket" in df.columns else None
-    assert rows is None  # bucket is internal; the artifact stays lean
-    # Build-plan audit: reconstruct the ranking subplan the builder
-    # runs and assert its windows.
+    assert "bucket" not in df.columns  # internal; the artifact stays lean
+    # Build-plan audit: the ranking subplan the builder runs, built
+    # from the builder's OWN shared key definition (_shard_sort_key)
+    # so the audited plan cannot drift from the one that executes.
     from pyspark.sql import Window as W
 
     from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators.pipeline_llm import _shard_sort_key
 
     seqs = all_queries()["pipeline_pack_sequences"].fn(spark, SF_DIR)
-    key = F.substring(F.md5(F.concat(F.col("shard").cast("string"),
-                                     F.lit(":"),
-                                     F.col("seq_id").cast("string"))), 1, 16)
-    d = seqs.withColumn("key", key).withColumn(
+    d = seqs.withColumn("key", _shard_sort_key()).withColumn(
         "bucket", F.substring("key", 1, 2)
     )
     wr = W.partitionBy("bucket").orderBy("key", "shard", "seq_id")
