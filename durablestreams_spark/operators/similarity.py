@@ -774,13 +774,17 @@ def _ivf_ranked(spark, sf_dir):
     return _rank_centroids_inrow(v, cn_rows)
 
 
-def _rank_centroids_inrow(v, cn_rows):
+def _rank_centroids_inrow(v, cn_rows, keep_negsim=False):
     """In-row centroid ranking: each vector computes its cosine to
     every collected (cent_id, cemb, cnorm) row as literal arithmetic,
     sorts the (−csim, cent_id) structs in-row and posexplodes to
     (cent_id, cr) — zero exchanges (the shape the old n×K window
     replaced).  Split out so the NULL-cosine guard is unit-testable
-    with degenerate vectors/centroids."""
+    with degenerate vectors/centroids.  ``keep_negsim`` additionally
+    emits the ranked struct's −cosine (the drift monitor reads its
+    own cell's similarity from it; IEEE negation is exact, so
+    −negsim IS the cosine bit-for-bit) — opt-in so the persisted
+    index artifact's schema/width stays unchanged."""
 
     def _litvec(xs):
         return F.array(*[F.lit(float(x)) for x in xs])
@@ -828,6 +832,7 @@ def _rank_centroids_inrow(v, cn_rows):
         "norm",
         F.col("s.cent_id").alias("cent_id"),
         (F.col("p") + 1).alias("cr"),
+        *([F.col("s.negsim").alias("negsim")] if keep_negsim else []),
     )
 
 

@@ -1551,3 +1551,189 @@ def streaming_ingest_gate(spark, sf_dir):
         ~F.col("exact_dup") & F.col("gopher_keep") & (F.col("nb_logit") > 0),
     )
     return _drain(out, "append")
+
+
+#: The embeddings fixture file name (the _DOCS_FILE rule).
+_EMB_FILE = "embeddings.parquet"
+
+
+def _emb_stream_spread(spark, sf_dir: str):
+    """The embeddings table replayed as a stream, rebalanced for the
+    CPU-heavy in-row centroid arithmetic (see _spread_stream)."""
+    raw = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("pathGlobFilter", _EMB_FILE)
+        .parquet(sf_dir)
+    )
+    return _spread_stream(raw, os.path.join(sf_dir, _EMB_FILE))
+
+
+def _drift_base_centroids(spark, sf_dir):
+    """Frozen base-snapshot centroids for the drift monitor — the
+    same md5 ':ivfup' 80% split and capped-sample Lloyd training as
+    similarity_ivf_upsert (one base-index definition, two graded
+    consumers).  Returns collected (cent_id, cemb, cnorm) rows,
+    O(IVF_K) — vocabulary state, legal to fold into a stream."""
+    from pyspark.sql import functions as F2
+
+    from ..analytics.core import spread
+    from .similarity import (
+        IVF_K,
+        IVF_TRAIN_CAP,
+        _dot,
+        _sample_h_col,
+        _train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F2.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = spread(emb).withColumn("norm", F2.sqrt(_dot("emb", "emb")))
+    split_tag = F2.substring(
+        F2.md5(F2.concat(F2.col("vec_id").cast("string"), F2.lit(":ivfup"))),
+        1,
+        2,
+    )
+    base = v.where(split_tag < "cc")
+    train = (
+        base.select("vec_id", "emb", "norm")
+        .withColumn("h", _sample_h_col())
+        .orderBy("h", "vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .localCheckpoint(eager=True)
+    )
+    cent = _train_centroids(train, IVF_K)
+    cn_rows = sorted(
+        cent.withColumn("cnorm", F2.sqrt(_dot("cemb", "cemb"))).collect(),
+        key=lambda r: r["cent_id"],
+    )
+    return base, cn_rows
+
+
+from .similarity import (  # noqa: E402
+    IVF_KMEANS_ITERS as _IVF_ITERS,
+    _kmeans_sql as _ivf_kmeans_sql,
+)
+
+
+@query(
+    "streaming_embedding_drift",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    base AS (SELECT * FROM v
+             WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':ivfup'), 1, 2)
+                   < 'cc'),
+    {kmeans},
+    cells_all AS (
+        SELECT vec_id, cent_id, sim FROM (
+            SELECT v.vec_id, c.cent_id,
+                   list_cosine_similarity(v.emb, c.cemb) AS sim,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC,
+                                               c.cent_id) AS rn
+            FROM v, cents{iters} c) WHERE rn = 1
+    ),
+    cells_base AS (
+        SELECT a.* FROM cells_all a JOIN base b USING (vec_id)
+    ),
+    obs AS (
+        SELECT cent_id, count(*) AS n_vecs,
+               sum(CAST(sim AS DECIMAL(38, 18))) AS simsum
+        FROM cells_all GROUP BY cent_id
+    ),
+    bs AS (SELECT cent_id, count(*) AS n_base FROM cells_base GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM cells_all) AS n_all,
+                   (SELECT count(*) FROM cells_base) AS n_b)
+    SELECT o.cent_id,
+           CAST(o.n_vecs AS BIGINT) AS n_vecs,
+           floor(CAST(o.simsum AS DOUBLE) / o.n_vecs * 1000000 + 0.5)
+               / 1000000 AS mean_cos,
+           floor(CAST(o.n_vecs AS DOUBLE) / t.n_all * 1000000 + 0.5)
+               / 1000000 AS obs_share,
+           floor(CAST(coalesce(b.n_base, 0) AS DOUBLE) / t.n_b
+                 * 1000000 + 0.5) / 1000000 AS base_share
+    FROM obs o LEFT JOIN bs b USING (cent_id) CROSS JOIN tot t
+    ORDER BY o.cent_id
+    """.format(kmeans=_ivf_kmeans_sql(src="base"), iters=_IVF_ITERS),
+    doc="LIVE embedding-distribution DRIFT monitor — the retrain "
+    "signal a deployed ANN index watches: each incoming vector is "
+    "assigned ROW-LOCALLY to its nearest frozen base-snapshot "
+    "centroid (the same ':ivfup' 80%-split quantizer "
+    "similarity_ivf_upsert serves — one base-index definition, two "
+    "graded consumers; O(K) collected literals, zero stream-side "
+    "joins), then rolled up in a complete-mode aggregation whose "
+    "state is O(IVF_K) rows — BOUNDED, the streaming_quality_monitor "
+    "contract, so the monitor runs forever at any ingest rate.  Per "
+    "cell: observed count, decimal-exact mean cosine-to-centroid "
+    "(cell compactness — falling means the cell no longer fits its "
+    "members), observed vs base assignment share (diverging means "
+    "the incoming distribution has shifted off the trained index — "
+    "time to retrain).  All ratios floor-snapped at 1e-6; the sim "
+    "sum accumulates in DECIMAL(38,18) per the SCALE.md long-sum "
+    "policy so a streaming shuffle cannot flip the report.",
+)
+def streaming_embedding_drift(spark, sf_dir):
+    from .similarity import _rank_centroids_inrow
+
+    base, cn_rows = _drift_base_centroids(spark, sf_dir)
+    src = _emb_stream_spread(spark, sf_dir).select(
+        "vec_id",
+        F.lit(None).cast("string").alias("label"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    from .similarity import _dot as _dot2
+
+    v = src.withColumn("norm", F.sqrt(_dot2("emb", "emb")))
+    # keep_negsim: the ranked struct already carries -cosine for the
+    # own cell; IEEE negation is exact, so -negsim IS the cosine the
+    # oracle computes - no second pass over the centroid literals.
+    assigned = _rank_centroids_inrow(v, cn_rows, keep_negsim=True).where(
+        F.col("cr") == 1
+    )
+    agg = (
+        assigned.withColumn("sim", -F.col("negsim"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("sim").cast("decimal(38,18)")).alias("simsum"),
+        )
+    )
+    out = _drain(agg, "complete")
+    # Base shares are a BATCH join after the drain (no stream-side
+    # join at all): assignment of the base 80% under the same frozen
+    # centroids.
+    base_assigned = _rank_centroids_inrow(
+        base.select("vec_id", F.lit(None).cast("string").alias("label"),
+                    "emb", "norm"),
+        cn_rows,
+    ).where(F.col("cr") == 1)
+    bs = base_assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    n_all = out.agg(F.sum("n_vecs")).collect()[0][0]
+    n_b = base.count()
+
+    def _snap(x):
+        return F.floor(x * 1000000 + F.lit(0.5)) / 1000000
+
+    return (
+        out.join(bs, "cent_id", "left")
+        .select(
+            "cent_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            _snap(
+                F.col("simsum").cast("double") / F.col("n_vecs")
+            ).alias("mean_cos"),
+            _snap(F.col("n_vecs").cast("double") / F.lit(float(n_all))).alias(
+                "obs_share"
+            ),
+            _snap(
+                F.coalesce(F.col("n_base"), F.lit(0)).cast("double")
+                / F.lit(float(n_b))
+            ).alias("base_share"),
+        )
+        .orderBy("cent_id")
+    )
