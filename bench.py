@@ -104,6 +104,13 @@ SF1_EXTRA = [
     "timeseries_hour_anomaly",  # r9 behavioral KL anomaly screen: (user,hour) partial agg + 24-bin broadcast profile
     "sample_quality_resample",  # r9 soft quality selection: Gumbel-top-k over the shared NB logits, TakeOrdered
     "streaming_quality_monitor",  # r9 LIVE per-source quality dashboard: bounded O(#sources) complete-mode state
+    "streaming_dedup_neardup",    # r10 online near-dup: row-local SimHash + stream-static band join vs the persisted index
+    "streaming_ingest_gate",      # r10 composed admission gate: hash-index join + Gopher + served NB logit, stateless
+    "streaming_embedding_drift",  # r10 LIVE embedding drift: frozen-quantizer row-local assignment, O(K) complete-mode state
+    "pipeline_write_shards",      # r10 shard writer: two-phase bucket rank + per-shard manifest read-back
+    "similarity_ivf_upsert",      # r10 index upsert: base-trained quantizer, assignment-only delta
+    "text_classifier_calibration",  # r10 P/R/F1 threshold ladder over the shared NB scores
+    "pipeline_pack_efficiency",   # r10 seq-len waste sweep: one partial-agg pass to O(#shards) rows
 ]
 
 
