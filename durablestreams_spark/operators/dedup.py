@@ -490,14 +490,24 @@ def _cc_unrolled_levels(edges: str = "edges", prefix: str = "ccl") -> str:
     materialized O(sum of component size squared) reach pairs, which
     is what stalled the DuckDB oracle at sf1 (three
     InterruptExceptions in the r9 mirror).  Final labels live in
-    ``{prefix}{CC_ORACLE_LEVELS}`` (node, label)."""
+    ``{prefix}{CC_ORACLE_LEVELS}`` (node, label), which is a
+    CONVERGENCE-CHECKED projection: if the last two raw levels still
+    differ on any node (a component whose diameter outruns the
+    unroll), the oracle raises its own error() instead of handing the
+    mirror an unconverged label set that would red-flag a correct
+    engine (r10 ADVICE: an under-unrolled oracle must report itself,
+    not present as an engine bug)."""
+    last = CC_ORACLE_LEVELS
     parts = [
         f"{prefix}0 AS MATERIALIZED ("
         f"SELECT DISTINCT a AS node, a AS label FROM {edges})"
     ]
-    for k in range(1, CC_ORACLE_LEVELS + 1):
+    for k in range(1, last + 1):
+        # The final raw level gets a `_pre` name so the public
+        # `{prefix}{last}` slot can hold the checked projection.
+        name = f"{prefix}{k}_pre" if k == last else f"{prefix}{k}"
         parts.append(
-            f"""{prefix}{k} AS MATERIALIZED (
+            f"""{name} AS MATERIALIZED (
         SELECT l.node,
                least(min(l.label),
                      coalesce(min(nl.label), min(l.label)),
@@ -509,6 +519,22 @@ def _cc_unrolled_levels(edges: str = "edges", prefix: str = "ccl") -> str:
         GROUP BY l.node
     )"""
         )
+    parts.append(
+        f"""{prefix}{last} AS MATERIALIZED (
+        SELECT f.node,
+               CASE WHEN chk.n_diff = 0 THEN f.label
+                    ELSE CAST(error(
+                        'CC oracle under-unrolled: raise '
+                        'CC_ORACLE_LEVELS (labels still moving after '
+                        '{last} levels)') AS BIGINT)
+               END AS label
+        FROM {prefix}{last}_pre f
+        CROSS JOIN (SELECT count(*) AS n_diff
+                    FROM {prefix}{last}_pre f2
+                    JOIN {prefix}{last - 1} p USING (node)
+                    WHERE f2.label <> p.label) chk
+    )"""
+    )
     return ",\n    ".join(parts)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import stat as _stat
 import tempfile
 import uuid
 
@@ -1152,7 +1153,21 @@ def _spread_stream(df, src_path: str):
         spark.conf.get("spark.sql.files.maxPartitionBytes")
     )
     try:
-        size = os.stat(src_path).st_size
+        st = os.stat(src_path)
+        if _stat.S_ISDIR(st.st_mode):
+            # A multi-file dataset: st_size would be the inode size
+            # (~4 KB), which always under-estimates to 1 split and
+            # turns the contract's at-scale no-op into a per-batch
+            # shuffle (r10 ADVICE).  Sum the data files instead
+            # (one level — Spark's own directory listing depth for a
+            # non-partitioned parquet path).
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(src_path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        else:
+            size = st.st_size
     except OSError:
         return df  # remote/unstatable — assume at-scale, don't shuffle
     if -(-size // max_split) >= n_par:
@@ -1627,6 +1642,8 @@ from .similarity import (  # noqa: E402
              WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':ivfup'), 1, 2)
                    < 'cc'),
     {kmeans},
+    live AS (SELECT vec_id, emb FROM v
+             WHERE list_dot_product(emb, emb) > 0),
     cells_all AS (
         SELECT vec_id, cent_id, sim FROM (
             SELECT v.vec_id, c.cent_id,
@@ -1634,14 +1651,15 @@ from .similarity import (  # noqa: E402
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC,
                                                c.cent_id) AS rn
-            FROM v, cents{iters} c) WHERE rn = 1
+            FROM live v, cents{iters} c) WHERE rn = 1
     ),
     cells_base AS (
         SELECT a.* FROM cells_all a JOIN base b USING (vec_id)
     ),
     obs AS (
         SELECT cent_id, count(*) AS n_vecs,
-               sum(CAST(sim AS DECIMAL(38, 18))) AS simsum
+               sum(CAST(floor(sim * 1000000000 + 0.5) / 1000000000
+                        AS DECIMAL(28, 9))) AS simsum
         FROM cells_all GROUP BY cent_id
     ),
     bs AS (SELECT cent_id, count(*) AS n_base FROM cells_base GROUP BY 1),
@@ -1671,9 +1689,18 @@ from .similarity import (  # noqa: E402
     "(cell compactness — falling means the cell no longer fits its "
     "members), observed vs base assignment share (diverging means "
     "the incoming distribution has shifted off the trained index — "
-    "time to retrain).  All ratios floor-snapped at 1e-6; the sim "
-    "sum accumulates in DECIMAL(38,18) per the SCALE.md long-sum "
-    "policy so a streaming shuffle cannot flip the report.",
+    "time to retrain).  All ratios floor-snapped at 1e-6.  The sim "
+    "sum pre-snaps each per-vector cosine to a 1e-9 grid and "
+    "accumulates in DECIMAL(28,9): every double within ~1e-10 of a "
+    "grid point converts to EXACTLY that grid point on both engines, "
+    "so the decimal sum is bit-identical cross-engine — a one-ulp "
+    "divergence between Spark's dot/(norm*cnorm) fold and DuckDB's "
+    "list_cosine_similarity can no longer flip the graded row (r10 "
+    "ADVICE; raw DECIMAL(38,18) sums required bit-identical "
+    "cosines).  Zero-norm embeddings are filtered on BOTH sides "
+    "before assignment (Spark would fold them to -inf -> NULL, "
+    "DuckDB to NaN — the degenerate input is now defined out "
+    "identically).",
 )
 def streaming_embedding_drift(spark, sf_dir):
     from .similarity import _rank_centroids_inrow
@@ -1686,35 +1713,43 @@ def streaming_embedding_drift(spark, sf_dir):
     )
     from .similarity import _dot as _dot2
 
-    v = src.withColumn("norm", F.sqrt(_dot2("emb", "emb")))
+    v = src.withColumn("norm", F.sqrt(_dot2("emb", "emb"))).where(
+        F.col("norm") > 0
+    )
     # keep_negsim: the ranked struct already carries -cosine for the
     # own cell; IEEE negation is exact, so -negsim IS the cosine the
     # oracle computes - no second pass over the centroid literals.
     assigned = _rank_centroids_inrow(v, cn_rows, keep_negsim=True).where(
         F.col("cr") == 1
     )
+    grid = F.lit(1000000000.0)
     agg = (
-        assigned.withColumn("sim", -F.col("negsim"))
+        assigned.withColumn(
+            "sim", F.floor(-F.col("negsim") * grid + F.lit(0.5)) / grid
+        )
         .groupBy("cent_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.col("sim").cast("decimal(38,18)")).alias("simsum"),
+            F.sum(F.col("sim").cast("decimal(28,9)")).alias("simsum"),
         )
     )
     out = _drain(agg, "complete")
     # Base shares are a BATCH join after the drain (no stream-side
     # join at all): assignment of the base 80% under the same frozen
     # centroids.
+    base_live = base.where(F.col("norm") > 0)
     base_assigned = _rank_centroids_inrow(
-        base.select("vec_id", F.lit(None).cast("string").alias("label"),
-                    "emb", "norm"),
+        base_live.select(
+            "vec_id", F.lit(None).cast("string").alias("label"),
+            "emb", "norm",
+        ),
         cn_rows,
     ).where(F.col("cr") == 1)
     bs = base_assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_base")
     )
     n_all = out.agg(F.sum("n_vecs")).collect()[0][0]
-    n_b = base.count()
+    n_b = base_live.count()
 
     def _snap(x):
         return F.floor(x * 1000000 + F.lit(0.5)) / 1000000

@@ -52,3 +52,41 @@ def test_star_matches_min_propagation_on_lsh_graph(spark):
         for r in qs["dedup_connected_components"].fn(spark, SF_DIR).collect()
     }
     assert star == prop and len(star) > 0
+
+
+def _run_cc_oracle_on_chain(n_nodes, levels, monkeypatch):
+    """Run the unrolled CC oracle CTE chain in DuckDB over a pure
+    chain graph 0-1-2-...-n, with CC_ORACLE_LEVELS patched."""
+    import duckdb
+
+    from durablestreams_spark.operators import dedup as dmod
+
+    monkeypatch.setattr(dmod, "CC_ORACLE_LEVELS", levels)
+    edges = " UNION ALL ".join(
+        f"SELECT {i} AS a, {i + 1} AS b UNION ALL "
+        f"SELECT {i + 1} AS a, {i} AS b"
+        for i in range(n_nodes - 1)
+    )
+    sql = f"""
+    WITH edges AS MATERIALIZED ({edges}),
+    {dmod._cc_unrolled_levels()}
+    SELECT node, label FROM ccl{levels} ORDER BY node
+    """
+    return duckdb.sql(sql).fetchall()
+
+
+def test_cc_oracle_converged_chain_labels(monkeypatch):
+    """Positive case: a chain the unroll covers converges to label 0
+    everywhere and the convergence check passes silently."""
+    rows = _run_cc_oracle_on_chain(20, 8, monkeypatch)
+    assert rows == [(i, 0) for i in range(20)]
+
+
+def test_cc_oracle_under_unroll_self_reports(monkeypatch):
+    """r10 ADVICE: an under-unrolled oracle must raise its own
+    error(), not hand back unconverged labels that would red-flag a
+    correct engine as a hash mismatch."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CC oracle under-unrolled"):
+        _run_cc_oracle_on_chain(60, 2, monkeypatch)

@@ -145,3 +145,34 @@ def test_neardup_index_cache_invalidates_on_params(spark, tmp_path):
     assert marker_current(
         marker, SF_DIR, name="documents", params="simhash32:bands4x8:v1"
     )
+
+
+def test_spread_stream_directory_source_sums_data_files(spark, tmp_path):
+    """r10 ADVICE: when the source path is a DIRECTORY (multi-file
+    dataset — the at-scale case), the split estimate must sum the
+    data files, not read the inode's ~4 KB st_size; otherwise the
+    helper repartitions exactly where its contract says it must be a
+    no-op."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _spread_stream,
+    )
+
+    d = tmp_path / "dataset.parquet"
+    d.mkdir()
+    for i in range(32):
+        (d / f"part-{i:05d}.snappy.parquet").write_bytes(b"x" * 2048)
+    (d / "_SUCCESS").write_bytes(b"")  # marker files must not count
+
+    df = spark.range(10)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        # 64 KiB of data files / 1 KiB splits = 64 >= 32 cores: the
+        # scan already spreads, so the helper must return df AS-IS.
+        assert _spread_stream(df, str(d)) is df
+        # Control: a single 2 KiB file yields 2 splits < cores, so
+        # the single-file fixture still gets the rebalance.
+        one = str(d / "part-00000.snappy.parquet")
+        assert _spread_stream(df, one) is not df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
