@@ -9,6 +9,8 @@ side, joining the PERSISTED batch-built index.
 
 import os
 
+from pyspark.sql import functions as F
+
 from durablestreams_spark.analytics.core import all_queries
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -176,3 +178,104 @@ def test_spread_stream_directory_source_sums_data_files(spark, tmp_path):
         assert _spread_stream(df, one) is not df
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def _ndlive_is_base(i: int) -> bool:
+    import hashlib as _h
+
+    return _h.md5(f"{i}:ndlive".encode()).hexdigest()[:2] < "cc"
+
+
+def test_ndlive_new_vs_new_pair_is_flagged(spark, tmp_path):
+    """The r10 blind spot, closed: a near-dup pair in which BOTH
+    members are absent from the base corpus (they only ever exist in
+    the stream) must be flagged — via the intra-batch self-join or
+    the incremental index append, whichever way the replay batches
+    them — and a base-vs-delta pair must still be flagged too."""
+    from durablestreams_spark.operators import (
+        streaming_queries as sq,
+    )
+
+    ids = list(range(1, 600))
+    delta_ids = [i for i in ids if not _ndlive_is_base(i)]
+    base_ids = [i for i in ids if _ndlive_is_base(i)]
+    assert len(delta_ids) >= 10 and len(base_ids) >= 3
+
+    dup_text = "alpha beta gamma delta epsilon zeta"
+    cross_text = "the quick brown fox jumps over the lazy dog"
+    # 8 identical delta docs: their 28 pairs are all new-vs-new, and
+    # with 4 replay slices some land in different micro-batches, so
+    # finding ALL of them exercises both detection paths.
+    clones = delta_ids[:8]
+    loner = delta_ids[8]
+    b_dup = base_ids[0]
+    rows = [(i, dup_text) for i in clones]
+    rows.append((loner, cross_text))
+    rows.append((b_dup, cross_text))  # base member of a base-delta pair
+    rows += [
+        (i, f"unique filler document number {i} with its own words")
+        for i in base_ids[1:3]
+    ]
+    # Single-FILE parquet like the driver fixtures (the cache marker
+    # fingerprints the file, and table() reads sf_dir/documents.parquet).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["synthetic"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = sq.streaming_dedup_neardup_live(spark, str(tmp_path))
+    got = {(r["doc_id"], r["dup_of"]) for r in out.collect()}
+
+    expect_nn = {
+        (max(a, b), min(a, b))
+        for i, a in enumerate(clones)
+        for b in clones[i + 1:]
+    }
+    assert expect_nn <= got, "new-vs-new pairs missed"
+    assert (max(loner, b_dup), min(loner, b_dup)) in got, (
+        "base-vs-delta pair missed"
+    )
+    # every emitted pair is a true near-dup at the graded threshold
+    assert all(h <= 3 for h in (r["hamming"] for r in out.collect()))
+
+
+def test_ndlive_run_is_multi_batch_and_stateless(spark):
+    """Audit (VERDICT r10 task 1 'done' criterion): the graded run
+    must actually span multiple micro-batches (else the index-append
+    path is dead code), carry ZERO streaming state operators (no
+    watermark, no state store — detection is scan throughput), and
+    grow the run-local appended index."""
+    from durablestreams_spark.operators import (
+        streaming_queries as sq,
+    )
+
+    out = sq.streaming_dedup_neardup_live(spark, SF_DIR)
+    n = out.count()
+    assert n > 0
+    audit = sq._NDLIVE_LAST_RUN
+    assert audit["n_batches"] >= 2, audit
+    assert audit["state_operators"] == [], audit
+    assert len(audit["appended_files"]) >= audit["n_batches"]
+
+    # New-vs-new pairs are present in the graded output itself: both
+    # members outside the base split.
+    pairs = [(r["doc_id"], r["dup_of"]) for r in out.collect()]
+    nn = [
+        p
+        for p in pairs
+        if not _ndlive_is_base(p[0]) and not _ndlive_is_base(p[1])
+    ]
+    assert len(nn) > 0, "no new-vs-new pair in the graded fixture run"
