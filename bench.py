@@ -112,6 +112,7 @@ SF1_EXTRA = [
     "text_classifier_calibration",  # r10 P/R/F1 threshold ladder over the shared NB scores
     "pipeline_pack_efficiency",   # r10 seq-len waste sweep: one partial-agg pass to O(#shards) rows
     "streaming_dedup_neardup_live",  # r11 new-vs-new live detector: foreachBatch self-join + incremental index append
+    "streaming_ingest_gate_live",    # r11 composed live gate: order-independent exact+near dup flags, zero stream state
     "streaming_tws_sessionize",   # r11 rotation: the dominant stateful-streaming sf1 row (VERDICT r10 task 7)
     "dedup_embedding_cosine",     # r11 rotation: the dominant engine sf1 row — banded SRP + broadcast-vector verify
 ]

@@ -1652,6 +1652,53 @@ def _neardup_base_index_path(spark, sf_dir, docs=None) -> str:
     return idx_p
 
 
+def _delta_replay_stream(spark, run_dir: str, delta_docs):
+    """Replay harness shared by the live new-vs-new detectors: slice
+    ``delta_docs`` (doc_id, text) into _NDLIVE_FILES parquet files and
+    return a maxFilesPerTrigger=1 stream over them, so availableNow
+    yields a genuinely multi-batch run.  Production replaces this
+    with the firehose itself — the sliced re-write is test
+    scaffolding, not part of the operator."""
+    delta_dir = os.path.join(run_dir, "delta")
+    (
+        delta_docs.select("doc_id", "text")
+        .repartition(_NDLIVE_FILES, "doc_id")
+        .write.mode("overwrite")
+        .parquet(delta_dir)
+    )
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+
+
+def _await_and_audit(q, audit: dict, app_path: str):
+    """Drain an availableNow foreachBatch query and record the audit
+    facts the statelessness tests pin: batch count, streaming state
+    operators (must be []), and the run-local index appends."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("live-gate drain did not finish in 600s")
+    progress = [p for p in q.recentProgress if p is not None]
+    audit.clear()
+    audit.update(
+        {
+            "n_batches": sum(1 for p in progress if p["numInputRows"] > 0),
+            "state_operators": [
+                s for p in progress for s in p.get("stateOperators", [])
+            ],
+            "appended_files": sorted(
+                e.name
+                for e in os.scandir(app_path)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+            if os.path.isdir(app_path)
+            else [],
+        }
+    )
+
+
 def _ndlive_run(spark, base_idx_path: str, delta_docs):
     """The live new-vs-new near-dup topology, shared by the graded
     query and the synthetic-corpus tests: replay ``delta_docs``
@@ -1668,19 +1715,8 @@ def _ndlive_run(spark, base_idx_path: str, delta_docs):
     )
 
     run_dir = tempfile.mkdtemp(prefix="ds_ndlive_")
-    delta_dir = os.path.join(run_dir, "delta")
     app_path = os.path.join(run_dir, "appended")
     out_path = os.path.join(run_dir, "pairs")
-    # Replay harness: slice the delta into _NDLIVE_FILES files so
-    # availableNow + maxFilesPerTrigger=1 yields a multi-batch run.
-    # Production replaces this with the firehose itself — the sliced
-    # re-write is test scaffolding, not part of the operator.
-    (
-        delta_docs.select("doc_id", "text")
-        .repartition(_NDLIVE_FILES, "doc_id")
-        .write.mode("overwrite")
-        .parquet(delta_dir)
-    )
     ham = F.expr("bit_count(simhash ^ c_sig)")
     least_band = _least_agreeing_band()
 
@@ -1752,39 +1788,14 @@ def _ndlive_run(spark, base_idx_path: str, delta_docs):
         # servable for every LATER batch.  O(batch) rows, run-local.
         bands.write.mode("append").parquet(app_path)
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(delta_dir)
-    )
+    stream = _delta_replay_stream(spark, run_dir, delta_docs)
     q = (
         stream.writeStream.foreachBatch(_detect)
         .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("ndlive drain did not finish in 600s")
-    progress = [p for p in q.recentProgress if p is not None]
-    _NDLIVE_LAST_RUN.clear()
-    _NDLIVE_LAST_RUN.update(
-        {
-            "n_batches": sum(
-                1 for p in progress if p["numInputRows"] > 0
-            ),
-            "state_operators": [
-                s for p in progress for s in p.get("stateOperators", [])
-            ],
-            "appended_files": sorted(
-                e.name
-                for e in os.scandir(app_path)
-                if e.is_file() and e.name.endswith(".parquet")
-            )
-            if os.path.isdir(app_path)
-            else [],
-        }
-    )
+    _await_and_audit(q, _NDLIVE_LAST_RUN, app_path)
     if not os.path.isdir(out_path):
         return spark.createDataFrame(
             [], "doc_id long, dup_of long, hamming long"
@@ -1853,6 +1864,222 @@ def streaming_dedup_neardup_live(spark, sf_dir):
     base_idx = _neardup_base_index_path(spark, sf_dir)
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     return _ndlive_run(spark, base_idx, delta)
+
+
+def _exact_hash_index_base_path(spark, sf_dir) -> str:
+    """Persisted (content md5 -> first doc_id) index over the
+    ':ndlive' BASE split — the _exact_hash_index artifact restricted
+    to the historical corpus, for the live gate.  Returns the parquet
+    PATH (foreachBatch re-reads per micro-batch)."""
+    import shutil as _shutil
+
+    root = os.path.join(
+        "/tmp/durablestreams_hashidx_base_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = f"md5:minid:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        (
+            table(spark, sf_dir, "documents")
+            .where(_ndlive_base_pred())
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("first_id"))
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return idx_p
+
+
+#: Audit facts of the last streaming_ingest_gate_live run.
+_GATE_LIVE_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_ingest_gate_live",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    {_SIMHASH_CTES.strip().rstrip()},
+    nbands AS (
+        SELECT doc_id, simhash, b.b AS band_id,
+               (simhash // (1::BIGINT << ({_ND_BITS} * b.b)))
+                   % {1 << _ND_BITS} AS band_key
+        FROM sig, (SELECT UNNEST(generate_series(0, {_ND_BANDS - 1})) AS b) b
+    ),
+    ndflag AS (
+        SELECT DISTINCT a.doc_id
+        FROM nbands a
+        JOIN nbands p ON a.band_id = p.band_id
+                     AND a.band_key = p.band_key
+                     AND p.doc_id < a.doc_id
+        WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
+    ),
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR) || '{_NDLIVE_TAG}'), 1, 2)
+                   < '{_NDLIVE_CUT}' AS is_base
+        FROM documents
+    ),
+    hmin AS (SELECT md5(text) AS h, min(doc_id) AS first_id
+             FROM documents GROUP BY 1),
+    j AS (
+        SELECT d.doc_id, (x.first_id < d.doc_id) AS exact_dup,
+               (f.doc_id IS NOT NULL) AS near_dup,
+               n.gopher_keep, n.nb_logit
+        FROM documents d
+        JOIN hmin x ON md5(d.text) = x.h
+        JOIN nbs n ON n.doc_id = d.doc_id
+        LEFT JOIN ndflag f ON f.doc_id = d.doc_id
+        JOIN split s ON s.doc_id = d.doc_id
+        WHERE NOT s.is_base
+    )
+    SELECT doc_id, exact_dup, near_dup, gopher_keep, nb_logit,
+           (NOT exact_dup AND NOT near_dup AND gopher_keep
+            AND nb_logit > 0) AS keep
+    FROM j
+    """,
+    doc="The composed LIVE admission gate with new-vs-new detection — "
+    "streaming_ingest_gate's r10 blind spot closed: that gate joins "
+    "only indexes built BEFORE the stream started, so two duplicate "
+    "documents both arriving after the build are both admitted.  "
+    "Here the ':ndlive' delta 20% is replayed multi-batch and "
+    "foreachBatch runs four stateless steps: (1) row-local Gopher "
+    "gate + served NB logit (the shared persisted-model artifacts, "
+    "unchanged); (2) batch content-hashes vs (base hash index + "
+    "prior batches' appends) — for every same-content pair this "
+    "flags max(doc_id, partner), so a LATER-arriving smaller id "
+    "retroactively flags the earlier larger one: the pair is visible "
+    "exactly when its second member arrives, making the flag set "
+    "ORDER-INDEPENDENT — a doc ends up flagged iff a smaller-id "
+    "same-content doc exists anywhere in base UNION delta, the "
+    "batch-oracle truth, regardless of batching; (3) an intra-batch "
+    "hash self-join for same-batch pairs; (4) append the batch's "
+    "(h, doc_id) entries so they serve later batches.  The near_dup "
+    "flag composes the streaming_dedup_neardup_live pair detector "
+    "(same foreachBatch pattern over the banded SimHash index; its "
+    "normalized pairs flag each pair's larger member) — production "
+    "fuses both detectors into ONE foreachBatch over the same "
+    "arrivals; the two drains here keep each detector separately "
+    "auditable.  keep = NOT exact_dup AND NOT near_dup AND "
+    "gopher_keep AND nb_logit > 0, hash-gated against the batch "
+    "composition over the full corpus restricted to delta rows.  At "
+    "100 TB: flags and appends are O(arrivals), self-joins bounded "
+    "batch x batch, no watermark or state store anywhere.  "
+    "Reference capability: none — north star (deployable gate).",
+)
+def streaming_ingest_gate_live(spark, sf_dir):
+    from .text import (
+        _gopher_keep_curate_col,
+        _gopher_metrics,
+        _nb_feats_array,
+    )
+
+    lam, pri = _nb_serving_model(spark, sf_dir)
+    base_idx_path = _exact_hash_index_base_path(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="ds_gatelive_")
+    app_path = os.path.join(run_dir, "appended")
+    adm_path = os.path.join(run_dir, "admission")
+    flag_path = os.path.join(run_dir, "flags")
+
+    def _gate(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        hashed = batch_df.select(
+            "doc_id", F.md5("text").alias("h"), "text"
+        ).localCheckpoint(eager=True)
+        idx = sess.read.parquet(base_idx_path)
+        if os.path.isdir(app_path):
+            idx = idx.unionByName(sess.read.parquet(app_path))
+        # (2) batch vs index: flag the LARGER member of every
+        # same-content pair — covers new-vs-historical, new-vs-
+        # earlier-batch, and the retro case (smaller id arriving
+        # after the larger one was already admitted).
+        f1 = (
+            hashed.join(idx, "h")
+            .where(F.col("first_id") != F.col("doc_id"))
+            .select(
+                F.greatest("doc_id", "first_id").alias("doc_id")
+            )
+        )
+        # (3) intra-batch self-join: same-batch duplicate pairs.
+        partners = hashed.select("h", F.col("doc_id").alias("p"))
+        f2 = (
+            hashed.join(partners, "h")
+            .where(F.col("p") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        f1.unionByName(f2).write.mode("append").parquet(flag_path)
+        # (1) row-local admission signals for this batch's docs (the
+        # shared Gopher + served-NB definitions of the batch gate).
+        m = _gopher_metrics(batch_df, keep_words=True, extra_cols=("text",))
+        ann = m.select(
+            "doc_id",
+            _gopher_keep_curate_col().alias("gopher_keep"),
+            _nb_feats_array(F.col("wrds")).alias("feats"),
+        ).where(F.size("feats") > 0)
+        ann.select(
+            "doc_id",
+            "gopher_keep",
+            _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
+        ).write.mode("append").parquet(adm_path)
+        # (4) incremental index append: this batch's content hashes
+        # become servable for every later batch.
+        hashed.select("h", F.col("doc_id").alias("first_id")).write.mode(
+            "append"
+        ).parquet(app_path)
+
+    delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
+    stream = _delta_replay_stream(spark, run_dir, delta)
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_audit(q, _GATE_LIVE_LAST_RUN, app_path)
+    adm = spark.read.parquet(adm_path)
+    if os.path.isdir(flag_path):
+        flags = (
+            spark.read.parquet(flag_path)
+            .distinct()
+            .withColumn("flagged", F.lit(True))
+        )
+        adm = adm.join(flags, "doc_id", "left")
+    else:
+        adm = adm.withColumn("flagged", F.lit(None).cast("boolean"))
+    # near_dup: the live pair detector's normalized (doc_id > dup_of)
+    # output flags each pair's larger member — a doc is a near-dup
+    # iff a smaller-id neighbor at hamming <= NEARDUP_MAX_HAMMING
+    # exists anywhere in base UNION delta.
+    nd_pairs = _ndlive_run(
+        spark,
+        _neardup_base_index_path(spark, sf_dir),
+        table(spark, sf_dir, "documents").where(~_ndlive_base_pred()),
+    )
+    nd_flags = (
+        nd_pairs.select("doc_id")
+        .distinct()
+        .withColumn("nd_flagged", F.lit(True))
+    )
+    adm = adm.join(nd_flags, "doc_id", "left")
+    exact_dup = F.coalesce("flagged", F.lit(False))
+    near_dup = F.coalesce("nd_flagged", F.lit(False))
+    return adm.select(
+        "doc_id",
+        exact_dup.alias("exact_dup"),
+        near_dup.alias("near_dup"),
+        "gopher_keep",
+        "nb_logit",
+        (
+            ~exact_dup
+            & ~near_dup
+            & F.col("gopher_keep")
+            & (F.col("nb_logit") > 0)
+        ).alias("keep"),
+    )
 
 
 #: The embeddings fixture file name (the _DOCS_FILE rule).

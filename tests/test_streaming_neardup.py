@@ -279,3 +279,91 @@ def test_ndlive_run_is_multi_batch_and_stateless(spark):
         if not _ndlive_is_base(p[0]) and not _ndlive_is_base(p[1])
     ]
     assert len(nn) > 0, "no new-vs-new pair in the graded fixture run"
+
+
+def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
+    """streaming_ingest_gate_live on the fixture: multi-batch,
+    zero streaming state, near-dup flags present (the fixture has
+    hundreds of near-dup pairs), keep = composition of the flags."""
+    from durablestreams_spark.operators import (
+        streaming_queries as sq,
+    )
+
+    out = sq.streaming_ingest_gate_live(spark, SF_DIR).collect()
+    assert len(out) > 0
+    audit = sq._GATE_LIVE_LAST_RUN
+    assert audit["n_batches"] >= 2, audit
+    assert audit["state_operators"] == [], audit
+    assert len(audit["appended_files"]) >= audit["n_batches"]
+    assert any(r["near_dup"] for r in out), "no near-dup flag at sf0.001"
+    for r in out:
+        assert r["keep"] == (
+            (not r["exact_dup"])
+            and (not r["near_dup"])
+            and r["gopher_keep"]
+            and r["nb_logit"] > 0
+        )
+
+
+def test_gate_live_flags_new_vs_new_exact_dups(spark, tmp_path):
+    """The exact-dup arm of the r10 blind spot: a content group that
+    exists ONLY in the delta (nothing in the base hash index) must
+    flag every member except the smallest id — whichever way the
+    replay batches them (same-batch self-join, cross-batch via the
+    appended index, or retro when the smallest arrives last)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from durablestreams_spark.operators import (
+        streaming_queries as sq,
+    )
+
+    ids = list(range(1, 900))
+    delta_ids = [i for i in ids if not _ndlive_is_base(i)]
+    base_ids = [i for i in ids if _ndlive_is_base(i)]
+    clone_text = (
+        "the committee reviewed the annual budget report and found "
+        "that spending on infrastructure had increased while other "
+        "departments held steady through the fiscal year"
+    )
+    clones = delta_ids[:6]
+    rows = [(i, clone_text) for i in clones]
+    # filler docs (both splits) with distinct text so NB training and
+    # the gopher gate see a varied corpus
+    fillers = delta_ids[6:16] + base_ids[:10]
+    for i in fillers:
+        rows.append(
+            (
+                i,
+                f"document {i} talks about weather patterns in region "
+                f"{i % 7} where rainfall was recorded at station "
+                f"{i * 3} during the spring season of measurement",
+            )
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["synthetic"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in sq.streaming_ingest_gate_live(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    mn = min(clones)
+    for c in clones:
+        assert out[c]["exact_dup"] == (c != mn), (c, mn, out[c])
+    # identical text is also hamming-0: every non-min clone near-dup
+    for c in clones:
+        assert out[c]["near_dup"] == (c != mn)
+    for i in [f for f in fillers if f in out]:
+        assert not out[i]["exact_dup"]
