@@ -115,6 +115,8 @@ SF1_EXTRA = [
     "streaming_ingest_gate_live",    # r11 composed live gate: order-independent exact+near dup flags, zero stream state
     "streaming_tws_sessionize",   # r11 rotation: the dominant stateful-streaming sf1 row (VERDICT r10 task 7)
     "dedup_embedding_cosine",     # r11 rotation: the dominant engine sf1 row — banded SRP + broadcast-vector verify
+    "dedup_embedding_cosine_tight",  # r11 production-threshold dedup: 16x16-bit banding, ~500x candidate prune
+    "dedup_embedding_cosine_tight_recall",  # r11 graded LSH operating point: recall + density vs exact truth
 ]
 
 
