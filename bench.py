@@ -117,6 +117,7 @@ SF1_EXTRA = [
     "dedup_embedding_cosine",     # r11 rotation: the dominant engine sf1 row — banded SRP + broadcast-vector verify
     "dedup_embedding_cosine_tight",  # r11 production-threshold dedup: 16x16-bit banding, ~500x candidate prune
     "dedup_embedding_cosine_tight_recall",  # r11 graded LSH operating point: recall + density vs exact truth
+    "pipeline_write_shards_payload",  # r11 payload shard writer: BPE token-id arrays shipped, payload-byte fp
 ]
 
 

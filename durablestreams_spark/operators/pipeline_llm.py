@@ -669,7 +669,40 @@ def _shard_sort_key() -> F.Column:
     )
 
 
-def _write_shards(spark, sf_dir, root: str | None = None):
+#: The seeded-shuffle rank/assignment CTE fragment over a CTE named
+#: ``packed`` — shared by the pipeline_write_shards oracle and the
+#: payload writer's oracle (one ranking definition, two graded
+#: consumers).
+_SHARD_RANK_SQL = f"""keyed AS (
+        SELECT *,
+               substr(md5(CAST(shard AS VARCHAR) || ':'
+                          || CAST(seq_id AS VARCHAR)
+                          || ':shard:{SHARD_SEED}'), 1, 16) AS key
+        FROM packed
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY key, shard, seq_id) AS rank,
+               count(*) OVER () AS total
+        FROM keyed
+    ),
+    assigned AS (
+        SELECT *,
+               (rank - 1) // ((total + {WRITE_SHARDS - 1})
+                              // {WRITE_SHARDS}) AS shard_out
+        FROM ranked
+    )"""
+
+
+def _write_shards(
+    spark,
+    sf_dir,
+    root: str | None = None,
+    seqs_fn=None,
+    root_base: str = "/tmp/durablestreams_shards_v1",
+    params: str | None = None,
+    extra_cols: tuple = (),
+):
     """Build (or serve from cache) the written training shards: the
     packed sequences of ``pipeline_pack_sequences`` in a SEEDED
     deterministic global shuffle (md5-key order — never rand(), the
@@ -688,19 +721,22 @@ def _write_shards(spark, sf_dir, root: str | None = None):
     from pyspark.sql import Window as W
 
     root = root or os.path.join(
-        "/tmp/durablestreams_shards_v1",
-        os.path.basename(os.path.normpath(sf_dir)),
+        root_base, os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(root, "_built")
     data_p = os.path.join(root, "shards.parquet")
-    params = (
+    params = params or (
         f"pack{PACK_SEQ_LEN}x{PACK_SHARDS}:ws{WRITE_SHARDS}"
         f":seed{SHARD_SEED}:v1"
     )
     if not marker_current(marker, sf_dir, name="documents", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        seqs = pipeline_pack_sequences(spark, sf_dir)
+        seqs = (
+            seqs_fn()
+            if seqs_fn is not None
+            else pipeline_pack_sequences(spark, sf_dir)
+        )
         d = seqs.withColumn("key", _shard_sort_key()).withColumn(
             "bucket", F.substring("key", 1, 2)
         )
@@ -742,6 +778,7 @@ def _write_shards(spark, sf_dir, root: str | None = None):
                 "n_docs",
                 "first_doc",
                 "n_tokens_in",
+                *extra_cols,
             )
             .repartition("shard_out")
             .sortWithinPartitions("rank")
@@ -757,25 +794,7 @@ def _write_shards(spark, sf_dir, root: str | None = None):
     "pipeline_write_shards",
     f"""
     WITH {_PACK_CTES},
-    keyed AS (
-        SELECT *,
-               substr(md5(CAST(shard AS VARCHAR) || ':'
-                          || CAST(seq_id AS VARCHAR)
-                          || ':shard:{SHARD_SEED}'), 1, 16) AS key
-        FROM packed
-    ),
-    ranked AS (
-        SELECT *,
-               row_number() OVER (ORDER BY key, shard, seq_id) AS rank,
-               count(*) OVER () AS total
-        FROM keyed
-    ),
-    assigned AS (
-        SELECT *,
-               (rank - 1) // ((total + {WRITE_SHARDS - 1})
-                              // {WRITE_SHARDS}) AS shard_out
-        FROM ranked
-    )
+    {_SHARD_RANK_SQL}
     SELECT CAST(shard_out AS BIGINT) AS shard_id,
            CAST(count(*) AS BIGINT) AS n_seqs,
            CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
@@ -1737,4 +1756,245 @@ def sample_source_kl(spark, sf_dir):
             F.round("kl", 6).cast("double").alias("kl_nats"),
         )
         .orderBy("source")
+    )
+
+# --- payload shard writer ---------------------------------------
+# Kept at module END: its oracle composes text.py's _BPE_APPLY_CTES,
+# and text.py itself imports pipeline_llm mid-module (the curate-v2
+# oracle).  With this block after every name text.py needs, the
+# deferred cross-import resolves in either import order.
+
+def _bpe_token_ids(spark, sf_dir):
+    """Per-doc BPE token-ID arrays: the text_bpe_tokenize tokenizer
+    (same learned merges, same encode/apply expressions) carried one
+    step further — the applied symbol stream is split back into
+    symbols and each symbol mapped to its id in the sorted vocab.
+    The vocab is VOCABULARY STATE (distinct symbols = corpus charset
+    + the 50 merges, bounded at any corpus size — the BPE-merge /
+    NB-model collect contract), folded into the projection as a
+    sorted literal array; array_position makes the id lookup
+    row-local, so tokenization-to-ids is a zero-shuffle scan.  (At a
+    real 32-64k vocab the linear array_position scan would swap for
+    a dense perfect-hash literal — the NB dense-array lesson; at this
+    bounded vocab the scan is cheaper than building one.)"""
+    from .text import (
+        _BPE_SEP,
+        _bpe_apply,
+        _bpe_encode,
+        _learn_bpe_merges,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    merges = _learn_bpe_merges(docs)
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    applied = docs.select(
+        "doc_id",
+        _bpe_apply(_bpe_encode(words), merges).alias("e2"),
+    )
+    syms = applied.select(
+        "doc_id",
+        F.filter(
+            F.split("e2", _BPE_SEP),
+            lambda x: (x != "") & (x != " "),
+        ).alias("syms"),
+    )
+    vocab = sorted(
+        r["sym"]
+        for r in syms.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .collect()
+    )
+    vocab_lit = F.array(*[F.lit(s) for s in vocab])
+    return syms.select(
+        "doc_id",
+        F.transform(
+            "syms", lambda s: F.array_position(vocab_lit, s)
+        ).alias("ids"),
+    )
+
+
+def _bpe_packed_sequences(spark, sf_dir):
+    """pipeline_pack_sequences' concat-and-chunk geometry over the
+    BPE token-ID stream, each packed sequence CARRYING its token
+    payload (the flattened ids of its member docs in doc_id order) —
+    what a WebDataset/TFRecord shard actually ships."""
+    from pyspark.sql import Window as W
+
+    ids_df = _bpe_token_ids(spark, sf_dir)
+    t = ids_df.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "ids",
+        F.size("ids").cast("long").alias("n_tok"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    # collect_list buffer is bounded per sequence: a sequence closes
+    # at PACK_SEQ_LEN tokens, so it holds at most ~PACK_SEQ_LEN
+    # member docs (each contributes >= 1 token; token-less docs are
+    # the only exception and the fixture has none).
+    return (
+        c.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.expr(
+                f"CAST((cum - n_tok) DIV {PACK_SEQ_LEN} AS BIGINT)"
+            ).alias("seq_id"),
+            "doc_id",
+            "n_tok",
+            "ids",
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sum("n_tok").cast("long").alias("n_tokens_in"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "ids"))
+                    ),
+                    lambda x: x["ids"],
+                )
+            ).alias("payload"),
+        )
+    )
+
+
+def _write_shards_payload(spark, sf_dir, root: str | None = None):
+    """The payload shard writer: _write_shards' seeded-shuffle /
+    two-phase-rank machinery over the BPE-packed sequences, with the
+    token-id arrays written INTO the parquet shards."""
+    from .bpe_shared import _BPE_N_MERGES
+
+    return _write_shards(
+        spark,
+        sf_dir,
+        root=root,
+        seqs_fn=lambda: _bpe_packed_sequences(spark, sf_dir),
+        root_base="/tmp/durablestreams_shards_payload_v1",
+        params=(
+            f"bpepack{PACK_SEQ_LEN}x{PACK_SHARDS}:ws{WRITE_SHARDS}"
+            f":seed{SHARD_SEED}:m{_BPE_N_MERGES}:v1"
+        ),
+        extra_cols=("payload",),
+    )
+
+
+from .bpe_shared import _BPE_APPLY_CTES as _BPE_CTES  # noqa: E402
+
+
+@query(
+    "pipeline_write_shards_payload",
+    f"""
+    WITH {_BPE_CTES},
+    psyms AS (
+        SELECT doc_id,
+               list_filter(string_split(e2, chr(31)),
+                           x -> x <> '' AND x <> ' ') AS syms
+        FROM ap
+    ),
+    vocabl AS (
+        SELECT list(sym ORDER BY sym) AS vs
+        FROM (SELECT DISTINCT unnest(syms) AS sym FROM psyms)
+    ),
+    pids AS (
+        -- vocabl cross-joined in (1 row): DuckDB forbids subqueries
+        -- inside lambda bodies, a column reference is fine
+        SELECT doc_id,
+               list_transform(syms,
+                   s -> CAST(list_position(vl.vs, s) AS BIGINT)) AS ids
+        FROM psyms CROSS JOIN vocabl vl
+    ),
+    pt AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, ids,
+               CAST(len(ids) AS BIGINT) AS n_tok
+        FROM pids
+    ),
+    pc AS (
+        SELECT doc_id, shard, ids, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM pt
+    ),
+    packed AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_in,
+               array_to_string(
+                   list_transform(flatten(list(ids ORDER BY doc_id)),
+                                  x -> CAST(x AS VARCHAR)), ',')
+                   AS payload_str
+        FROM pc
+        GROUP BY shard, seq_id
+    ),
+    {_SHARD_RANK_SQL}
+    SELECT CAST(shard_out AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST('0x' || substr(
+               md5(CAST(rank AS VARCHAR) || ':' || payload_str), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_fp
+    FROM assigned
+    GROUP BY shard_out
+    ORDER BY shard_id
+    """,
+    doc="The PAYLOAD training-shard writer — pipeline_write_shards "
+    "shipping actual token arrays, not manifest identity (VERDICT "
+    "r10 task 3): each packed sequence carries the BPE token-IDS of "
+    "its member docs (composing text_bpe_tokenize's exact tokenizer "
+    "— same learned merges, same apply expressions — extended to id "
+    "arrays via the bounded sorted-vocab literal), written INTO the "
+    "parquet shards by the same seeded-md5 deterministic shuffle and "
+    "two-phase 256-bucket exact rank.  The graded manifest is read "
+    "back FROM THE WRITTEN FILES and its per-shard content_fp now "
+    "covers PAYLOAD BYTES: sum of 32-bit md5 prefixes of "
+    "(rank ‖ ','-joined token ids) — commutative (partial-aggregates "
+    "at any scale) yet flipped by ANY single-token change, any "
+    "membership change, and any order change (the deliberate-"
+    "mutation test pins both sensitivities; byte-identical re-run "
+    "still pinned).  Scale: tokenization-to-ids is a zero-shuffle "
+    "scan (vocab is a bounded literal), packing is one hash shuffle "
+    "+ per-shard window, ranking never global-sorts.  Reference "
+    "capability: none — north star (completes the WebDataset/"
+    "TFRecord step).",
+)
+def pipeline_write_shards_payload(spark, sf_dir):
+    shards = _write_shards_payload(spark, sf_dir)
+    payload_str = F.concat_ws(
+        ",", F.transform("payload", lambda x: x.cast("string"))
+    )
+    member_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("rank").cast("string"),
+                    F.lit(":"),
+                    payload_str,
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        shards.groupBy("shard_out")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_tokens_in").cast("long").alias("n_tokens"),
+            F.sum(member_h).cast("long").alias("content_fp"),
+        )
+        .select(
+            F.col("shard_out").cast("long").alias("shard_id"),
+            "n_seqs",
+            "n_tokens",
+            "content_fp",
+        )
+        .orderBy("shard_id")
     )

@@ -508,21 +508,11 @@ def text_bpe_pair_counts(spark, sf_dir):
     )
 
 
-#: Symbol separator for the BPE-apply encoding (U+001F unit separator —
-#: never produced by the fixture generator's printable-text columns).
-#: Each symbol is wrapped ``\x1f sym \x1f`` and symbols within a word
-#: abut (``\x1f\x1f`` boundary), so a merge pattern
-#: ``\x1f a \x1f\x1f b \x1f`` can only match a whole adjacent symbol
-#: pair, never the tail of a longer symbol; words are joined with a
-#: space (whitespace-split tokens cannot contain one) so merges never
-#: cross word boundaries.
-_BPE_SEP = "\x1f"
-
-#: Number of induced merges applied by ``text_bpe_tokenize``.  Constant
-#: by design: the merge table is vocabulary state, not data — real BPE
-#: vocabs are 32-64k entries, still a broadcast-trivial constant at any
-#: corpus size.
-_BPE_N_MERGES = 50
+from .bpe_shared import (  # noqa: F401  (re-exported: public here)
+    _BPE_APPLY_CTES,
+    _BPE_N_MERGES,
+    _BPE_SEP,
+)
 
 def _bpe_encode(words_col):
     """Encode a word array into the separator-wrapped symbol string:
@@ -558,55 +548,36 @@ def _bpe_apply(col, merges):
     )
 
 
-_BPE_TOKENIZE_ORACLE = f"""
-    WITH toks AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                  x -> x <> '')) AS tok
-        FROM documents
-    ),
-    p AS (
-        SELECT unnest(list_transform(range(1, length(tok)),
-                                     i -> substr(tok, CAST(i AS INTEGER), 2)))
-               AS pair
-        FROM toks
-        WHERE length(tok) >= 2
-    ),
-    merges AS (
-        SELECT list(pair ORDER BY n DESC, pair) AS ms
-        FROM (SELECT pair, count(*) AS n FROM p
-              GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_N_MERGES})
-    ),
-    d AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
-                           x -> x <> '') AS words
-        FROM documents
-    ),
-    enc AS (
-        SELECT doc_id,
-               CAST(len(words) AS BIGINT) AS n_words,
-               CAST(length(array_to_string(words, '')) AS BIGINT) AS n_chars,
-               array_to_string(list_transform(words,
-                   w -> regexp_replace(w, '(?s)(.)',
-                                       '{_BPE_SEP}\\1{_BPE_SEP}', 'g')),
-                   ' ') AS e
-        FROM d
-    ),
-    ap AS (
-        SELECT doc_id, n_words, n_chars,
-               list_reduce(
-                   -- coalesce: zero learned merges makes list() NULL,
-                   -- which would NULL the whole fold; the engine's
-                   -- reduce over an empty merge list returns e as-is
-                   list_prepend(e, coalesce((SELECT ms FROM merges),
-                                            CAST([] AS VARCHAR[]))),
-                   (acc, m) -> replace(acc,
-                       '{_BPE_SEP}' || substr(m, 1, 1)
-                           || '{_BPE_SEP}{_BPE_SEP}'
-                           || substr(m, 2, 1) || '{_BPE_SEP}',
-                       '{_BPE_SEP}' || m || '{_BPE_SEP}')) AS e2
-        FROM enc
+def _learn_bpe_merges(docs) -> list[str]:
+    """Learn the top-``_BPE_N_MERGES`` adjacent char pairs over a
+    corpus (count DESC, pair ASC — the trainer's frozen rank order)
+    and collect them: bounded O(50) vocabulary state, shared by
+    text_bpe_tokenize and the payload shard writer."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> substr(tok, i, 2))"
+            )
+        ).alias("pair")
     )
+    return [
+        r["pair"]
+        for r in pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_N_MERGES)
+        .collect()
+    ]
+
+
+_BPE_TOKENIZE_ORACLE = f"""
+    WITH {_BPE_APPLY_CTES}
     SELECT doc_id, n_words, n_chars,
            CAST((length(e2) - length(replace(e2, '{_BPE_SEP}', ''))) // 2
                 AS BIGINT) AS n_bpe_tokens,
@@ -647,24 +618,7 @@ def text_bpe_tokenize(spark, sf_dir):
     docs = spread(table(spark, sf_dir, "documents"))
     # Learn the merge list: same pair statistics as text_bpe_pair_counts,
     # same (n DESC, pair) rank order as the oracle's `merges` CTE.
-    toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("tok")
-    ).where(F.length("tok") >= 2)
-    pairs = toks.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
-        ).alias("pair")
-    )
-    merges = [
-        r["pair"]
-        for r in pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "pair")
-        .limit(_BPE_N_MERGES)
-        .collect()
-    ]
+    merges = _learn_bpe_merges(docs)
 
     S = _BPE_SEP
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")

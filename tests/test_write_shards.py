@@ -74,3 +74,96 @@ def test_artifact_is_partitioned_per_shard(spark, tmp_path):
         if d.startswith("shard_out=")
     }
     assert dirs == {f"shard_out={s}" for s in shard_ids}
+
+
+def test_payload_rerun_is_byte_identical(spark, tmp_path):
+    """The payload writer keeps the seeded-shuffle reproducibility
+    contract: two independent builds agree on (shard, rank, payload)
+    exactly — including every token id."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _write_shards_payload,
+    )
+
+    def build(root):
+        return sorted(
+            (r["shard_out"], r["rank"], tuple(r["payload"]))
+            for r in _write_shards_payload(spark, SF_DIR, root=root)
+            .select("shard_out", "rank", "payload")
+            .collect()
+        )
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    assert a == b and len(a) > 0
+    # payloads actually carry tokens
+    assert sum(len(p) for _, _, p in a) > 0
+
+
+def test_payload_fp_flips_on_single_token_and_on_order(spark, tmp_path):
+    """VERDICT r10 task 3 'done' criterion: the per-shard content_fp
+    must cover PAYLOAD BYTES — changing one token id in one sequence
+    flips its shard's fingerprint, and so does swapping the ranks of
+    two sequences (position sensitivity)."""
+    import hashlib
+
+    from durablestreams_spark.operators.pipeline_llm import (
+        _write_shards_payload,
+    )
+
+    rows = (
+        _write_shards_payload(spark, SF_DIR, root=str(tmp_path / "w"))
+        .select("shard_out", "rank", "payload")
+        .collect()
+    )
+
+    def fp(rows_iter):
+        out = {}
+        for shard, rank, payload in rows_iter:
+            s = f"{rank}:" + ",".join(str(x) for x in payload)
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            out[shard] = out.get(shard, 0) + h
+        return out
+
+    base_rows = [
+        (r["shard_out"], r["rank"], list(r["payload"])) for r in rows
+    ]
+    base = fp(base_rows)
+
+    # (a) single-token mutation: +1 on the first token of the first
+    # non-empty payload
+    mut = [(s, rk, list(p)) for s, rk, p in base_rows]
+    for row in mut:
+        if row[2]:
+            row[2][0] += 1
+            touched = row[0]
+            break
+    assert fp(mut)[touched] != base[touched]
+
+    # (b) order mutation: swap the ranks of two sequences in the same
+    # shard (membership identical, order changed)
+    by_shard = {}
+    for i, (s, rk, p) in enumerate(base_rows):
+        by_shard.setdefault(s, []).append(i)
+    pair = next(
+        (v[:2] for v in by_shard.values()
+         if len(v) >= 2
+         and base_rows[v[0]][2] != base_rows[v[1]][2]),
+        None,
+    )
+    assert pair is not None
+    i, j = pair
+    swapped = [list(r) for r in base_rows]
+    swapped[i][1], swapped[j][1] = swapped[j][1], swapped[i][1]
+    s_id = base_rows[i][0]
+    assert fp(tuple(r) for r in swapped)[s_id] != base[s_id]
+
+    # and the python fingerprint formula matches the graded query's
+    from durablestreams_spark.analytics.core import all_queries
+
+    graded = {
+        r["shard_id"]: r["content_fp"]
+        for r in all_queries()["pipeline_write_shards_payload"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert graded == base
