@@ -118,6 +118,7 @@ SF1_EXTRA = [
     "dedup_embedding_cosine_tight",  # r11 production-threshold dedup: 16x16-bit banding, ~500x candidate prune
     "dedup_embedding_cosine_tight_recall",  # r11 graded LSH operating point: recall + density vs exact truth
     "pipeline_write_shards_payload",  # r11 payload shard writer: BPE token-id arrays shipped, payload-byte fp
+    "dedup_neardup_index_refresh",    # r11 index maintenance: O(delta) append + tombstone + guarded swap
 ]
 
 

@@ -1,0 +1,188 @@
+"""Near-dup index maintenance lifecycle (refresh_neardup_index).
+
+The refresh contract: cost O(|delta| + |index rows|) — the historical
+corpus text is NEVER re-read (proven by deleting it before the
+refresh) — with guarded-swap semantics: a racing refresher that
+advances the guard marker mid-flight makes this refresh abort with
+None instead of clobbering the winner's artifact.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_docs(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["synthetic"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(path),
+    )
+
+
+def _base_delta_ids(n=400):
+    import hashlib
+
+    base, delta = [], []
+    for i in range(1, n):
+        tag = hashlib.md5(f"{i}:ndlive".encode()).hexdigest()[:2]
+        (base if tag < "cc" else delta).append(i)
+    return base, delta
+
+
+def test_refresh_never_rereads_the_corpus_text(spark, tmp_path):
+    """O(delta) pinned structurally: build the base index, DELETE the
+    corpus parquet, then refresh with a delta supplied as its own
+    file — success is only possible if the refresh touches nothing
+    but the index rows and the delta."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} about topic {i % 5}") for i in base_ids[:20]],
+    )
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    # the refresh must survive the corpus text disappearing
+    os.remove(corpus)
+
+    idx_p = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, idx_p)
+    delta_file = tmp_path / "delta.parquet"
+    _write_docs(
+        delta_file,
+        [(i, f"new arrival {i} with fresh words") for i in delta_ids[:5]],
+    )
+    delta = spark.read.parquet(str(delta_file)).select("doc_id", "text")
+    removed_id = base_ids[0]
+    removed = spark.createDataFrame([(removed_id,)], "doc_id long")
+
+    out = refresh_neardup_index(spark, idx_p, delta, removed)
+    assert out is not None
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert set(delta_ids[:5]) <= ids, "delta signatures not appended"
+    assert removed_id not in ids, "tombstone not applied"
+    assert set(base_ids[1:20]) <= ids, "surviving base rows lost"
+    # 4 bands per doc, exactly once each
+    n_docs = len(ids)
+    assert out.count() == 4 * n_docs
+
+
+def test_refresh_aborts_on_lost_guard_race(spark, tmp_path):
+    """Guarded swap (the maintenance.compact contract): if the guard
+    marker's content changes between refresh entry and the swap —
+    simulated by a delta row whose evaluation rewrites the marker,
+    i.e. the race happens exactly while this refresh computes — the
+    refresh returns None, leaves no .next debris, and the live
+    artifact is untouched."""
+    from pyspark.sql.functions import udf
+
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} some words here") for i in base_ids[:10]],
+    )
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    idx_p = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, idx_p)
+    before = sorted(
+        map(tuple, spark.read.parquet(idx_p).collect())
+    )
+
+    marker = str(tmp_path / "guard")
+    with open(marker, "w") as fh:
+        fh.write("epoch-1")
+
+    def racer(t):
+        with open(marker, "w") as fh:
+            fh.write("epoch-2-racer-won")
+        return t
+
+    poison = udf(racer, "string")
+    delta = spark.createDataFrame(
+        [(delta_ids[0], "fresh text from the racer window")],
+        "doc_id long, text string",
+    ).select("doc_id", poison("text").alias("text"))
+    removed = spark.createDataFrame([], "doc_id long")
+
+    out = refresh_neardup_index(
+        spark, idx_p, delta, removed, guard_marker=marker
+    )
+    assert out is None
+    assert sorted(map(tuple, spark.read.parquet(idx_p).collect())) == before
+    debris = [
+        d for d in os.listdir(tmp_path) if ".next-" in d or ".old-" in d
+    ]
+    assert debris == []
+
+
+def test_refresh_matches_full_rebuild(spark, tmp_path):
+    """base UNION delta (minus removed) refresh == full rebuild of the
+    index over the surviving corpus — row-for-row."""
+    from durablestreams_spark.operators.dedup import (
+        band_structs_expr,
+        simhash_expr,
+    )
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    rows = [
+        (i, f"document number {i} talks about subject {i % 7} today")
+        for i in base_ids[:15] + delta_ids[:6]
+    ]
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(corpus, rows)
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    idx_p = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, idx_p)
+
+    docs = spark.read.parquet(str(corpus))
+    delta = docs.where(
+        F.col("doc_id").isin([i for i, _ in rows if i in delta_ids[:6]])
+    ).select("doc_id", "text")
+    removed_ids = [base_ids[2], delta_ids[1]]
+    removed = spark.createDataFrame(
+        [(i,) for i in removed_ids], "doc_id long"
+    )
+    out = refresh_neardup_index(spark, idx_p, delta, removed)
+
+    rebuild = (
+        docs.where(~F.col("doc_id").isin(removed_ids))
+        .where(
+            F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
+        )
+        .select("doc_id", simhash_expr().alias("simhash"))
+        .select(
+            "doc_id", "simhash", F.explode(band_structs_expr()).alias("bk")
+        )
+        .select("bk.band_id", "bk.band_key", "doc_id", "simhash")
+    )
+    got = sorted(
+        (r["band_id"], r["band_key"], r["doc_id"], r["simhash"])
+        for r in out.collect()
+    )
+    want = sorted(map(tuple, rebuild.collect()))
+    assert got == want and len(got) > 0
