@@ -119,6 +119,8 @@ SF1_EXTRA = [
     "dedup_embedding_cosine_tight_recall",  # r11 graded LSH operating point: recall + density vs exact truth
     "pipeline_write_shards_payload",  # r11 payload shard writer: BPE token-id arrays shipped, payload-byte fp
     "dedup_neardup_index_refresh",    # r11 index maintenance: O(delta) append + tombstone + guarded swap
+    "streaming_write_shards",         # r11 LIVE epoch shard delivery: stateless extract + O(epoch) close
+    "streaming_ingest_report",        # r11 per-source admission economics: 4 signals, O(#sources) state
 ]
 
 

@@ -591,36 +591,13 @@ _PACK_CTES = f"""
 """
 
 
-@query(
-    "pipeline_pack_sequences",
-    f"""
-    WITH {_PACK_CTES}
-    SELECT shard, seq_id, n_docs, first_doc, n_tokens_in
-    FROM packed
-    ORDER BY shard, seq_id
-    """,
-    doc=f"Training-sequence packing (concat-and-chunk, the GPT-style "
-    f"pack): docs concatenate in doc_id order within {PACK_SHARDS} "
-    f"hash shards and split every {PACK_SEQ_LEN} tokens; each doc is "
-    "assigned the sequence its first token lands in. One shuffle "
-    "(hash by shard) + one window cumsum per shard + an all-integer "
-    "aggregate — per-shard packing is embarrassingly parallel, which "
-    "is exactly why real pipelines shard first: a 100 TB corpus "
-    "packs as thousands of independent shard-local sorts instead of "
-    "one global order. All-bigint output, so the oracle comparison "
-    "is exact (no float rounding anywhere).",
-)
-def pipeline_pack_sequences(spark, sf_dir):
+def _pack_from_counts(t):
+    """The concat-and-chunk pack over per-doc token-count rows
+    ``(doc_id, shard, n_tok)`` — factored so the LIVE epoch writer
+    (streaming_write_shards) packs its accumulated arrivals through
+    the SAME rule as the batch corpus pack."""
     from pyspark.sql import Window as W
 
-    docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-        .cast("long")
-        .alias("n_tok"),
-    )
     w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -641,6 +618,42 @@ def pipeline_pack_sequences(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("n_tokens_in"),
         )
         .orderBy("shard", "seq_id")
+    )
+
+
+def _doc_token_counts(docs):
+    """(doc_id, shard, n_tok) — the pack's per-doc scan projection."""
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH {_PACK_CTES}
+    SELECT shard, seq_id, n_docs, first_doc, n_tokens_in
+    FROM packed
+    ORDER BY shard, seq_id
+    """,
+    doc=f"Training-sequence packing (concat-and-chunk, the GPT-style "
+    f"pack): docs concatenate in doc_id order within {PACK_SHARDS} "
+    f"hash shards and split every {PACK_SEQ_LEN} tokens; each doc is "
+    "assigned the sequence its first token lands in. One shuffle "
+    "(hash by shard) + one window cumsum per shard + an all-integer "
+    "aggregate — per-shard packing is embarrassingly parallel, which "
+    "is exactly why real pipelines shard first: a 100 TB corpus "
+    "packs as thousands of independent shard-local sorts instead of "
+    "one global order. All-bigint output, so the oracle comparison "
+    "is exact (no float rounding anywhere).",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    return _pack_from_counts(
+        _doc_token_counts(table(spark, sf_dir, "documents"))
     )
 
 
@@ -827,7 +840,13 @@ def _write_shards(
     "north-star operator (VERDICT r9 task 3).",
 )
 def pipeline_write_shards(spark, sf_dir):
-    shards = _write_shards(spark, sf_dir)
+    return _shards_manifest(_write_shards(spark, sf_dir))
+
+
+def _shards_manifest(shards):
+    """Per-shard manifest over written shard rows: seq count, token
+    count, position-sensitive (key, rank) content fingerprint —
+    shared by the batch writer and the LIVE epoch writer."""
     member_h = F.conv(
         F.substring(
             F.md5(

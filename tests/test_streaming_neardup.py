@@ -367,3 +367,27 @@ def test_gate_live_flags_new_vs_new_exact_dups(spark, tmp_path):
         assert out[c]["near_dup"] == (c != mn)
     for i in [f for f in fillers if f in out]:
         assert not out[i]["exact_dup"]
+
+
+def test_ingest_report_reasons_partition_and_state_is_bounded(spark):
+    """streaming_ingest_report: per-source reason counts must
+    partition n_docs exactly (first-failing-reason ladder), and the
+    only streaming state is the complete-mode rollup — O(#sources)
+    rows, the quality-monitor contract."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    rows = sq.streaming_ingest_report(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (
+            r["n_exact_dup"]
+            + r["n_near_dup"]
+            + r["n_gopher_fail"]
+            + r["n_nb_fail"]
+            + r["n_admitted"]
+            == r["n_docs"]
+        ), r
+    # the fixture has near-dups and quality failures, so the report
+    # is non-trivial in at least those reason columns
+    assert sum(r["n_near_dup"] for r in rows) > 0
+    assert sum(r["n_admitted"] for r in rows) > 0
