@@ -2109,12 +2109,12 @@ _GATE_LIVE_LAST_RUN: dict = {}
     "batch-oracle truth, regardless of batching; (3) an intra-batch "
     "hash self-join for same-batch pairs; (4) append the batch's "
     "(h, doc_id) entries so they serve later batches.  The near_dup "
-    "flag composes the streaming_dedup_neardup_live pair detector "
-    "(same foreachBatch pattern over the banded SimHash index; its "
-    "normalized pairs flag each pair's larger member) — production "
-    "fuses both detectors into ONE foreachBatch over the same "
-    "arrivals; the two drains here keep each detector separately "
-    "auditable.  keep = NOT exact_dup AND NOT near_dup AND "
+    "arm runs the streaming_dedup_neardup_live detection steps "
+    "FUSED into the SAME foreachBatch over the same arrivals — one "
+    "replay, one drain, both indexes (content hashes AND band "
+    "signatures) incrementally appended in one pass, the production "
+    "topology; detected pairs reduce to per-doc flags (each pair's "
+    "larger member).  keep = NOT exact_dup AND NOT near_dup AND "
     "gopher_keep AND nb_logit > 0, hash-gated against the batch "
     "composition over the full corpus restricted to delta rows.  At "
     "100 TB: flags and appends are O(arrivals), self-joins bounded "
@@ -2128,12 +2128,23 @@ def streaming_ingest_gate_live(spark, sf_dir):
         _nb_feats_array,
     )
 
+    from .dedup import (
+        NEARDUP_MAX_HAMMING,
+        band_structs_expr,
+        simhash_expr,
+    )
+
     lam, pri = _nb_serving_model(spark, sf_dir)
     base_idx_path = _exact_hash_index_base_path(spark, sf_dir)
+    nd_base_path = _neardup_base_index_path(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="ds_gatelive_")
     app_path = os.path.join(run_dir, "appended")
+    nd_app_path = os.path.join(run_dir, "nd_appended")
     adm_path = os.path.join(run_dir, "admission")
     flag_path = os.path.join(run_dir, "flags")
+    nd_flag_path = os.path.join(run_dir, "nd_flags")
+    ham = F.expr("bit_count(simhash ^ c_sig)")
+    least_band = _least_agreeing_band()
 
     def _gate(batch_df, epoch_id):
         sess = batch_df.sparkSession
@@ -2162,6 +2173,59 @@ def streaming_ingest_gate_live(spark, sf_dir):
             .select("doc_id")
         )
         f1.unionByName(f2).write.mode("append").parquet(flag_path)
+        # (2b/3b) near-dup arm, FUSED into the same pass over the same
+        # arrivals (one replay, one drain — the production topology):
+        # the streaming_dedup_neardup_live detection steps, reduced to
+        # per-doc flags (greatest member of each detected pair).
+        bands = (
+            hashed.where(
+                F.expr(
+                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
+                )
+            )
+            .select("doc_id", simhash_expr().alias("simhash"))
+            .select(
+                "doc_id",
+                "simhash",
+                F.explode(band_structs_expr()).alias("bk"),
+            )
+            .select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+            .localCheckpoint(eager=True)
+        )
+        nd_idx = sess.read.parquet(nd_base_path)
+        if os.path.isdir(nd_app_path):
+            nd_idx = nd_idx.unionByName(sess.read.parquet(nd_app_path))
+        nd_cand = nd_idx.select(
+            "band_id",
+            "band_key",
+            F.col("doc_id").alias("dup_of"),
+            F.col("simhash").alias("c_sig"),
+        )
+        n1 = (
+            bands.join(nd_cand, ["band_id", "band_key"])
+            .where(F.col("dup_of") != F.col("doc_id"))
+            .where(
+                (ham <= NEARDUP_MAX_HAMMING)
+                & (F.col("band_id") == least_band)
+            )
+            .select(F.greatest("doc_id", "dup_of").alias("doc_id"))
+        )
+        nd_cand2 = bands.select(
+            "band_id",
+            "band_key",
+            F.col("doc_id").alias("dup_of"),
+            F.col("simhash").alias("c_sig"),
+        )
+        n2 = (
+            bands.join(nd_cand2, ["band_id", "band_key"])
+            .where(F.col("dup_of") < F.col("doc_id"))
+            .where(
+                (ham <= NEARDUP_MAX_HAMMING)
+                & (F.col("band_id") == least_band)
+            )
+            .select("doc_id")
+        )
+        n1.unionByName(n2).write.mode("append").parquet(nd_flag_path)
         # (1) row-local admission signals for this batch's docs (the
         # shared Gopher + served-NB definitions of the batch gate).
         m = _gopher_metrics(batch_df, keep_words=True, extra_cols=("text",))
@@ -2176,10 +2240,11 @@ def streaming_ingest_gate_live(spark, sf_dir):
             _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
         ).write.mode("append").parquet(adm_path)
         # (4) incremental index append: this batch's content hashes
-        # become servable for every later batch.
+        # and band signatures become servable for every later batch.
         hashed.select("h", F.col("doc_id").alias("first_id")).write.mode(
             "append"
         ).parquet(app_path)
+        bands.write.mode("append").parquet(nd_app_path)
 
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     stream = _delta_replay_stream(spark, run_dir, delta)
@@ -2200,21 +2265,18 @@ def streaming_ingest_gate_live(spark, sf_dir):
         adm = adm.join(flags, "doc_id", "left")
     else:
         adm = adm.withColumn("flagged", F.lit(None).cast("boolean"))
-    # near_dup: the live pair detector's normalized (doc_id > dup_of)
-    # output flags each pair's larger member — a doc is a near-dup
-    # iff a smaller-id neighbor at hamming <= NEARDUP_MAX_HAMMING
-    # exists anywhere in base UNION delta.
-    nd_pairs = _ndlive_run(
-        spark,
-        _neardup_base_index_path(spark, sf_dir),
-        table(spark, sf_dir, "documents").where(~_ndlive_base_pred()),
-    )
-    nd_flags = (
-        nd_pairs.select("doc_id")
-        .distinct()
-        .withColumn("nd_flagged", F.lit(True))
-    )
-    adm = adm.join(nd_flags, "doc_id", "left")
+    # near_dup: a doc is flagged iff a smaller-id neighbor at
+    # hamming <= NEARDUP_MAX_HAMMING exists anywhere in base UNION
+    # delta — the fused in-stream detection's flag rows, distinct'd.
+    if os.path.isdir(nd_flag_path):
+        nd_flags = (
+            spark.read.parquet(nd_flag_path)
+            .distinct()
+            .withColumn("nd_flagged", F.lit(True))
+        )
+        adm = adm.join(nd_flags, "doc_id", "left")
+    else:
+        adm = adm.withColumn("nd_flagged", F.lit(None).cast("boolean"))
     exact_dup = F.coalesce("flagged", F.lit(False))
     near_dup = F.coalesce("nd_flagged", F.lit(False))
     return adm.select(
