@@ -961,14 +961,11 @@ def _tight_sig_expr():
     """Spark column: the 256-bit SRP signature as a 256-char string.
     Plane signs decode from the packed literals row-locally; the
     256x64 multiply-add runs inside one whole-stage-codegen fold.
-    Oracle-side parity is NOT needed: the tight oracle is the exact
-    all-pairs semantic, so the banding is graded against ground truth
-    instead of against a restatement of itself."""
-    global _TIGHT_PLANES
-    if _TIGHT_PLANES is None:
-        _TIGHT_PLANES = _srp_planes_tight()
+    The oracle restates the same banding from the same packed plane
+    literals (_tight_sig_sql), so both engines derive identical
+    signatures."""
     planes_arr = (
-        "array(" + ", ".join(f"'{p}'" for p in _TIGHT_PLANES) + ")"
+        "array(" + ", ".join(f"'{p}'" for p in _tight_planes()) + ")"
     )
     n = COSINE_TIGHT_BANDS * COSINE_TIGHT_BAND_BITS
     return F.expr(
@@ -1008,7 +1005,8 @@ _TWIN_SQL = _twin_sql(COSINE_TIGHT_MOD)
     FROM tcand
     JOIN tsig x ON vec_a = x.vec_id
     JOIN tsig y ON vec_b = y.vec_id
-    WHERE list_cosine_similarity(x.emb, y.emb)
+    WHERE floor(list_cosine_similarity(x.emb, y.emb)
+                * 1000000000 + 0.5) / 1000000000
           >= {COSINE_TIGHT_THRESHOLD}
     """,
     doc="Embedding near-dup at the PRODUCTION threshold (cos >= 0.8) — "
@@ -1039,10 +1037,19 @@ _TWIN_SQL = _twin_sql(COSINE_TIGHT_MOD)
 )
 def dedup_embedding_cosine_tight(spark, sf_dir):
     with_norm, cand = _tight_parts(spark, sf_dir, COSINE_TIGHT_MOD)
-    verified, cos = _tight_verify(with_norm, cand)
-    return verified.where(
-        F.col("cos") >= COSINE_TIGHT_THRESHOLD
+    scored = _tight_verify(with_norm, cand)
+    return scored.where(
+        _snap9("cos") >= COSINE_TIGHT_THRESHOLD
     ).select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+
+
+def _snap9(col):
+    """Pre-snap a cosine to the 1e-9 grid before THRESHOLD
+    comparisons (the streaming_embedding_drift policy, r10 ADVICE):
+    Spark's dot/(na*nb) fold and DuckDB's list_cosine_similarity can
+    differ by ulps, and a raw-double >= theta gate would let a
+    boundary pair flip the graded row set cross-engine."""
+    return F.floor(F.col(col) * 1000000000.0 + F.lit(0.5)) / 1000000000.0
 
 
 def _tight_parts(spark, sf_dir, mod: int):
@@ -1103,7 +1110,9 @@ def _tight_parts(spark, sf_dir, mod: int):
 
 def _tight_verify(with_norm, cand):
     """Join the two vectors back to each candidate pair; returns the
-    scored DF (with a raw `cos` column) and the cos column expr."""
+    scored DF with a raw `cos` column — the ONE exact-cosine
+    definition every tight-dedup consumer (banded query, recall
+    report numerator AND its all-pairs ground truth) goes through."""
     va = with_norm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("va"),
@@ -1120,10 +1129,7 @@ def _tight_verify(with_norm, cand):
         lambda s, x: s + x,
     )
     cos = dot / (F.col("na") * F.col("nb"))
-    scored = (
-        cand.join(va, "vec_a").join(vb, "vec_b").withColumn("cos", cos)
-    )
-    return scored, cos
+    return cand.join(va, "vec_a").join(vb, "vec_b").withColumn("cos", cos)
 
 
 #: The recall report samples 1-in-REPORT_MOD vectors (plus twins) so
@@ -1155,11 +1161,13 @@ COSINE_TIGHT_REPORT_MOD = 10
            FROM tcand
            JOIN tsig x ON vec_a = x.vec_id
            JOIN tsig y ON vec_b = y.vec_id
-           WHERE list_cosine_similarity(x.emb, y.emb)
+           WHERE floor(list_cosine_similarity(x.emb, y.emb)
+                       * 1000000000 + 0.5) / 1000000000
                  >= {COSINE_TIGHT_THRESHOLD}),
     nt AS (SELECT count(*) AS n_true
            FROM u a JOIN u b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.emb, b.emb)
+           WHERE floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1000000000 + 0.5) / 1000000000
                  >= {COSINE_TIGHT_THRESHOLD})
     SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
            CAST(n_cand AS BIGINT) AS n_cand,
@@ -1190,36 +1198,24 @@ def dedup_embedding_cosine_tight_recall(spark, sf_dir):
     with_norm, cand = _tight_parts(
         spark, sf_dir, COSINE_TIGHT_REPORT_MOD
     )
-    scored, _ = _tight_verify(with_norm, cand)
+    scored = _tight_verify(with_norm, cand)
     nv = with_norm.agg(F.count(F.lit(1)).alias("n_vecs"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    nb = scored.where(F.col("cos") >= COSINE_TIGHT_THRESHOLD).agg(
+    nb = scored.where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD).agg(
         F.count(F.lit(1)).alias("n_banded")
     )
-    a = with_norm.select(
-        F.col("vec_id").alias("ia"),
-        F.col("emb").alias("va"),
-        F.col("norm").alias("na"),
+    # Exact ground truth on the bounded sample: enumerate ALL id
+    # pairs (a broadcast cross of two id-only projections, capped by
+    # REPORT_MOD — never corpus-proportional) and push them through
+    # the SAME _tight_verify cosine definition as the numerator.
+    ids_a = with_norm.select(F.col("vec_id").alias("vec_a"))
+    ids_b = with_norm.select(F.col("vec_id").alias("vec_b"))
+    all_pairs = ids_a.crossJoin(F.broadcast(ids_b)).where(
+        F.col("vec_a") < F.col("vec_b")
     )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    # Exact ground truth on the bounded sample: broadcast
-    # nested-loop — the broadcast side is capped by REPORT_MOD, not
-    # corpus-proportional.
     nt = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("ia") < F.col("vec_b"))
-        .where(
-            dot / (F.col("na") * F.col("nb")) >= COSINE_TIGHT_THRESHOLD
-        )
+        _tight_verify(with_norm, all_pairs)
+        .where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
     out = nv.crossJoin(nc).crossJoin(nb).crossJoin(nt)

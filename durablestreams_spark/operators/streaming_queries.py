@@ -1158,14 +1158,18 @@ def _spread_stream(df, src_path: str):
             # A multi-file dataset: st_size would be the inode size
             # (~4 KB), which always under-estimates to 1 split and
             # turns the contract's at-scale no-op into a per-batch
-            # shuffle (r10 ADVICE).  Sum the data files instead
-            # (one level — Spark's own directory listing depth for a
-            # non-partitioned parquet path).
-            size = sum(
-                e.stat().st_size
-                for e in os.scandir(src_path)
-                if e.is_file() and not e.name.startswith(("_", "."))
-            )
+            # shuffle (r10 ADVICE).  Sum the data files instead —
+            # RECURSIVELY, because a Hive-partitioned layout keeps all
+            # data under key=value subdirectories and a one-level scan
+            # would see 0 bytes (the same wrong repartition, r11
+            # review).
+            size = 0
+            for root, _dirs, files in os.walk(src_path):
+                size += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
         else:
             size = st.st_size
     except OSError:
@@ -1608,7 +1612,7 @@ def _ndlive_base_pred():
     )
 
 
-def _neardup_base_index_path(spark, sf_dir, docs=None) -> str:
+def _neardup_base_index_path(spark, sf_dir) -> str:
     """Persisted banded SimHash index over the BASE split only — the
     'historical corpus' artifact streaming_dedup_neardup_live serves
     against (the _neardup_index over full docs, restricted to the
@@ -1617,7 +1621,7 @@ def _neardup_base_index_path(spark, sf_dir, docs=None) -> str:
     (parity-pinned by tests/test_streaming_neardup.py).  Returns the
     parquet PATH, not a DataFrame: the live gate's foreachBatch
     re-reads the index per micro-batch alongside its run-local
-    appends.  ``docs`` overrides the corpus (test harness)."""
+    appends."""
     import shutil as _shutil
 
     from .dedup import band_structs_expr, simhash_expr
@@ -1632,9 +1636,7 @@ def _neardup_base_index_path(spark, sf_dir, docs=None) -> str:
     if not marker_current(marker, sf_dir, name="documents", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        base = (docs if docs is not None else table(
-            spark, sf_dir, "documents"
-        )).where(_ndlive_base_pred())
+        base = table(spark, sf_dir, "documents").where(_ndlive_base_pred())
         sig = base.where(
             F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
         ).select("doc_id", simhash_expr().alias("simhash"))
@@ -1675,55 +1677,97 @@ def refresh_neardup_index(
       ``removed_ids`` (doc_id) — the purge_orphans idiom; removed ids
       are also anti-joined out of the delta so a doc that arrives and
       is deleted in the same window never lands.
-    - guarded swap (the maintenance.compact contract,
-      maintenance.py:81): the refreshed rows are written BESIDE the
-      live artifact, then swapped in by rename only if
-      ``guard_marker``'s content is unchanged since entry — a racing
-      refresher that already swapped makes this one abort (return
-      None) rather than clobber its work; readers always see either
-      the old or the new artifact, never a partial write.
+    - guarded ATOMIC swap (the maintenance.compact contract,
+      maintenance.py:81, hardened per the r11 review): the live path
+      is a SYMLINK to a versioned directory; the refreshed rows are
+      written to a new version beside it and the symlink is repointed
+      with one atomic rename — readers (e.g. a live gate re-reading
+      the index per micro-batch) always resolve either the old or
+      the new version, never a missing path or partial write.
+      Mutual exclusion comes from an O_EXCL lockfile (a second
+      refresher returns None immediately — no clobber window), and
+      ``guard_marker``'s content is re-checked INSIDE the lock so an
+      out-of-band epoch advance also aborts loudly.  The previous
+      version directory is retained (readers mid-scan keep their
+      files); versions older than that are garbage-collected.
     Returns the refreshed index DataFrame, or None on a lost race."""
     import shutil as _shutil
 
     from .dedup import band_structs_expr, simhash_expr
 
-    guard0 = None
-    if guard_marker is not None and os.path.exists(guard_marker):
-        with open(guard_marker) as fh:
-            guard0 = fh.read()
-    kept = spark.read.parquet(idx_path).join(
-        removed_ids, "doc_id", "left_anti"
-    )
-    delta_b = (
-        delta_docs.select("doc_id", "text")
-        .join(removed_ids, "doc_id", "left_anti")
-        .where(
-            F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
-        )
-        .select("doc_id", simhash_expr().alias("simhash"))
-        .select(
-            "doc_id", "simhash", F.explode(band_structs_expr()).alias("bk")
-        )
-        .select("bk.band_id", "bk.band_key", "doc_id", "simhash")
-    )
-    refreshed = kept.select(
-        "band_id", "band_key", "doc_id", "simhash"
-    ).unionByName(delta_b)
-    nxt = idx_path + f".next-{uuid.uuid4().hex[:8]}"
-    refreshed.write.parquet(nxt)
-    if guard_marker is not None:
-        guard1 = None
-        if os.path.exists(guard_marker):
+    lock = idx_path + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        return None  # another refresher holds the artifact
+    try:
+        guard0 = None
+        if guard_marker is not None and os.path.exists(guard_marker):
             with open(guard_marker) as fh:
-                guard1 = fh.read()
-        if guard1 != guard0:
-            _shutil.rmtree(nxt, ignore_errors=True)
-            return None  # lost the race — the winner's swap stands
-    old = idx_path + f".old-{uuid.uuid4().hex[:8]}"
-    os.rename(idx_path, old)
-    os.rename(nxt, idx_path)
-    _shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(idx_path)
+                guard0 = fh.read()
+        # One-time layout migration: a plain directory becomes
+        # version v0 behind the symlink.  (Do this at seed time in
+        # new deployments — the migration itself has a brief window.)
+        if os.path.isdir(idx_path) and not os.path.islink(idx_path):
+            v0 = idx_path + ".v-genesis"
+            os.rename(idx_path, v0)
+            tmp = idx_path + ".swp-genesis"
+            os.symlink(v0, tmp)
+            os.rename(tmp, idx_path)
+        kept = spark.read.parquet(idx_path).join(
+            removed_ids, "doc_id", "left_anti"
+        )
+        delta_b = (
+            delta_docs.select("doc_id", "text")
+            .join(removed_ids, "doc_id", "left_anti")
+            .where(
+                F.expr(
+                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
+                )
+            )
+            .select("doc_id", simhash_expr().alias("simhash"))
+            .select(
+                "doc_id",
+                "simhash",
+                F.explode(band_structs_expr()).alias("bk"),
+            )
+            .select("bk.band_id", "bk.band_key", "doc_id", "simhash")
+        )
+        refreshed = kept.select(
+            "band_id", "band_key", "doc_id", "simhash"
+        ).unionByName(delta_b)
+        prev_target = os.path.realpath(idx_path)
+        nxt = idx_path + f".v-{uuid.uuid4().hex[:8]}"
+        refreshed.write.parquet(nxt)
+        if guard_marker is not None:
+            guard1 = None
+            if os.path.exists(guard_marker):
+                with open(guard_marker) as fh:
+                    guard1 = fh.read()
+            if guard1 != guard0:
+                _shutil.rmtree(nxt, ignore_errors=True)
+                return None  # epoch advanced under us — abort loudly
+        tmp = idx_path + f".swp-{uuid.uuid4().hex[:8]}"
+        os.symlink(nxt, tmp)
+        os.rename(tmp, idx_path)  # POSIX-atomic symlink repoint
+        # retention 1: keep the version readers may still be
+        # scanning; GC everything older
+        keep = {os.path.realpath(nxt), prev_target}
+        base = os.path.basename(idx_path)
+        parent = os.path.dirname(idx_path) or "."
+        for e in os.scandir(parent):
+            if (
+                e.name.startswith(base + ".v")
+                and os.path.realpath(e.path) not in keep
+            ):
+                _shutil.rmtree(e.path, ignore_errors=True)
+        return spark.read.parquet(idx_path)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 #: Deterministic "deleted docs" subset for the graded refresh run —
@@ -1780,17 +1824,23 @@ def dedup_neardup_index_refresh(spark, sf_dir):
     if not marker_current(marker, sf_dir, name="documents", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        # Seed with a copy of the base artifact (refresh swaps the
-        # live path in place; the shared base artifact stays pristine).
+        # Seed the symlink-versioned layout with a copy of the base
+        # artifact (the shared base artifact stays pristine), plus a
+        # REAL guard epoch file so the guarded swap is exercised
+        # non-vacuously in the graded path.
         base_p = _neardup_base_index_path(spark, sf_dir)
-        _shutil.copytree(base_p, idx_p)
+        _shutil.copytree(base_p, idx_p + ".v-genesis")
+        os.symlink(idx_p + ".v-genesis", idx_p)
+        guard = os.path.join(root, "_guard")
+        with open(guard, "w") as fh:
+            fh.write(f"epoch-0:{params}")
         docs = table(spark, sf_dir, "documents")
         delta = docs.where(~_ndlive_base_pred()).select("doc_id", "text")
         removed = docs.where(
             F.col("doc_id") % NEARDUP_REFRESH_REMOVE_MOD == 0
         ).select("doc_id")
         out = refresh_neardup_index(
-            spark, idx_p, delta, removed, guard_marker=marker
+            spark, idx_p, delta, removed, guard_marker=guard
         )
         assert out is not None  # no concurrent refresher in a graded run
         write_marker(marker, sf_dir, name="documents", params=params)
@@ -1826,11 +1876,16 @@ def _delta_replay_stream(spark, run_dir: str, delta_docs):
 def _await_and_audit(q, audit: dict, app_path: str):
     """Drain an availableNow foreachBatch query and record the audit
     facts the statelessness tests pin: batch count, streaming state
-    operators (must be []), and the run-local index appends."""
+    operators (must be []), and the run-local index appends (epoch
+    subdirs, counted recursively)."""
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("live-gate drain did not finish in 600s")
     progress = [p for p in q.recentProgress if p is not None]
+    appended = []
+    if os.path.isdir(app_path):
+        for root, _dirs, files in os.walk(app_path):
+            appended += [f for f in files if f.endswith(".parquet")]
     audit.clear()
     audit.update(
         {
@@ -1838,15 +1893,126 @@ def _await_and_audit(q, audit: dict, app_path: str):
             "state_operators": [
                 s for p in progress for s in p.get("stateOperators", [])
             ],
-            "appended_files": sorted(
-                e.name
-                for e in os.scandir(app_path)
-                if e.is_file() and e.name.endswith(".parquet")
-            )
-            if os.path.isdir(app_path)
-            else [],
+            "appended_files": sorted(appended),
         }
     )
+
+
+def _epoch_write(df, root: str, epoch_id):
+    """Idempotent per-batch side-effect write: each micro-batch OWNS
+    one subdirectory keyed by its epoch id and writes it in OVERWRITE
+    mode, so a RETRIED batch (Spark's at-least-once foreachBatch
+    semantics) rewrites its own output instead of double-appending —
+    the standard exactly-once discipline for file side effects."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(root, f"e{int(epoch_id):06d}")
+    )
+
+
+def _epoch_read(spark, root: str, before_epoch=None):
+    """Read the union of epoch subdirs under ``root``; with
+    ``before_epoch`` only epochs strictly earlier are read — a
+    retried batch must not join against its OWN failed attempt's
+    partial output.  Returns None when nothing is readable."""
+    if not os.path.isdir(root):
+        return None
+    paths = sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("e")
+        and (before_epoch is None or int(d[1:]) < int(before_epoch))
+    )
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _batch_bands(batch_df):
+    """Banded row-local signatures of one micro-batch — materialized
+    ONCE (localCheckpoint): the index join, the self-join, and the
+    index append all consume it, and without the checkpoint each
+    would re-run the md5 simhash fold over the batch."""
+    from .dedup import band_structs_expr, simhash_expr
+
+    return (
+        batch_df.where(
+            F.expr("size(filter(split(text, '\\\\s+'), t -> t != '')) > 0")
+        )
+        .select("doc_id", simhash_expr().alias("simhash"))
+        .select(
+            "doc_id", "simhash", F.explode(band_structs_expr()).alias("bk")
+        )
+        .select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _neardup_batch_matches(bands, idx):
+    """ONE definition of the per-batch near-dup detection, shared by
+    the pair detector (_ndlive_run) and the fused admission gate:
+    (1) batch vs index equi-join on band keys — catches pairs whose
+    other member is historical or arrived in an earlier batch,
+    normalized to (greatest, least) because a smaller-id doc can
+    arrive after a larger-id one; (2) the intra-batch band self-join
+    — pairs BOTH arriving in this batch (the r10 blind spot), bounded
+    batch x batch, no watermark, no state store.  The two arms are
+    disjoint by construction (the index never contains the current
+    batch), and multi-band agreements collapse via the row-local
+    smallest-agreeing-band predicate, so every pair appears EXACTLY
+    once.  Returns (doc_id, dup_of, hamming) with doc_id > dup_of."""
+    from .dedup import NEARDUP_MAX_HAMMING
+
+    ham = F.expr("bit_count(simhash ^ c_sig)")
+    least_band = _least_agreeing_band()
+    cand = idx.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("dup_of"),
+        F.col("simhash").alias("c_sig"),
+    )
+    p1 = (
+        bands.join(cand, ["band_id", "band_key"])
+        .where(F.col("dup_of") != F.col("doc_id"))
+        .where(
+            (ham <= NEARDUP_MAX_HAMMING) & (F.col("band_id") == least_band)
+        )
+        .select(
+            F.greatest("doc_id", "dup_of").alias("doc_id"),
+            F.least("doc_id", "dup_of").alias("dup_of"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+    cand2 = bands.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("dup_of"),
+        F.col("simhash").alias("c_sig"),
+    )
+    p2 = (
+        bands.join(cand2, ["band_id", "band_key"])
+        .where(F.col("dup_of") < F.col("doc_id"))
+        .where(
+            (ham <= NEARDUP_MAX_HAMMING) & (F.col("band_id") == least_band)
+        )
+        .select("doc_id", "dup_of", ham.cast("long").alias("hamming"))
+    )
+    return p1.unionByName(p2)
+
+
+def _finish_run(spark, run_dir: str, out_root: str, schema: str):
+    """Materialize a live run's output OFF its run directory
+    (localCheckpoint cuts the lineage to the files) and delete the
+    run_dir — the delta replay re-write plus per-batch appends
+    otherwise leak multi-GB temp trees on every invocation."""
+    import shutil as _shutil
+
+    out = _epoch_read(spark, out_root)
+    if out is None:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = out.localCheckpoint(eager=True)
+    _shutil.rmtree(run_dir, ignore_errors=True)
+    return out
 
 
 def _ndlive_run(spark, base_idx_path: str, delta_docs):
@@ -1858,85 +2024,22 @@ def _ndlive_run(spark, base_idx_path: str, delta_docs):
     (doc_id, dup_of, hamming) — batching-independent by construction
     (see streaming_dedup_neardup_live's doc).  Populates
     _NDLIVE_LAST_RUN for the audit test."""
-    from .dedup import (
-        NEARDUP_MAX_HAMMING,
-        band_structs_expr,
-        simhash_expr,
-    )
-
     run_dir = tempfile.mkdtemp(prefix="ds_ndlive_")
     app_path = os.path.join(run_dir, "appended")
     out_path = os.path.join(run_dir, "pairs")
-    ham = F.expr("bit_count(simhash ^ c_sig)")
-    least_band = _least_agreeing_band()
 
     def _detect(batch_df, epoch_id):
-        bands = (
-            batch_df.where(
-                F.expr(
-                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
-                )
-            )
-            .select("doc_id", simhash_expr().alias("simhash"))
-            .select(
-                "doc_id",
-                "simhash",
-                F.explode(band_structs_expr()).alias("bk"),
-            )
-            .select("doc_id", "simhash", "bk.band_id", "bk.band_key")
-            # One materialization feeding three consumers (index join,
-            # self-join, append) — without it each re-runs the md5
-            # simhash fold over the batch.
-            .localCheckpoint(eager=True)
-        )
-        idx = batch_df.sparkSession.read.parquet(base_idx_path)
-        if os.path.isdir(app_path):
-            idx = idx.unionByName(
-                batch_df.sparkSession.read.parquet(app_path)
-            )
-        cand = idx.select(
-            "band_id",
-            "band_key",
-            F.col("doc_id").alias("dup_of"),
-            F.col("simhash").alias("c_sig"),
-        )
-        # (1) batch vs index: catches pairs whose other member is in
-        # the base corpus OR arrived in an EARLIER batch (the appended
-        # rows) — normalized to (greatest, least) because a smaller-id
-        # delta doc can arrive after a larger-id one.
-        j1 = bands.join(cand, ["band_id", "band_key"]).where(
-            F.col("dup_of") != F.col("doc_id")
-        )
-        p1 = j1.where(
-            (ham <= NEARDUP_MAX_HAMMING) & (F.col("band_id") == least_band)
-        ).select(
-            F.greatest("doc_id", "dup_of").alias("doc_id"),
-            F.least("doc_id", "dup_of").alias("dup_of"),
-            ham.cast("long").alias("hamming"),
-        )
-        # (2) intra-batch band self-join: catches pairs BOTH arriving
-        # in this batch (the r10 blind spot) — bounded batch x batch,
-        # no watermark, no state store.
-        cand2 = bands.select(
-            "band_id",
-            "band_key",
-            F.col("doc_id").alias("dup_of"),
-            F.col("simhash").alias("c_sig"),
-        )
-        j2 = bands.join(cand2, ["band_id", "band_key"]).where(
-            F.col("dup_of") < F.col("doc_id")
-        )
-        p2 = j2.where(
-            (ham <= NEARDUP_MAX_HAMMING) & (F.col("band_id") == least_band)
-        ).select("doc_id", "dup_of", ham.cast("long").alias("hamming"))
-        # Disjoint by construction: the index never contains this
-        # batch's docs (append happens AFTER detection), so p1 and p2
-        # cannot emit the same pair — plain union, no distinct.
-        p1.unionByName(p2).write.mode("append").parquet(out_path)
-        # (3) incremental index append (the similarity_ivf_upsert
+        sess = batch_df.sparkSession
+        bands = _batch_bands(batch_df)
+        idx = sess.read.parquet(base_idx_path)
+        prior = _epoch_read(sess, app_path, before_epoch=epoch_id)
+        if prior is not None:
+            idx = idx.unionByName(prior)
+        _epoch_write(_neardup_batch_matches(bands, idx), out_path, epoch_id)
+        # Incremental index append (the similarity_ivf_upsert
         # assignment-only pattern): this batch's signatures become
         # servable for every LATER batch.  O(batch) rows, run-local.
-        bands.write.mode("append").parquet(app_path)
+        _epoch_write(bands, app_path, epoch_id)
 
     stream = _delta_replay_stream(spark, run_dir, delta_docs)
     q = (
@@ -1946,11 +2049,9 @@ def _ndlive_run(spark, base_idx_path: str, delta_docs):
         .start()
     )
     _await_and_audit(q, _NDLIVE_LAST_RUN, app_path)
-    if not os.path.isdir(out_path):
-        return spark.createDataFrame(
-            [], "doc_id long, dup_of long, hamming long"
-        )
-    return spark.read.parquet(out_path)
+    return _finish_run(
+        spark, run_dir, out_path, "doc_id long, dup_of long, hamming long"
+    )
 
 
 @query(
@@ -2128,12 +2229,6 @@ def streaming_ingest_gate_live(spark, sf_dir):
         _nb_feats_array,
     )
 
-    from .dedup import (
-        NEARDUP_MAX_HAMMING,
-        band_structs_expr,
-        simhash_expr,
-    )
-
     lam, pri = _nb_serving_model(spark, sf_dir)
     base_idx_path = _exact_hash_index_base_path(spark, sf_dir)
     nd_base_path = _neardup_base_index_path(spark, sf_dir)
@@ -2143,8 +2238,6 @@ def streaming_ingest_gate_live(spark, sf_dir):
     adm_path = os.path.join(run_dir, "admission")
     flag_path = os.path.join(run_dir, "flags")
     nd_flag_path = os.path.join(run_dir, "nd_flags")
-    ham = F.expr("bit_count(simhash ^ c_sig)")
-    least_band = _least_agreeing_band()
 
     def _gate(batch_df, epoch_id):
         sess = batch_df.sparkSession
@@ -2152,8 +2245,9 @@ def streaming_ingest_gate_live(spark, sf_dir):
             "doc_id", F.md5("text").alias("h"), "text"
         ).localCheckpoint(eager=True)
         idx = sess.read.parquet(base_idx_path)
-        if os.path.isdir(app_path):
-            idx = idx.unionByName(sess.read.parquet(app_path))
+        prior = _epoch_read(sess, app_path, before_epoch=epoch_id)
+        if prior is not None:
+            idx = idx.unionByName(prior)
         # (2) batch vs index: flag the LARGER member of every
         # same-content pair — covers new-vs-historical, new-vs-
         # earlier-batch, and the retro case (smaller id arriving
@@ -2172,60 +2266,21 @@ def streaming_ingest_gate_live(spark, sf_dir):
             .where(F.col("p") < F.col("doc_id"))
             .select("doc_id")
         )
-        f1.unionByName(f2).write.mode("append").parquet(flag_path)
+        _epoch_write(f1.unionByName(f2), flag_path, epoch_id)
         # (2b/3b) near-dup arm, FUSED into the same pass over the same
         # arrivals (one replay, one drain — the production topology):
-        # the streaming_dedup_neardup_live detection steps, reduced to
-        # per-doc flags (greatest member of each detected pair).
-        bands = (
-            hashed.where(
-                F.expr(
-                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
-                )
-            )
-            .select("doc_id", simhash_expr().alias("simhash"))
-            .select(
-                "doc_id",
-                "simhash",
-                F.explode(band_structs_expr()).alias("bk"),
-            )
-            .select("doc_id", "simhash", "bk.band_id", "bk.band_key")
-            .localCheckpoint(eager=True)
-        )
+        # the shared _neardup_batch_matches detection, reduced to
+        # per-doc flags (each detected pair's larger member).
+        bands = _batch_bands(hashed)
         nd_idx = sess.read.parquet(nd_base_path)
-        if os.path.isdir(nd_app_path):
-            nd_idx = nd_idx.unionByName(sess.read.parquet(nd_app_path))
-        nd_cand = nd_idx.select(
-            "band_id",
-            "band_key",
-            F.col("doc_id").alias("dup_of"),
-            F.col("simhash").alias("c_sig"),
+        nd_prior = _epoch_read(sess, nd_app_path, before_epoch=epoch_id)
+        if nd_prior is not None:
+            nd_idx = nd_idx.unionByName(nd_prior)
+        _epoch_write(
+            _neardup_batch_matches(bands, nd_idx).select("doc_id"),
+            nd_flag_path,
+            epoch_id,
         )
-        n1 = (
-            bands.join(nd_cand, ["band_id", "band_key"])
-            .where(F.col("dup_of") != F.col("doc_id"))
-            .where(
-                (ham <= NEARDUP_MAX_HAMMING)
-                & (F.col("band_id") == least_band)
-            )
-            .select(F.greatest("doc_id", "dup_of").alias("doc_id"))
-        )
-        nd_cand2 = bands.select(
-            "band_id",
-            "band_key",
-            F.col("doc_id").alias("dup_of"),
-            F.col("simhash").alias("c_sig"),
-        )
-        n2 = (
-            bands.join(nd_cand2, ["band_id", "band_key"])
-            .where(F.col("dup_of") < F.col("doc_id"))
-            .where(
-                (ham <= NEARDUP_MAX_HAMMING)
-                & (F.col("band_id") == least_band)
-            )
-            .select("doc_id")
-        )
-        n1.unionByName(n2).write.mode("append").parquet(nd_flag_path)
         # (1) row-local admission signals for this batch's docs (the
         # shared Gopher + served-NB definitions of the batch gate).
         m = _gopher_metrics(batch_df, keep_words=True, extra_cols=("text",))
@@ -2234,17 +2289,23 @@ def streaming_ingest_gate_live(spark, sf_dir):
             _gopher_keep_curate_col().alias("gopher_keep"),
             _nb_feats_array(F.col("wrds")).alias("feats"),
         ).where(F.size("feats") > 0)
-        ann.select(
-            "doc_id",
-            "gopher_keep",
-            _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
-        ).write.mode("append").parquet(adm_path)
+        _epoch_write(
+            ann.select(
+                "doc_id",
+                "gopher_keep",
+                _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
+            ),
+            adm_path,
+            epoch_id,
+        )
         # (4) incremental index append: this batch's content hashes
         # and band signatures become servable for every later batch.
-        hashed.select("h", F.col("doc_id").alias("first_id")).write.mode(
-            "append"
-        ).parquet(app_path)
-        bands.write.mode("append").parquet(nd_app_path)
+        _epoch_write(
+            hashed.select("h", F.col("doc_id").alias("first_id")),
+            app_path,
+            epoch_id,
+        )
+        _epoch_write(bands, nd_app_path, epoch_id)
 
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     stream = _delta_replay_stream(spark, run_dir, delta)
@@ -2255,31 +2316,40 @@ def streaming_ingest_gate_live(spark, sf_dir):
         .start()
     )
     _await_and_audit(q, _GATE_LIVE_LAST_RUN, app_path)
-    adm = spark.read.parquet(adm_path)
-    if os.path.isdir(flag_path):
-        flags = (
-            spark.read.parquet(flag_path)
-            .distinct()
-            .withColumn("flagged", F.lit(True))
+    import shutil as _shutil
+
+    adm = _epoch_read(spark, adm_path)
+    if adm is None:
+        _shutil.rmtree(run_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, exact_dup boolean, near_dup boolean, "
+            "gopher_keep boolean, nb_logit double, keep boolean",
         )
-        adm = adm.join(flags, "doc_id", "left")
+    flags = _epoch_read(spark, flag_path)
+    if flags is not None:
+        adm = adm.join(
+            flags.distinct().withColumn("flagged", F.lit(True)),
+            "doc_id",
+            "left",
+        )
     else:
         adm = adm.withColumn("flagged", F.lit(None).cast("boolean"))
     # near_dup: a doc is flagged iff a smaller-id neighbor at
     # hamming <= NEARDUP_MAX_HAMMING exists anywhere in base UNION
     # delta — the fused in-stream detection's flag rows, distinct'd.
-    if os.path.isdir(nd_flag_path):
-        nd_flags = (
-            spark.read.parquet(nd_flag_path)
-            .distinct()
-            .withColumn("nd_flagged", F.lit(True))
+    nd_flags = _epoch_read(spark, nd_flag_path)
+    if nd_flags is not None:
+        adm = adm.join(
+            nd_flags.distinct().withColumn("nd_flagged", F.lit(True)),
+            "doc_id",
+            "left",
         )
-        adm = adm.join(nd_flags, "doc_id", "left")
     else:
         adm = adm.withColumn("nd_flagged", F.lit(None).cast("boolean"))
     exact_dup = F.coalesce("flagged", F.lit(False))
     near_dup = F.coalesce("nd_flagged", F.lit(False))
-    return adm.select(
+    out = adm.select(
         "doc_id",
         exact_dup.alias("exact_dup"),
         near_dup.alias("near_dup"),
@@ -2291,7 +2361,9 @@ def streaming_ingest_gate_live(spark, sf_dir):
             & F.col("gopher_keep")
             & (F.col("nb_logit") > 0)
         ).alias("keep"),
-    )
+    ).localCheckpoint(eager=True)
+    _shutil.rmtree(run_dir, ignore_errors=True)
+    return out
 
 
 from .pipeline_llm import (  # noqa: E402
@@ -2360,7 +2432,9 @@ def streaming_write_shards(spark, sf_dir):
     acc_path = os.path.join(run_dir, "epoch_rows")
 
     def _extract(batch_df, epoch_id):
-        _doc_token_counts(batch_df).write.mode("append").parquet(acc_path)
+        # per-epoch OVERWRITE subdir: a retried batch rewrites its own
+        # rows instead of double-appending (see _epoch_write)
+        _epoch_write(_doc_token_counts(batch_df), acc_path, epoch_id)
 
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     stream = _delta_replay_stream(spark, run_dir, delta)
@@ -2374,7 +2448,9 @@ def streaming_write_shards(spark, sf_dir):
     # Epoch close: pack + rank + write over the accumulated metadata
     # rows (order-independent of batching: each doc contributed one
     # row, and the pack sorts by doc_id within pack shards).
-    counts = spark.read.parquet(acc_path)
+    import shutil as _shutil
+
+    counts = _epoch_read(spark, acc_path)
     shards = _write_shards(
         spark,
         sf_dir,
@@ -2385,7 +2461,9 @@ def streaming_write_shards(spark, sf_dir):
             f":ws{_PL_WRITE_SHARDS}:seed{_PL_SEED}:v1"
         ),
     )
-    return _shards_manifest(shards)
+    out = _shards_manifest(shards).localCheckpoint(eager=True)
+    _shutil.rmtree(run_dir, ignore_errors=True)
+    return out
 
 
 def _neardup_flag_index(spark, sf_dir):

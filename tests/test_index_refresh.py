@@ -130,10 +130,81 @@ def test_refresh_aborts_on_lost_guard_race(spark, tmp_path):
     )
     assert out is None
     assert sorted(map(tuple, spark.read.parquet(idx_p).collect())) == before
-    debris = [
-        d for d in os.listdir(tmp_path) if ".next-" in d or ".old-" in d
-    ]
+    # no half-swapped symlink debris, and the lock was released
+    debris = [d for d in os.listdir(tmp_path) if ".swp-" in d]
     assert debris == []
+    assert not os.path.exists(idx_p + ".lock")
+
+
+def test_refresh_loses_to_a_held_lock(spark, tmp_path):
+    """Mutual exclusion: while another refresher holds the artifact
+    lock, a second refresh returns None immediately and changes
+    nothing — the no-clobber contract under true concurrency."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} words words") for i in base_ids[:6]],
+    )
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    idx_p = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, idx_p)
+    before = sorted(map(tuple, spark.read.parquet(idx_p).collect()))
+
+    with open(idx_p + ".lock", "w"):
+        pass  # a concurrent refresher's lock
+    delta = spark.createDataFrame(
+        [(delta_ids[0], "late arrival words")], "doc_id long, text string"
+    )
+    removed = spark.createDataFrame([], "doc_id long")
+    out = refresh_neardup_index(spark, idx_p, delta, removed)
+    assert out is None
+    assert sorted(map(tuple, spark.read.parquet(idx_p).collect())) == before
+    os.remove(idx_p + ".lock")
+
+
+def test_refresh_swap_is_atomic_for_readers(spark, tmp_path):
+    """The live path is a symlink repointed by one atomic rename:
+    after a refresh the path resolves to the NEW version, the
+    previous version directory is retained for in-flight readers,
+    and the path itself never stops existing."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} alpha beta") for i in base_ids[:6]],
+    )
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    idx_p = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, idx_p + ".v-genesis")
+    os.symlink(idx_p + ".v-genesis", idx_p)
+
+    delta = spark.createDataFrame(
+        [(delta_ids[0], "brand new arrival text")],
+        "doc_id long, text string",
+    )
+    removed = spark.createDataFrame([], "doc_id long")
+    out = refresh_neardup_index(spark, idx_p, delta, removed)
+    assert out is not None
+    assert os.path.islink(idx_p)
+    assert os.path.realpath(idx_p) != os.path.realpath(
+        idx_p + ".v-genesis"
+    )
+    # previous version retained for in-flight readers
+    assert os.path.isdir(idx_p + ".v-genesis")
+    assert delta_ids[0] in {
+        r["doc_id"] for r in out.select("doc_id").distinct().collect()
+    }
 
 
 def test_refresh_matches_full_rebuild(spark, tmp_path):
@@ -186,3 +257,16 @@ def test_refresh_matches_full_rebuild(spark, tmp_path):
     )
     want = sorted(map(tuple, rebuild.collect()))
     assert got == want and len(got) > 0
+
+
+def test_oracle_corpus_substitution_is_exact():
+    """Two round-11 oracles retarget a shared CTE fragment from
+    `documents` to a filtered CTE via string replacement; if a future
+    edit adds another `FROM documents` to those fragments, the
+    substitution would silently rewrite the wrong scan.  Pin the
+    occurrence count at exactly one."""
+    from durablestreams_spark.operators.dedup import _SIMHASH_CTES
+    from durablestreams_spark.operators.pipeline_llm import _PACK_CTES
+
+    assert _SIMHASH_CTES.count("FROM documents") == 1
+    assert _PACK_CTES.count("FROM documents") == 1

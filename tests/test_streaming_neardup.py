@@ -159,23 +159,38 @@ def test_spread_stream_directory_source_sums_data_files(spark, tmp_path):
         _spread_stream,
     )
 
+    import pytest as _pytest
+
+    n_par = spark.sparkContext.defaultParallelism
     d = tmp_path / "dataset.parquet"
     d.mkdir()
-    for i in range(32):
+    # sizes chosen RELATIVE to the host's parallelism so the test
+    # holds on any core count: 2 KiB files at a 1 KiB split size give
+    # 2 splits each, so n_par files >= 2*n_par splits >= n_par cores.
+    for i in range(n_par):
         (d / f"part-{i:05d}.snappy.parquet").write_bytes(b"x" * 2048)
     (d / "_SUCCESS").write_bytes(b"")  # marker files must not count
+    # Hive-partitioned layout: data nested under key=value subdirs
+    # must be summed too (a one-level scan sees 0 bytes — r11 review)
+    p = tmp_path / "partitioned.parquet"
+    for i in range(n_par):
+        sub = p / f"shard={i}"
+        sub.mkdir(parents=True)
+        (sub / "part-00000.snappy.parquet").write_bytes(b"x" * 2048)
 
     df = spark.range(10)
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
     try:
-        # 64 KiB of data files / 1 KiB splits = 64 >= 32 cores: the
-        # scan already spreads, so the helper must return df AS-IS.
         assert _spread_stream(df, str(d)) is df
-        # Control: a single 2 KiB file yields 2 splits < cores, so
-        # the single-file fixture still gets the rebalance.
-        one = str(d / "part-00000.snappy.parquet")
-        assert _spread_stream(df, one) is not df
+        assert _spread_stream(df, str(p)) is df
+        if n_par > 2:
+            # Control: one 2 KiB file = 2 splits < cores, so the
+            # single-file fixture still gets the rebalance.
+            one = str(d / "part-00000.snappy.parquet")
+            assert _spread_stream(df, one) is not df
+        else:
+            _pytest.skip("control case needs defaultParallelism > 2")
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
