@@ -121,6 +121,7 @@ SF1_EXTRA = [
     "dedup_neardup_index_refresh",    # r11 index maintenance: O(delta) append + tombstone + guarded swap
     "streaming_write_shards",         # r11 LIVE epoch shard delivery: stateless extract + O(epoch) close
     "streaming_ingest_report",        # r11 per-source admission economics: 4 signals, O(#sources) state
+    "streaming_decontaminate_gate",   # r11 LIVE eval-leakage screen: broadcast bench shingles, batch-local rollup
 ]
 
 

@@ -2637,6 +2637,147 @@ def streaming_ingest_report(spark, sf_dir):
     return _drain(agg, "complete")
 
 
+def _bench_shingle_index_path(spark, sf_dir) -> str:
+    """Persisted benchmark 5-gram shingle index — the eval-suite
+    artifact the LIVE decontamination gate broadcasts: the DISTINCT
+    5-word shingles of the held-out (doc_id % _BENCH_MOD == 0) eval
+    split, the text_decontaminate definitions verbatim.  Constant
+    size at any corpus scale (benchmark suites do not grow with the
+    training corpus), which is exactly what makes the serving-side
+    broadcast legal at 100 TB."""
+    import shutil as _shutil
+
+    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+    root = os.path.join(
+        "/tmp/durablestreams_benchidx_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "shingles.parquet")
+    params = f"shingle5:bench%{_BENCH_MOD}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        (
+            _shingle5_arrays(
+                table(spark, sf_dir, "documents").where(
+                    F.col("doc_id") % _BENCH_MOD == 0
+                )
+            )
+            .select(F.explode("shs").alias("sh"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return idx_p
+
+
+#: Audit facts of the last streaming_decontaminate_gate run.
+_DECON_LIVE_LAST_RUN: dict = {}
+
+from .pipeline_llm import (  # noqa: E402
+    _BENCH_MOD as _PL_BENCH_MOD,
+    _DUCK_SHINGLE5 as _PL_SHINGLE5,
+)
+
+
+@query(
+    "streaming_decontaminate_gate",
+    f"""
+    WITH shingles AS ({_PL_SHINGLE5}),
+    bench AS (
+        SELECT DISTINCT sh FROM shingles WHERE doc_id % {_PL_BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, sh FROM shingles WHERE doc_id % {_PL_BENCH_MOD} <> 0
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_hit
+        FROM corpus c JOIN bench b USING (sh)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (coalesce(h.n_hit, 0) > 0) AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="LIVE benchmark-decontamination screening at ingest — the "
+    "eval-leakage gate every serious training pipeline runs on its "
+    "firehose, completing the live admission family (exact-dup, "
+    "near-dup, Gopher, NB, and now contamination): each arriving "
+    "document's DISTINCT 5-gram shingles (text_decontaminate's exact "
+    "shared _shingle5_arrays definition — array_distinct inside the "
+    "scan, zero shuffle) are checked against the PERSISTED benchmark "
+    "shingle index via a BROADCAST join inside foreachBatch, with a "
+    "batch-local per-doc rollup — no watermark, no state store, no "
+    "cross-batch state of any kind, because each doc's verdict "
+    "depends only on itself and the frozen eval suite.  Every "
+    "screened doc gets a row (zero-hit docs included — a GATE must "
+    "answer for every arrival, where the batch report only lists "
+    "offenders); per-doc outputs are independent of batching, and "
+    "per-epoch OVERWRITE side-effect dirs keep retries idempotent.  "
+    "At 100 TB: the eval index is benchmark-suite-sized — CONSTANT "
+    "as the corpus grows — so the broadcast is always legal and "
+    "screening throughput is scan throughput.  Hash-gated against "
+    "the batch composition of the same shared shingle definitions.",
+)
+def streaming_decontaminate_gate(spark, sf_dir):
+    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+    bench_path = _bench_shingle_index_path(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="ds_deconlive_")
+    out_path = os.path.join(run_dir, "screened")
+
+    def _screen(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        arrays = _shingle5_arrays(
+            batch_df.where(F.col("doc_id") % _BENCH_MOD != 0)
+        ).localCheckpoint(eager=True)
+        bench = sess.read.parquet(bench_path)
+        hits = (
+            arrays.select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(bench), "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        out = (
+            arrays.select(
+                "doc_id", F.size("shs").cast("long").alias("n_shingles")
+            )
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_shingles",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+        _epoch_write(out, out_path, epoch_id)
+
+    stream = _delta_replay_stream(
+        spark, run_dir, table(spark, sf_dir, "documents")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_audit(q, _DECON_LIVE_LAST_RUN, out_path)
+    return _finish_run(
+        spark,
+        run_dir,
+        out_path,
+        "doc_id long, n_shingles long, n_hit long, contaminated boolean",
+    )
+
+
 #: The embeddings fixture file name (the _DOCS_FILE rule).
 _EMB_FILE = "embeddings.parquet"
 

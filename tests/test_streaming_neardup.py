@@ -406,3 +406,34 @@ def test_ingest_report_reasons_partition_and_state_is_bounded(spark):
     # is non-trivial in at least those reason columns
     assert sum(r["n_near_dup"] for r in rows) > 0
     assert sum(r["n_admitted"] for r in rows) > 0
+
+
+def test_decontaminate_gate_covers_every_doc_and_matches_batch(spark):
+    """streaming_decontaminate_gate: a verdict row for EVERY screened
+    corpus doc (>= 5 words, non-eval), offender set identical to the
+    batch text_decontaminate report, multi-batch and stateless."""
+    from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    rows = {
+        r["doc_id"]: r
+        for r in sq.streaming_decontaminate_gate(spark, SF_DIR).collect()
+    }
+    assert len(rows) > 0
+    audit = sq._DECON_LIVE_LAST_RUN
+    assert audit["n_batches"] >= 2, audit
+    assert audit["state_operators"] == [], audit
+
+    batch = {
+        r["doc_id"]: r
+        for r in all_queries()["text_decontaminate"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    live_offenders = {d for d, r in rows.items() if r["contaminated"]}
+    assert live_offenders == set(batch), "offender sets diverge"
+    for d in live_offenders:
+        assert rows[d]["n_hit"] == batch[d]["n_hit"]
+        assert rows[d]["n_shingles"] == batch[d]["n_shingles"]
+    # gate answers for non-offenders too (the batch report doesn't)
+    assert any(not r["contaminated"] for r in rows.values())
