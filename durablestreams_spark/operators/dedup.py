@@ -1052,9 +1052,11 @@ def _snap9(col):
     return F.floor(F.col(col) * 1000000000.0 + F.lit(0.5)) / 1000000000.0
 
 
-def _tight_parts(spark, sf_dir, mod: int):
-    """Shared tight-dedup construction: (derived corpus with norms,
-    distinct banded candidate pairs)."""
+def _tight_corpus(spark, sf_dir, mod: int):
+    """The derived tight-dedup corpus (base 1-in-``mod`` sample plus
+    planted twins) with per-vector norms — the ONE corpus definition
+    every tight-threshold consumer (batch pair query, recall reports,
+    and the LIVE ingest gate's base/delta split) derives from."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1076,14 +1078,21 @@ def _tight_parts(spark, sf_dir, mod: int):
             )
         ).alias("s")
     ).select("s.vec_id", "s.emb")
-    with_norm = u.select(
+    return u.select(
         "vec_id",
         "emb",
         F.sqrt(
             F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)
         ).alias("norm"),
     )
-    bands = with_norm.select(
+
+
+def _tight_band_rows(with_norm):
+    """(vec_id, band_id, band_key) posting rows of the 16x16-bit tight
+    banding — row-local signature + 1->16 explode, shared by the batch
+    candidate join, the persisted base index build, and the per-batch
+    stream-side banding of the live embedding gate."""
+    return with_norm.select(
         "vec_id", _tight_sig_expr().alias("sig")
     ).select(
         "vec_id",
@@ -1095,6 +1104,13 @@ def _tight_parts(spark, sf_dir, mod: int):
             )
         ).alias("band_id", "band_key"),
     )
+
+
+def _tight_parts(spark, sf_dir, mod: int):
+    """Shared tight-dedup construction: (derived corpus with norms,
+    distinct banded candidate pairs)."""
+    with_norm = _tight_corpus(spark, sf_dir, mod)
+    bands = _tight_band_rows(with_norm)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])

@@ -1852,22 +1852,34 @@ def dedup_neardup_index_refresh(spark, sf_dir):
     )
 
 
-def _delta_replay_stream(spark, run_dir: str, delta_docs):
+def _delta_replay_stream(
+    spark,
+    run_dir: str,
+    delta_docs,
+    cols: tuple = ("doc_id", "text"),
+    schema: str = "doc_id long, text string",
+    rewrite: bool = True,
+):
     """Replay harness shared by the live new-vs-new detectors: slice
-    ``delta_docs`` (doc_id, text) into _NDLIVE_FILES parquet files and
-    return a maxFilesPerTrigger=1 stream over them, so availableNow
-    yields a genuinely multi-batch run.  Production replaces this
-    with the firehose itself — the sliced re-write is test
-    scaffolding, not part of the operator."""
+    ``delta_docs`` (keyed by ``cols[0]``) into _NDLIVE_FILES parquet
+    files and return a maxFilesPerTrigger=1 stream over them, so
+    availableNow yields a genuinely multi-batch run.  Production
+    replaces this with the firehose itself — the sliced re-write is
+    test scaffolding, not part of the operator.  ``rewrite=False``
+    re-opens a stream over an ALREADY-written delta dir without
+    touching the files — required when resuming from a checkpoint,
+    because the file-source log tracks processed files by PATH and a
+    rewrite (fresh part-file uuids) would replay everything."""
     delta_dir = os.path.join(run_dir, "delta")
-    (
-        delta_docs.select("doc_id", "text")
-        .repartition(_NDLIVE_FILES, "doc_id")
-        .write.mode("overwrite")
-        .parquet(delta_dir)
-    )
+    if rewrite:
+        (
+            delta_docs.select(*cols)
+            .repartition(_NDLIVE_FILES, cols[0])
+            .write.mode("overwrite")
+            .parquet(delta_dir)
+        )
     return (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(delta_dir)
     )
@@ -2115,6 +2127,257 @@ def streaming_dedup_neardup_live(spark, sf_dir):
     base_idx = _neardup_base_index_path(spark, sf_dir)
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     return _ndlive_run(spark, base_idx, delta)
+
+
+#: Embedding-modality base/delta split tag for the live gate (the
+#: ':ndlive' convention on vec_id — twins split independently of their
+#: originals, so base-base, base-delta, and delta-delta twin pairs all
+#: occur).
+_EMBLIVE_TAG = ":emblive"
+
+#: Audit facts of the last streaming_embedding_dedup_live run.
+_EMBLIVE_LAST_RUN: dict = {}
+
+from .dedup import (  # noqa: E402
+    COSINE_TIGHT_THRESHOLD as _CT_THETA,
+    _tight_bands_sql as _ct_bands_sql,
+)
+
+
+def _emblive_base_pred():
+    """True for vectors in the ':emblive' base split (row-local)."""
+    return (
+        F.substring(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(_EMBLIVE_TAG))
+            ),
+            1,
+            2,
+        )
+        < _NDLIVE_CUT
+    )
+
+
+def _emb_tight_base_paths(spark, sf_dir) -> tuple[str, str]:
+    """Persisted BASE-split artifacts of the live embedding gate, the
+    FAISS id-map/storage split: (1) the SRP band posting list
+    (band_id, band_key, vec_id) — 16 small rows per vector, what the
+    candidate equi-join scans; (2) the vector store (vec_id, emb,
+    norm) — ONE embedding copy per vector, what the exact-cosine
+    verify joins.  Keeping the 64-double payload out of the 16x
+    posting fan-out is what makes the index affordable at 100 TB.
+    Returns (bands_path, vecs_path); foreachBatch re-reads both per
+    micro-batch alongside its run-local appends."""
+    import shutil as _shutil
+
+    from .dedup import (
+        COSINE_TIGHT_BAND_BITS,
+        COSINE_TIGHT_BANDS,
+        COSINE_TIGHT_MOD,
+        _tight_band_rows,
+        _tight_corpus,
+    )
+
+    root = os.path.join(
+        "/tmp/durablestreams_emblive_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    bands_p = os.path.join(root, "bands.parquet")
+    vecs_p = os.path.join(root, "vecs.parquet")
+    params = (
+        f"srp{COSINE_TIGHT_BANDS}x{COSINE_TIGHT_BAND_BITS}"
+        f":mod{COSINE_TIGHT_MOD}:base<{_NDLIVE_CUT}{_EMBLIVE_TAG}:v1"
+    )
+    if not marker_current(marker, sf_dir, name="embeddings", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = _tight_corpus(spark, sf_dir, COSINE_TIGHT_MOD).where(
+            _emblive_base_pred()
+        )
+        base.write.mode("overwrite").parquet(vecs_p)
+        # Signatures derive from the PERSISTED vectors (one corpus
+        # pass lands both artifacts consistent by construction).
+        _tight_band_rows(spark.read.parquet(vecs_p)).write.mode(
+            "overwrite"
+        ).parquet(bands_p)
+        write_marker(marker, sf_dir, name="embeddings", params=params)
+    return bands_p, vecs_p
+
+
+def _emblive_run(spark, bands_path: str, vecs_path: str, delta_vecs):
+    """The live embedding near-dup topology (VERDICT r11 top task):
+    per micro-batch, (1) row-local 256-plane SRP signature + 1->16
+    band explode; (2) batch bands vs (base posting list + prior
+    batches' appends) 16-bit-key equi-join, normalized (greatest,
+    least) because a smaller-id vector can arrive later; (3) an
+    intra-batch band self-join for pairs BOTH arriving in this batch;
+    (4) exact-cosine verify on CANDIDATES ONLY against (base vector
+    store + prior appends + this batch), snapped to the 1e-9 grid;
+    (5) O(batch) append of this batch's bands and vectors so they
+    serve every later batch.  No watermark, no state store, no
+    all-pairs anywhere.  Returns the drained (vec_id, dup_of, cos)
+    pairs; populates _EMBLIVE_LAST_RUN for the audit test."""
+    from .dedup import (
+        COSINE_TIGHT_THRESHOLD,
+        _snap9,
+        _tight_band_rows,
+        _tight_verify,
+    )
+
+    run_dir = tempfile.mkdtemp(prefix="ds_emblive_")
+    band_app = os.path.join(run_dir, "band_appended")
+    vec_app = os.path.join(run_dir, "vec_appended")
+    out_path = os.path.join(run_dir, "pairs")
+
+    def _detect(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        bv = batch_df.select(
+            "vec_id",
+            "emb",
+            F.sqrt(
+                F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)
+            ).alias("norm"),
+        ).localCheckpoint(eager=True)
+        bands = _tight_band_rows(bv).localCheckpoint(eager=True)
+        idx_b = sess.read.parquet(bands_path)
+        prior_b = _epoch_read(sess, band_app, before_epoch=epoch_id)
+        if prior_b is not None:
+            idx_b = idx_b.unionByName(prior_b)
+        idx_v = sess.read.parquet(vecs_path)
+        prior_v = _epoch_read(sess, vec_app, before_epoch=epoch_id)
+        if prior_v is not None:
+            idx_v = idx_v.unionByName(prior_v)
+        # (2) batch vs index: new-vs-historical and new-vs-earlier-
+        # batch candidates.  Multi-band agreements collapse via the
+        # per-batch DISTINCT (bounded: candidates of ONE batch).
+        other = idx_b.select(
+            "band_id", "band_key", F.col("vec_id").alias("other")
+        )
+        c1 = (
+            bands.join(other, ["band_id", "band_key"])
+            .where(F.col("other") != F.col("vec_id"))
+            .select(
+                F.least("vec_id", "other").alias("vec_a"),
+                F.greatest("vec_id", "other").alias("vec_b"),
+            )
+            .distinct()
+        )
+        # (3) intra-batch self-join: pairs both arriving now.  The two
+        # arms are disjoint (the index never contains the current
+        # batch), so no cross-arm dedup is needed.
+        b2 = bands.select(
+            "band_id", "band_key", F.col("vec_id").alias("other")
+        )
+        c2 = (
+            bands.join(b2, ["band_id", "band_key"])
+            .where(F.col("other") < F.col("vec_id"))
+            .select(
+                F.col("other").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        # (4) exact-cosine verify on candidates only — the ONE
+        # _tight_verify definition the batch query grades through.
+        allv = idx_v.unionByName(bv)
+        scored = _tight_verify(allv, c1.unionByName(c2))
+        pairs = scored.where(
+            _snap9("cos") >= COSINE_TIGHT_THRESHOLD
+        ).select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("dup_of"),
+            F.round("cos", 4).alias("cos"),
+        )
+        _epoch_write(pairs, out_path, epoch_id)
+        # (5) incremental index append: bands AND vectors.
+        _epoch_write(bands, band_app, epoch_id)
+        _epoch_write(bv, vec_app, epoch_id)
+
+    stream = _delta_replay_stream(
+        spark,
+        run_dir,
+        delta_vecs,
+        cols=("vec_id", "emb"),
+        schema="vec_id long, emb array<double>",
+    )
+    q = (
+        stream.writeStream.foreachBatch(_detect)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_audit(q, _EMBLIVE_LAST_RUN, band_app)
+    return _finish_run(
+        spark, run_dir, out_path, "vec_id long, dup_of long, cos double"
+    )
+
+
+@query(
+    "streaming_embedding_dedup_live",
+    f"""
+    WITH {_ct_bands_sql()},
+    split AS (
+        SELECT vec_id,
+               substr(md5(CAST(vec_id AS VARCHAR) || '{_EMBLIVE_TAG}'), 1, 2)
+                   < '{_NDLIVE_CUT}' AS is_base
+        FROM u
+    )
+    SELECT t.vec_b AS vec_id, t.vec_a AS dup_of,
+           round(list_cosine_similarity(x.emb, y.emb), 4) AS cos
+    FROM tcand t
+    JOIN tsig x ON t.vec_a = x.vec_id
+    JOIN tsig y ON t.vec_b = y.vec_id
+    JOIN split sa ON sa.vec_id = t.vec_a
+    JOIN split sb ON sb.vec_id = t.vec_b
+    WHERE floor(list_cosine_similarity(x.emb, y.emb)
+                * 1000000000 + 0.5) / 1000000000
+          >= {_CT_THETA}
+      AND NOT (sa.is_base AND sb.is_base)
+    """,
+    doc="LIVE embedding-space near-dup at ingest — the last modality "
+    "gap in the deployable gate closed (VERDICT r11 top task): text "
+    "dups were caught live (streaming_dedup_neardup_live) but two "
+    "embedding-near-dup documents both arriving after the index build "
+    "were never compared.  This composes the two pieces round 11 "
+    "built separately — the PRODUCTION-threshold banded geometry "
+    "(16 bands x 16-bit keys over 256 salted SRP planes at theta=0.8, "
+    "the measured ~500x candidate prune) and the new-vs-new live "
+    "topology (detect -> self-join -> append) — over the ':emblive' "
+    "base/delta split of the tight-dedup corpus (1-in-4 sample plus "
+    "planted twins; twins split independently of originals so "
+    "base-base, base-delta, and delta-delta pairs all occur).  The "
+    "persisted base artifact is TWO tables, the FAISS id-map/storage "
+    "split: the band POSTING LIST (16 small rows/vector — what the "
+    "equi-join scans) and the VECTOR STORE (one 64-double row/vector "
+    "— what the verify joins), so the 16x posting fan-out never "
+    "carries the embedding payload.  Per micro-batch foreachBatch "
+    "runs five stateless steps: row-local SRP signature; batch-vs-"
+    "(base+prior-appends) band equi-join normalized (greatest, "
+    "least); intra-batch band self-join; exact-cosine verify on "
+    "CANDIDATES ONLY against (vector store + appends + batch), "
+    "snapped to the shared 1e-9 grid so engine ulps cannot flip a "
+    "graded row; O(batch) append of bands AND vectors.  Every pair "
+    "emits exactly once regardless of batching (same-batch pairs "
+    "only via the self-join, cross-batch only at the later member's "
+    "arrival; multi-band agreements collapse in the per-batch "
+    "bounded DISTINCT), so the drained sink hash-equals the batch "
+    "tight-dedup oracle over base UNION delta minus base-base pairs.  "
+    "At 100 TB: detection is scan throughput + one bounded self-join "
+    "per batch; every join is a 16-bit-key equi-join; the all-pairs "
+    "plan appears nowhere.  Reference capability: none — north star "
+    "(deployable multimodal ingest gate).",
+)
+def streaming_embedding_dedup_live(spark, sf_dir):
+    from .dedup import COSINE_TIGHT_MOD, _tight_corpus
+
+    bands_p, vecs_p = _emb_tight_base_paths(spark, sf_dir)
+    delta = (
+        _tight_corpus(spark, sf_dir, COSINE_TIGHT_MOD)
+        .where(~_emblive_base_pred())
+        .select("vec_id", "emb")
+    )
+    return _emblive_run(spark, bands_p, vecs_p, delta)
 
 
 def _exact_hash_index_base_path(spark, sf_dir) -> str:
