@@ -1255,6 +1255,169 @@ def dedup_embedding_cosine_tight_recall(spark, sf_dir):
     )
 
 
+#: Recall amplification: a band MATCHES when its two 16-bit keys agree
+#: within this hamming distance (0 = exact, the base operating point).
+#: At theta=0.8 (p_bit ~0.795) ham<=1 lifts per-band match probability
+#: ~0.026 -> ~0.13, any-of-16 recall ~0.34 -> ~0.90 near the boundary,
+#: at a ~17x candidate-density cost — the second point on the
+#: production (recall, cost) menu SCALE.md §5b5 called for.
+AMPLIFIED_BAND_HAMMING = 1
+
+
+def _band_key_variants_expr():
+    """All 16-bit keys within hamming 1 of ``band_key`` (itself plus
+    16 one-bit flips), as an exploded column — probe-side expansion
+    keeps the amplified match an EQUI-join on (band_id, variant)."""
+    n = COSINE_TIGHT_BAND_BITS
+    return F.explode(
+        F.expr(
+            f"""transform(sequence(0, {n}), k ->
+              IF(k = 0, band_key,
+                 concat(substring(band_key, 1, k - 1),
+                        IF(substring(band_key, k, 1) = '1', '0', '1'),
+                        substring(band_key, k + 1, {n} - k))))"""
+        )
+    )
+
+
+def _tight_cand_amplified(bands):
+    """Distinct candidate pairs under hamming<=1 band matching: the
+    probe side explodes each posting row into 17 variant keys; the
+    build side keeps original keys, so one directed pass (vec_a <
+    vec_b) covers the symmetric relation exactly."""
+    probe = bands.select(
+        "vec_id", "band_id", _band_key_variants_expr().alias("band_key")
+    )
+    build = bands.select(
+        F.col("vec_id").alias("vb_id"), "band_id", "band_key"
+    )
+    return (
+        probe.join(build, ["band_id", "band_key"])
+        .where(F.col("vec_id") < F.col("vb_id"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vb_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+
+
+def _amplified_variants_sql() -> str:
+    """DuckDB restatement of the 17-key hamming<=1 expansion."""
+    n = COSINE_TIGHT_BAND_BITS
+    return f"""list_transform(range(0, {n + 1}), k ->
+        CASE WHEN k = 0 THEN band_key
+             ELSE substr(band_key, 1, k - 1)
+                  || (CASE WHEN substr(band_key, k, 1) = '1'
+                           THEN '0' ELSE '1' END)
+                  || substr(band_key, k + 1, {n} - k) END)"""
+
+
+@query(
+    "dedup_embedding_cosine_tight_amplified",
+    f"""
+    WITH {_twin_sql(COSINE_TIGHT_REPORT_MOD)},
+    tsig AS (SELECT vec_id, emb, {_tight_sig_sql()} AS s FROM u),
+    tbands AS (SELECT vec_id, i AS band_id,
+                      substr(s, 1 + i * {COSINE_TIGHT_BAND_BITS},
+                             {COSINE_TIGHT_BAND_BITS}) AS band_key
+               FROM tsig, range({COSINE_TIGHT_BANDS}) t(i)),
+    tvar AS (SELECT vec_id, band_id, {_amplified_variants_sql()} AS vs
+             FROM tbands),
+    tprobe AS (SELECT vec_id, band_id, v.v AS band_key
+               FROM tvar, UNNEST(vs) AS v(v)),
+    tcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM tprobe a
+              JOIN tbands b ON a.band_id = b.band_id
+                           AND a.band_key = b.band_key
+                           AND a.vec_id < b.vec_id),
+    nv AS (SELECT count(*) AS n_vecs FROM u),
+    nc AS (SELECT count(*) AS n_cand FROM tcand),
+    nb AS (SELECT count(*) AS n_banded
+           FROM tcand
+           JOIN tsig x ON vec_a = x.vec_id
+           JOIN tsig y ON vec_b = y.vec_id
+           WHERE floor(list_cosine_similarity(x.emb, y.emb)
+                       * 1000000000 + 0.5) / 1000000000
+                 >= {COSINE_TIGHT_THRESHOLD}),
+    nt AS (SELECT count(*) AS n_true
+           FROM u a JOIN u b ON a.vec_id < b.vec_id
+           WHERE floor(list_cosine_similarity(a.emb, b.emb)
+                       * 1000000000 + 0.5) / 1000000000
+                 >= {COSINE_TIGHT_THRESHOLD})
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_banded AS BIGINT) AS n_banded,
+           CAST(n_true AS BIGINT) AS n_true,
+           round(CAST(n_banded AS DOUBLE) / n_true, 4) AS recall,
+           round(CAST(n_cand AS DOUBLE)
+                 / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1) / 2), 6)
+               AS cand_density
+    FROM nv CROSS JOIN nc CROSS JOIN nb CROSS JOIN nt
+    """,
+    doc="The recall-AMPLIFIED operating point at theta=0.8 (VERDICT "
+    "r11 task 2): same report shape as "
+    "dedup_embedding_cosine_tight_recall — recall and candidate "
+    "density against exact all-pairs truth on the bounded 1-in-"
+    f"{COSINE_TIGHT_REPORT_MOD} sample — but candidates come from "
+    "HAMMING-TOLERANT band matching: a band matches when its two "
+    "16-bit keys agree within hamming 1, implemented as a probe-side "
+    "17-variant key expansion (the key itself + 16 one-bit flips) so "
+    "the match stays a pure EQUI-join on (band_id, variant_key) — no "
+    "similarity predicate in the join condition, no all-pairs.  This "
+    "turns SCALE.md §5b5's 'production accepts 0.8-0.99 recall or "
+    "pays for more' from a statement into a measured MENU: the base "
+    "16x16 table's (recall, density) point plus this amplified point "
+    "(expected ~0.90+ boundary recall at ~17x the candidate density), "
+    "both hash-gated cross-engine as data.  Amplification multiplies "
+    "only the PROBE-side posting rows (17x) — the persisted index is "
+    "byte-identical to the base geometry's, so a serving fleet can "
+    "pick its point per-query at zero re-index cost (the "
+    "multi-probe-LSH economics, Lv et al., VLDB'07).  At 100 TB the "
+    "probe expansion is a row-local flatMap inside the scan; the "
+    "verify stays candidates-only.",
+)
+def dedup_embedding_cosine_tight_amplified(spark, sf_dir):
+    with_norm = _tight_corpus(spark, sf_dir, COSINE_TIGHT_REPORT_MOD)
+    bands = _tight_band_rows(with_norm)
+    cand = _tight_cand_amplified(bands)
+    scored = _tight_verify(with_norm, cand)
+    nv = with_norm.agg(F.count(F.lit(1)).alias("n_vecs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nb = scored.where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n_banded")
+    )
+    ids_a = with_norm.select(F.col("vec_id").alias("vec_a"))
+    ids_b = with_norm.select(F.col("vec_id").alias("vec_b"))
+    all_pairs = ids_a.crossJoin(F.broadcast(ids_b)).where(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    nt = (
+        _tight_verify(with_norm, all_pairs)
+        .where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    out = nv.crossJoin(nc).crossJoin(nb).crossJoin(nt)
+    return out.select(
+        "n_vecs",
+        "n_cand",
+        "n_banded",
+        "n_true",
+        F.round(
+            F.col("n_banded").cast("double") / F.col("n_true"), 4
+        ).alias("recall"),
+        F.round(
+            F.col("n_cand").cast("double")
+            / (
+                F.col("n_vecs").cast("double")
+                * (F.col("n_vecs") - 1)
+                / 2
+            ),
+            6,
+        ).alias("cand_density"),
+    )
+
+
 @query(
     "dedup_levenshtein_verify",
     f"""
