@@ -2411,11 +2411,20 @@ def _exact_hash_index_base_path(spark, sf_dir) -> str:
 
 #: Audit facts of the last streaming_ingest_gate_live run.
 _GATE_LIVE_LAST_RUN: dict = {}
+#: Audit facts of the last streaming_ingest_gate_resume run (the
+#: kill-and-resume exactly-once proof), incl. the kill evidence.
+_GATE_RESUME_LAST_RUN: dict = {}
 
+from .pipeline_llm import (  # noqa: E402
+    _BENCH_MOD as _GL_BENCH_MOD,
+    _DUCK_SHINGLE5 as _GL_SHINGLE5,
+)
 
-@query(
-    "streaming_ingest_gate_live",
-    f"""
+#: ONE oracle for the fused live gate and its kill-and-resume twin:
+#: the batch composition of the shared signal definitions over the
+#: full corpus, restricted to ':ndlive' delta rows.  A resumed run
+#: must hash-equal the SAME truth as an uninterrupted one.
+_GATE_LIVE_SQL = f"""
     WITH {_NB_SCORED_CTES},
     {_SIMHASH_CTES.strip().rstrip()},
     nbands AS (
@@ -2432,6 +2441,11 @@ _GATE_LIVE_LAST_RUN: dict = {}
                      AND p.doc_id < a.doc_id
         WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
     ),
+    shing AS ({_GL_SHINGLE5}),
+    bsh AS (SELECT DISTINCT sh FROM shing
+            WHERE doc_id % {_GL_BENCH_MOD} = 0),
+    cflag AS (SELECT DISTINCT c.doc_id
+              FROM shing c JOIN bsh b USING (sh)),
     split AS (
         SELECT doc_id,
                substr(md5(CAST(doc_id AS VARCHAR) || '{_NDLIVE_TAG}'), 1, 2)
@@ -2443,49 +2457,43 @@ _GATE_LIVE_LAST_RUN: dict = {}
     j AS (
         SELECT d.doc_id, (x.first_id < d.doc_id) AS exact_dup,
                (f.doc_id IS NOT NULL) AS near_dup,
+               (cf.doc_id IS NOT NULL) AS contaminated,
                n.gopher_keep, n.nb_logit
         FROM documents d
         JOIN hmin x ON md5(d.text) = x.h
         JOIN nbs n ON n.doc_id = d.doc_id
         LEFT JOIN ndflag f ON f.doc_id = d.doc_id
+        LEFT JOIN cflag cf ON cf.doc_id = d.doc_id
         JOIN split s ON s.doc_id = d.doc_id
         WHERE NOT s.is_base
     )
-    SELECT doc_id, exact_dup, near_dup, gopher_keep, nb_logit,
-           (NOT exact_dup AND NOT near_dup AND gopher_keep
-            AND nb_logit > 0) AS keep
+    SELECT doc_id, exact_dup, near_dup, contaminated, gopher_keep,
+           nb_logit,
+           (NOT exact_dup AND NOT near_dup AND NOT contaminated
+            AND gopher_keep AND nb_logit > 0) AS keep
     FROM j
-    """,
-    doc="The composed LIVE admission gate with new-vs-new detection — "
-    "streaming_ingest_gate's r10 blind spot closed: that gate joins "
-    "only indexes built BEFORE the stream started, so two duplicate "
-    "documents both arriving after the build are both admitted.  "
-    "Here the ':ndlive' delta 20% is replayed multi-batch and "
-    "foreachBatch runs four stateless steps: (1) row-local Gopher "
-    "gate + served NB logit (the shared persisted-model artifacts, "
-    "unchanged); (2) batch content-hashes vs (base hash index + "
-    "prior batches' appends) — for every same-content pair this "
-    "flags max(doc_id, partner), so a LATER-arriving smaller id "
-    "retroactively flags the earlier larger one: the pair is visible "
-    "exactly when its second member arrives, making the flag set "
-    "ORDER-INDEPENDENT — a doc ends up flagged iff a smaller-id "
-    "same-content doc exists anywhere in base UNION delta, the "
-    "batch-oracle truth, regardless of batching; (3) an intra-batch "
-    "hash self-join for same-batch pairs; (4) append the batch's "
-    "(h, doc_id) entries so they serve later batches.  The near_dup "
-    "arm runs the streaming_dedup_neardup_live detection steps "
-    "FUSED into the SAME foreachBatch over the same arrivals — one "
-    "replay, one drain, both indexes (content hashes AND band "
-    "signatures) incrementally appended in one pass, the production "
-    "topology; detected pairs reduce to per-doc flags (each pair's "
-    "larger member).  keep = NOT exact_dup AND NOT near_dup AND "
-    "gopher_keep AND nb_logit > 0, hash-gated against the batch "
-    "composition over the full corpus restricted to delta rows.  At "
-    "100 TB: flags and appends are O(arrivals), self-joins bounded "
-    "batch x batch, no watermark or state store anywhere.  "
-    "Reference capability: none — north star (deployable gate).",
-)
-def streaming_ingest_gate_live(spark, sf_dir):
+    """
+
+
+def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
+    """Drain (or RESUME) the fused admission-gate topology rooted at
+    ``run_dir``: one foreachBatch pass per micro-batch computing all
+    FIVE admission signals — exact-dup (content-hash index + appends +
+    intra-batch self-join), near-dup (the shared
+    _neardup_batch_matches band detection), contamination (distinct
+    5-gram shingles vs the broadcast benchmark index — the
+    streaming_decontaminate_gate screen FUSED into the same pass, one
+    replay instead of two), the row-local Gopher gate, and the served
+    NB logit — then appending the batch's hashes and band signatures
+    for later batches.  Re-invoking on an EXISTING run_dir resumes
+    from its checkpoint: the delta files are not rewritten (the file
+    source tracks processed files by path) and committed epochs are
+    not re-executed.  ``kill_epoch`` injects a one-shot crash: the
+    first batch with epoch_id >= kill_epoch raises AFTER all its
+    side-effect writes but BEFORE its commit (the worst ordering —
+    orphaned epoch dirs a replay must both ignore via the
+    before_epoch guard and overwrite)."""
+    from .pipeline_llm import _shingle5_arrays
     from .text import (
         _gopher_keep_curate_col,
         _gopher_metrics,
@@ -2495,12 +2503,14 @@ def streaming_ingest_gate_live(spark, sf_dir):
     lam, pri = _nb_serving_model(spark, sf_dir)
     base_idx_path = _exact_hash_index_base_path(spark, sf_dir)
     nd_base_path = _neardup_base_index_path(spark, sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="ds_gatelive_")
+    bench_path = _bench_shingle_index_path(spark, sf_dir)
     app_path = os.path.join(run_dir, "appended")
     nd_app_path = os.path.join(run_dir, "nd_appended")
     adm_path = os.path.join(run_dir, "admission")
     flag_path = os.path.join(run_dir, "flags")
     nd_flag_path = os.path.join(run_dir, "nd_flags")
+    c_flag_path = os.path.join(run_dir, "c_flags")
+    kill_marker = os.path.join(run_dir, "_killed")
 
     def _gate(batch_df, epoch_id):
         sess = batch_df.sparkSession
@@ -2544,6 +2554,20 @@ def streaming_ingest_gate_live(spark, sf_dir):
             nd_flag_path,
             epoch_id,
         )
+        # (2c) contamination screen, FUSED (VERDICT r11 task 6): the
+        # batch's distinct 5-gram shingles vs the BROADCAST benchmark
+        # index — eval-suite-sized, constant as the corpus grows, so
+        # the broadcast is always legal.  Bench-member docs arriving
+        # in the firehose self-hit and flag, the right admission
+        # decision (never train on the eval suite).
+        c_hits = (
+            _shingle5_arrays(hashed)
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(sess.read.parquet(bench_path)), "sh")
+            .select("doc_id")
+            .distinct()
+        )
+        _epoch_write(c_hits, c_flag_path, epoch_id)
         # (1) row-local admission signals for this batch's docs (the
         # shared Gopher + served-NB definitions of the batch gate).
         m = _gopher_metrics(batch_df, keep_words=True, extra_cols=("text",))
@@ -2569,64 +2593,171 @@ def streaming_ingest_gate_live(spark, sf_dir):
             epoch_id,
         )
         _epoch_write(bands, nd_app_path, epoch_id)
+        # injected one-shot crash AFTER every side-effect write and
+        # BEFORE the commit — the kill-and-resume proof's worst case.
+        if (
+            kill_epoch is not None
+            and int(epoch_id) >= int(kill_epoch)
+            and not os.path.exists(kill_marker)
+        ):
+            with open(kill_marker, "w") as fh:
+                fh.write(f"killed at epoch {int(epoch_id)}")
+            raise RuntimeError("injected mid-stream kill")
 
+    resume = os.path.isdir(os.path.join(run_dir, "delta"))
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
-    stream = _delta_replay_stream(spark, run_dir, delta)
+    stream = _delta_replay_stream(
+        spark, run_dir, delta, rewrite=not resume
+    )
     q = (
         stream.writeStream.foreachBatch(_gate)
         .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    _await_and_audit(q, _GATE_LIVE_LAST_RUN, app_path)
+    _await_and_audit(q, audit, app_path)
+
+
+def _gate_live_assemble(spark, run_dir):
+    """Fold a drained gate run's epoch dirs into the admission record
+    (one row per screened delta doc, five signals + keep), cut off the
+    run files (localCheckpoint), and delete run_dir."""
     import shutil as _shutil
 
-    adm = _epoch_read(spark, adm_path)
+    adm = _epoch_read(spark, os.path.join(run_dir, "admission"))
     if adm is None:
         _shutil.rmtree(run_dir, ignore_errors=True)
         return spark.createDataFrame(
             [],
             "doc_id long, exact_dup boolean, near_dup boolean, "
-            "gopher_keep boolean, nb_logit double, keep boolean",
+            "contaminated boolean, gopher_keep boolean, "
+            "nb_logit double, keep boolean",
         )
-    flags = _epoch_read(spark, flag_path)
-    if flags is not None:
-        adm = adm.join(
-            flags.distinct().withColumn("flagged", F.lit(True)),
-            "doc_id",
-            "left",
-        )
-    else:
-        adm = adm.withColumn("flagged", F.lit(None).cast("boolean"))
-    # near_dup: a doc is flagged iff a smaller-id neighbor at
-    # hamming <= NEARDUP_MAX_HAMMING exists anywhere in base UNION
-    # delta — the fused in-stream detection's flag rows, distinct'd.
-    nd_flags = _epoch_read(spark, nd_flag_path)
-    if nd_flags is not None:
-        adm = adm.join(
-            nd_flags.distinct().withColumn("nd_flagged", F.lit(True)),
-            "doc_id",
-            "left",
-        )
-    else:
-        adm = adm.withColumn("nd_flagged", F.lit(None).cast("boolean"))
+
+    def _flag(df, sub, col):
+        flags = _epoch_read(spark, os.path.join(run_dir, sub))
+        if flags is not None:
+            return df.join(
+                flags.distinct().withColumn(col, F.lit(True)),
+                "doc_id",
+                "left",
+            )
+        return df.withColumn(col, F.lit(None).cast("boolean"))
+
+    adm = _flag(adm, "flags", "flagged")
+    adm = _flag(adm, "nd_flags", "nd_flagged")
+    adm = _flag(adm, "c_flags", "c_flagged")
     exact_dup = F.coalesce("flagged", F.lit(False))
     near_dup = F.coalesce("nd_flagged", F.lit(False))
+    contaminated = F.coalesce("c_flagged", F.lit(False))
     out = adm.select(
         "doc_id",
         exact_dup.alias("exact_dup"),
         near_dup.alias("near_dup"),
+        contaminated.alias("contaminated"),
         "gopher_keep",
         "nb_logit",
         (
             ~exact_dup
             & ~near_dup
+            & ~contaminated
             & F.col("gopher_keep")
             & (F.col("nb_logit") > 0)
         ).alias("keep"),
     ).localCheckpoint(eager=True)
     _shutil.rmtree(run_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "streaming_ingest_gate_live",
+    _GATE_LIVE_SQL,
+    doc="The composed LIVE admission gate with new-vs-new detection "
+    "AND fused decontamination — the full five-signal production "
+    "admission pass in ONE replay (VERDICT r11 task 6 folded into "
+    "the r10-task-3 gate): the ':ndlive' delta 20% is replayed "
+    "multi-batch and foreachBatch runs stateless steps: (1) row-local "
+    "Gopher gate + served NB logit (the shared persisted-model "
+    "artifacts); (2) batch content-hashes vs (base hash index + prior "
+    "batches' appends) — for every same-content pair this flags "
+    "max(doc_id, partner), so a LATER-arriving smaller id "
+    "retroactively flags the earlier larger one: the flag set is "
+    "ORDER-INDEPENDENT, a doc ends up flagged iff a smaller-id "
+    "same-content doc exists anywhere in base UNION delta, the "
+    "batch-oracle truth, regardless of batching; (3) an intra-batch "
+    "hash self-join for same-batch pairs; (2b/3b) the "
+    "streaming_dedup_neardup_live band detection FUSED over the same "
+    "arrivals, reduced to per-doc flags; (2c) the decontamination "
+    "screen FUSED: distinct 5-gram shingles vs the BROADCAST "
+    "benchmark shingle index (eval-suite-sized, constant as the "
+    "corpus grows — the broadcast is always legal), a 'contaminated' "
+    "rung in the admission ladder; (4) append the batch's (h, doc_id) "
+    "and band-signature entries so they serve later batches.  keep = "
+    "NOT exact_dup AND NOT near_dup AND NOT contaminated AND "
+    "gopher_keep AND nb_logit > 0, hash-gated against the batch "
+    "composition over the full corpus restricted to delta rows.  At "
+    "100 TB: flags and appends are O(arrivals), self-joins bounded "
+    "batch x batch, the shingle check is scan throughput, no "
+    "watermark or state store anywhere.  Reference capability: none "
+    "— north star (deployable gate).",
+)
+def streaming_ingest_gate_live(spark, sf_dir):
+    run_dir = tempfile.mkdtemp(prefix="ds_gatelive_")
+    _gate_live_drain(spark, sf_dir, run_dir, _GATE_LIVE_LAST_RUN)
+    return _gate_live_assemble(spark, run_dir)
+
+
+@query(
+    "streaming_ingest_gate_resume",
+    _GATE_LIVE_SQL,
+    doc="KILL-AND-RESUME exactly-once for the live gate family "
+    "(VERDICT r11 task 3): the SAME fused five-signal topology as "
+    "streaming_ingest_gate_live, but the run is crashed MID-STREAM "
+    "and restarted from its checkpoint before grading.  The injected "
+    "crash takes the worst ordering: the victim batch completes "
+    "EVERY side-effect write (admission rows, all three flag sets, "
+    "both index appends) and dies before its commit — leaving "
+    "orphaned epoch dirs that the replayed batch must both IGNORE "
+    "while detecting (_epoch_read's before_epoch guard: a batch "
+    "never joins its own failed attempt's partial appends) and "
+    "OVERWRITE when re-emitting (per-epoch OVERWRITE subdirs).  The "
+    "restart reuses the SAME checkpoint and delta files (a rewrite "
+    "would change part-file paths and replay everything — the "
+    "file-source log tracks files by path), so committed epochs are "
+    "not re-executed and the victim epoch re-runs with its original "
+    "epoch_id.  The drained admission record must hash-equal the "
+    "batch truth — the SAME oracle as the uninterrupted gate, which "
+    "is the exactly-once statement: a mid-stream crash is "
+    "observationally invisible in the delivered data.  This is the "
+    "log engine's test_ingest_exactly_once_replay discipline applied "
+    "to the gate family, graded end-to-end.",
+)
+def streaming_ingest_gate_resume(spark, sf_dir):
+    run_dir = tempfile.mkdtemp(prefix="ds_gateresume_")
+    kill_marker = os.path.join(run_dir, "_killed")
+    try:
+        _gate_live_drain(
+            spark, sf_dir, run_dir, _GATE_RESUME_LAST_RUN, kill_epoch=2
+        )
+        raise AssertionError(
+            "injected kill did not fire — the resume proof is vacuous"
+        )
+    except AssertionError:
+        raise
+    except Exception as ex:  # the injected StreamingQueryException
+        if "injected mid-stream kill" not in str(ex):
+            raise
+    assert os.path.exists(kill_marker), "kill marker missing"
+    first = dict(_GATE_RESUME_LAST_RUN)
+    # restart from the same checkpoint + epoch dirs and drain fully
+    _gate_live_drain(spark, sf_dir, run_dir, _GATE_RESUME_LAST_RUN)
+    _GATE_RESUME_LAST_RUN.update(
+        {
+            "killed": True,
+            "first_run_batches": first.get("n_batches"),
+        }
+    )
+    return _gate_live_assemble(spark, run_dir)
 
 
 from .pipeline_llm import (  # noqa: E402
@@ -2775,11 +2906,54 @@ def _neardup_flag_index(spark, sf_dir):
     return spark.read.parquet(idx_p)
 
 
+def _contamination_flag_index(spark, sf_dir):
+    """Persisted per-doc CONTAMINATION flag index: doc_ids with at
+    least one distinct 5-gram shingle in the benchmark suite
+    (including bench-member docs themselves, which self-hit — the
+    right admission verdict).  Derived from the persisted bench
+    shingle index so the eval suite is tokenized once; serving shape
+    is a 1:1 stream-static LEFT join key (the _neardup_flag_index
+    protocol — the report's stream side never sees shingle fan-out)."""
+    import shutil as _shutil
+
+    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+    root = os.path.join(
+        "/tmp/durablestreams_contamflag_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "flags.parquet")
+    params = f"shingle5:flag:bench%{_BENCH_MOD}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        bench = spark.read.parquet(
+            _bench_shingle_index_path(spark, sf_dir)
+        )
+        (
+            _shingle5_arrays(table(spark, sf_dir, "documents"))
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(bench), "sh")
+            .select("doc_id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return spark.read.parquet(idx_p)
+
+
 @query(
     "streaming_ingest_report",
     f"""
     WITH {_NB_SCORED_CTES},
     {_SIMHASH_CTES.strip()},
+    rshing AS ({_GL_SHINGLE5}),
+    rbsh AS (SELECT DISTINCT sh FROM rshing
+             WHERE doc_id % {_GL_BENCH_MOD} = 0),
+    rcflag AS (SELECT DISTINCT c.doc_id
+               FROM rshing c JOIN rbsh b USING (sh)),
     rbands AS (
         SELECT doc_id, simhash, b.b AS band_id,
                (simhash // (1::BIGINT << ({_ND_BITS} * b.b)))
@@ -2800,11 +2974,13 @@ def _neardup_flag_index(spark, sf_dir):
         SELECT d.source,
                (x.first_id < d.doc_id) AS exact_dup,
                (f.doc_id IS NOT NULL) AS near_dup,
+               (cf.doc_id IS NOT NULL) AS contaminated,
                n.gopher_keep, n.nb_logit
         FROM documents d
         JOIN hx x ON md5(d.text) = x.h
         JOIN nbs n ON n.doc_id = d.doc_id
         LEFT JOIN rflag f ON f.doc_id = d.doc_id
+        LEFT JOIN rcflag cf ON cf.doc_id = d.doc_id
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -2813,28 +2989,36 @@ def _neardup_flag_index(spark, sf_dir):
            CAST(sum(CASE WHEN NOT exact_dup AND near_dup
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
-                              AND NOT gopher_keep
+                              AND contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT contaminated AND NOT gopher_keep
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT contaminated
                               AND gopher_keep AND nb_logit <= 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_fail,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT contaminated
                               AND gopher_keep AND nb_logit > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
     FROM j
     GROUP BY source
     """,
     doc="The ingest gate's end-to-end ECONOMICS dashboard (VERDICT "
-    "r10 task 6) — per (source, rejection reason) admission "
-    "accounting, the table a pipeline owner actually watches: each "
-    "arriving document is annotated with the gate's four signals — "
-    "exact-dup (1:1 join vs the persisted content-hash index), "
-    "near-dup (1:1 LEFT join vs the persisted per-doc FLAG index, "
-    "which pre-collapses the band join's pair fan-out so the stream "
-    "side never aggregates), the row-local Gopher gate, and the "
-    "served NB logit — then attributed to its FIRST failing reason "
-    "in gate order (exact > near > gopher > NB > admitted), so each "
-    "source's reason counts partition its n_docs exactly.  The "
+    "r10 task 6; r11 task 6 added the contamination rung) — per "
+    "(source, rejection reason) admission accounting, the table a "
+    "pipeline owner actually watches: each arriving document is "
+    "annotated with the gate's five signals — exact-dup (1:1 join vs "
+    "the persisted content-hash index), near-dup (1:1 LEFT join vs "
+    "the persisted per-doc FLAG index, which pre-collapses the band "
+    "join's pair fan-out so the stream side never aggregates), "
+    "contamination (1:1 LEFT join vs the persisted per-doc "
+    "bench-shingle-hit flag index, same pre-collapse protocol), the "
+    "row-local Gopher gate, and the served NB logit — then "
+    "attributed to its FIRST failing reason in gate order (exact > "
+    "near > contaminated > gopher > NB > admitted), so each source's "
+    "reason counts partition its n_docs exactly.  The "
     "rollup is a complete-mode aggregation with O(#sources) state — "
     "the streaming_quality_monitor contract, bounded forever at any "
     "ingest rate; every signal is a stateless row-local expression "
@@ -2853,6 +3037,9 @@ def streaming_ingest_report(spark, sf_dir):
     hx = _exact_hash_index(spark, sf_dir)
     ndf = _neardup_flag_index(spark, sf_dir).withColumn(
         "nd", F.lit(True)
+    )
+    cfl = _contamination_flag_index(spark, sf_dir).withColumn(
+        "cont", F.lit(True)
     )
     src = _docs_stream_spread(spark, sf_dir)
     m = _gopher_metrics(
@@ -2875,15 +3062,18 @@ def streaming_ingest_report(spark, sf_dir):
     flagged = (
         scored.join(hx, "h")
         .join(ndf, "doc_id", "left")
+        .join(cfl, "doc_id", "left")
         .select(
             "source",
             (F.col("first_id") < F.col("doc_id")).alias("exact_dup"),
             F.coalesce("nd", F.lit(False)).alias("near_dup"),
+            F.coalesce("cont", F.lit(False)).alias("contaminated"),
             "gopher_keep",
             "nb_logit",
         )
     )
     e, nd = F.col("exact_dup"), F.col("near_dup")
+    c = F.col("contaminated")
     g, l = F.col("gopher_keep"), F.col("nb_logit")
 
     def cnt(cond):
@@ -2893,9 +3083,10 @@ def streaming_ingest_report(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         cnt(e).alias("n_exact_dup"),
         cnt(~e & nd).alias("n_near_dup"),
-        cnt(~e & ~nd & ~g).alias("n_gopher_fail"),
-        cnt(~e & ~nd & g & (l <= 0)).alias("n_nb_fail"),
-        cnt(~e & ~nd & g & (l > 0)).alias("n_admitted"),
+        cnt(~e & ~nd & c).alias("n_contaminated"),
+        cnt(~e & ~nd & ~c & ~g).alias("n_gopher_fail"),
+        cnt(~e & ~nd & ~c & g & (l <= 0)).alias("n_nb_fail"),
+        cnt(~e & ~nd & ~c & g & (l > 0)).alias("n_admitted"),
     )
     return _drain(agg, "complete")
 

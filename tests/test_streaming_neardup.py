@@ -311,10 +311,14 @@ def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
     assert audit["state_operators"] == [], audit
     assert len(audit["appended_files"]) >= audit["n_batches"]
     assert any(r["near_dup"] for r in out), "no near-dup flag at sf0.001"
+    assert any(r["contaminated"] for r in out), (
+        "no contamination flag at sf0.001 — the fused screen is vacuous"
+    )
     for r in out:
         assert r["keep"] == (
             (not r["exact_dup"])
             and (not r["near_dup"])
+            and (not r["contaminated"])
             and r["gopher_keep"]
             and r["nb_logit"] > 0
         )
@@ -397,6 +401,7 @@ def test_ingest_report_reasons_partition_and_state_is_bounded(spark):
         assert (
             r["n_exact_dup"]
             + r["n_near_dup"]
+            + r["n_contaminated"]
             + r["n_gopher_fail"]
             + r["n_nb_fail"]
             + r["n_admitted"]
@@ -482,3 +487,28 @@ def test_emblive_run_is_multi_batch_stateless_and_covers_both_paths(spark):
     ), "no delta-vs-base pair in the graded fixture run"
     # every emitted pair clears the production threshold
     assert all(r["cos"] >= COSINE_TIGHT_THRESHOLD - 1e-4 for r in rows)
+
+
+def test_gate_resume_kill_fires_and_result_matches_uninterrupted(spark):
+    """streaming_ingest_gate_resume: the injected crash genuinely
+    fired mid-stream (the first attempt committed fewer batches than
+    the stream holds), the restart drained the remainder from the
+    SAME checkpoint, and the assembled admission record is row-for-row
+    identical to an uninterrupted streaming_ingest_gate_live run —
+    exactly-once made observable."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    resumed = {
+        r["doc_id"]: tuple(r)
+        for r in sq.streaming_ingest_gate_resume(spark, SF_DIR).collect()
+    }
+    audit = sq._GATE_RESUME_LAST_RUN
+    assert audit.get("killed") is True
+    # the resumed drain processed at least the victim batch
+    assert audit["n_batches"] >= 1, audit
+    assert audit["state_operators"] == [], audit
+    clean = {
+        r["doc_id"]: tuple(r)
+        for r in sq.streaming_ingest_gate_live(spark, SF_DIR).collect()
+    }
+    assert resumed == clean, "crash was observable in the delivered data"
