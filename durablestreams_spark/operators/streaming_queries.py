@@ -1691,9 +1691,46 @@ def refresh_neardup_index(
       version directory is retained (readers mid-scan keep their
       files); versions older than that are garbage-collected.
     Returns the refreshed index DataFrame, or None on a lost race."""
-    import shutil as _shutil
-
     from .dedup import band_structs_expr, simhash_expr
+
+    def _refresh(cur):
+        kept = cur.join(removed_ids, "doc_id", "left_anti")
+        delta_b = (
+            delta_docs.select("doc_id", "text")
+            .join(removed_ids, "doc_id", "left_anti")
+            .where(
+                F.expr(
+                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
+                )
+            )
+            .select("doc_id", simhash_expr().alias("simhash"))
+            .select(
+                "doc_id",
+                "simhash",
+                F.explode(band_structs_expr()).alias("bk"),
+            )
+            .select("bk.band_id", "bk.band_key", "doc_id", "simhash")
+        )
+        return kept.select(
+            "band_id", "band_key", "doc_id", "simhash"
+        ).unionByName(delta_b)
+
+    return _guarded_index_swap(spark, idx_path, _refresh, guard_marker)
+
+
+def _guarded_index_swap(spark, idx_path: str, refresh_fn, guard_marker):
+    """The ONE guarded-swap skeleton every refreshable serving artifact
+    goes through (factored out of refresh_neardup_index for VERDICT
+    r11 task 4): O_EXCL lockfile (a second refresher returns None — no
+    clobber window), one-time plain-dir -> symlink-versioned layout
+    migration, ``refresh_fn(current_index_df) -> refreshed_df``
+    computed and written to a NEW version directory, guard-marker
+    content re-checked AFTER the write (a racer that advanced the
+    epoch mid-compute aborts this refresh loudly, debris removed),
+    POSIX-atomic symlink repoint, retention-1 GC of older versions.
+    Returns the refreshed DataFrame read back from the swapped path,
+    or None on a lost race."""
+    import shutil as _shutil
 
     lock = idx_path + ".lock"
     try:
@@ -1715,28 +1752,7 @@ def refresh_neardup_index(
             tmp = idx_path + ".swp-genesis"
             os.symlink(v0, tmp)
             os.rename(tmp, idx_path)
-        kept = spark.read.parquet(idx_path).join(
-            removed_ids, "doc_id", "left_anti"
-        )
-        delta_b = (
-            delta_docs.select("doc_id", "text")
-            .join(removed_ids, "doc_id", "left_anti")
-            .where(
-                F.expr(
-                    "size(filter(split(text, '\\\\s+'), t -> t != '')) > 0"
-                )
-            )
-            .select("doc_id", simhash_expr().alias("simhash"))
-            .select(
-                "doc_id",
-                "simhash",
-                F.explode(band_structs_expr()).alias("bk"),
-            )
-            .select("bk.band_id", "bk.band_key", "doc_id", "simhash")
-        )
-        refreshed = kept.select(
-            "band_id", "band_key", "doc_id", "simhash"
-        ).unionByName(delta_b)
+        refreshed = refresh_fn(spark.read.parquet(idx_path))
         prev_target = os.path.realpath(idx_path)
         nxt = idx_path + f".v-{uuid.uuid4().hex[:8]}"
         refreshed.write.parquet(nxt)
@@ -1768,6 +1784,43 @@ def refresh_neardup_index(
             os.remove(lock)
         except OSError:
             pass
+
+
+def refresh_exact_index(
+    spark,
+    idx_path: str,
+    delta_docs,
+    removed_ids,
+    guard_marker: str | None = None,
+):
+    """Incremental refresh of the exact-dedup index (the
+    refresh_neardup_index contract applied to content hashes, VERDICT
+    r11 task 4) — with the FIRST-ID RE-ELECTION subtlety: the serving
+    shape is (h -> first_id = min doc_id), but a (h, first_id) table
+    cannot express 'the min was deleted, promote the next-smallest
+    survivor' without re-reading the corpus.  So the REFRESHABLE
+    artifact is the full POSTING list (h, doc_id) — the same layout
+    the band index already uses — and first_id is derived at
+    serve/read time by a min-per-group over the postings; deletion of
+    a group's leader then re-elects automatically from the surviving
+    rows.  Refresh = tombstone removed_ids out of the postings
+    (left-anti) + append the delta's (md5(text), doc_id) rows, at
+    O(|delta| + |index rows|); corpus text never re-read.  Same
+    guarded atomic swap.  Returns the refreshed posting DataFrame or
+    None on a lost race."""
+
+    def _refresh(cur):
+        kept = cur.select("h", "doc_id").join(
+            removed_ids, "doc_id", "left_anti"
+        )
+        delta_rows = (
+            delta_docs.select("doc_id", "text")
+            .join(removed_ids, "doc_id", "left_anti")
+            .select(F.md5("text").alias("h"), "doc_id")
+        )
+        return kept.unionByName(delta_rows)
+
+    return _guarded_index_swap(spark, idx_path, _refresh, guard_marker)
 
 
 #: Deterministic "deleted docs" subset for the graded refresh run —
@@ -1849,6 +1902,117 @@ def dedup_neardup_index_refresh(spark, sf_dir):
         F.col("band_key").cast("long").alias("band_key"),
         "doc_id",
         "simhash",
+    )
+
+
+#: Exact-refresh derived corpus: every doc_id % COPY_MOD == 0 doc gets
+#: an identical-text copy at +COPY_OFFSET, planting multi-member exact
+#: content groups (the driver fixture has NONE at sf <= 0.01, so
+#: re-election would otherwise be vacuous).  Removal hits doc_id %
+#: REMOVE_MOD == 0 — every removed doc is its group's MIN (originals
+#: sort below copies) with a surviving copy (COPY_OFFSET % 10 = 6, so
+#: copies never match the removal predicate): every tombstone forces a
+#: first_id re-election.
+EXACT_REFRESH_COPY_MOD = 5
+EXACT_REFRESH_REMOVE_MOD = 10
+EXACT_REFRESH_COPY_OFFSET = 1 << 40
+
+
+def _exact_refresh_derived(spark, sf_dir):
+    """(doc_id, text) of the derived exact-refresh corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(
+        F.col("doc_id") % EXACT_REFRESH_COPY_MOD == 0
+    ).select(
+        (F.col("doc_id") + F.lit(EXACT_REFRESH_COPY_OFFSET)).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    return docs.unionByName(copies)
+
+
+@query(
+    "dedup_exact_index_refresh",
+    f"""
+    WITH derived AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + ({EXACT_REFRESH_COPY_OFFSET}::BIGINT) AS doc_id,
+               text
+        FROM documents WHERE doc_id % {EXACT_REFRESH_COPY_MOD} = 0
+    ),
+    live AS (
+        SELECT * FROM derived
+        WHERE doc_id % {EXACT_REFRESH_REMOVE_MOD} <> 0
+    )
+    SELECT md5(text) AS h, min(doc_id) AS first_id
+    FROM live GROUP BY 1
+    """,
+    doc="Exact-dedup index MAINTENANCE lifecycle with FIRST-ID "
+    "RE-ELECTION, graded end-to-end (VERDICT r11 task 4): the serving "
+    "view is (content md5 -> first_id = min doc_id), but a min-only "
+    "table cannot express 'the leader was deleted, promote the "
+    "next-smallest survivor' without re-reading the corpus — so the "
+    "refreshable artifact is the full POSTING list (h, doc_id), the "
+    "band index's layout, and first_id derives at read time.  The "
+    "graded run: plant an identical-text copy at +2^40 for every "
+    f"doc_id % {EXACT_REFRESH_COPY_MOD} == 0 doc (multi-member exact "
+    "groups — the fixture has none), build the ':ndlive' base-split "
+    "posting index, then ONE guarded-swap refresh appending the delta "
+    f"split and tombstoning doc_id % {EXACT_REFRESH_REMOVE_MOD} == 0 "
+    "— every removed doc is its group's MIN with a surviving copy, so "
+    "EVERY tombstone forces a re-election a naive (h, first_id) "
+    "append could not express.  Graded rows are the min-per-group "
+    "over the swapped artifact's files and must hash-equal a full "
+    "rebuild over (derived corpus minus removed).  O(|delta| + "
+    "|index|): corpus text never re-read (pinned by the "
+    "delete-the-corpus test), postings bucketBy(h) at rest at 100 TB "
+    "so tombstone anti-join and serve-time min are exchange-free.",
+)
+def dedup_exact_index_refresh(spark, sf_dir):
+    import shutil as _shutil
+
+    root = os.path.join(
+        "/tmp/durablestreams_exrefresh_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "postings.parquet")
+    params = (
+        f"md5:postings:copy{EXACT_REFRESH_COPY_MOD}"
+        f"@{EXACT_REFRESH_COPY_OFFSET}:rm{EXACT_REFRESH_REMOVE_MOD}"
+        f":base<{_NDLIVE_CUT}{_NDLIVE_TAG}:v1"
+    )
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        derived = _exact_refresh_derived(spark, sf_dir)
+        # Seed the symlink-versioned layout with the base split's
+        # posting rows plus a REAL guard epoch file (the
+        # dedup_neardup_index_refresh discipline).
+        base = derived.where(_ndlive_base_pred())
+        v0 = idx_p + ".v-genesis"
+        base.select(F.md5("text").alias("h"), "doc_id").write.parquet(v0)
+        os.symlink(v0, idx_p)
+        guard = os.path.join(root, "_guard")
+        with open(guard, "w") as fh:
+            fh.write(f"epoch-0:{params}")
+        delta = derived.where(~_ndlive_base_pred()).select(
+            "doc_id", "text"
+        )
+        removed = derived.where(
+            F.col("doc_id") % EXACT_REFRESH_REMOVE_MOD == 0
+        ).select("doc_id")
+        out = refresh_exact_index(
+            spark, idx_p, delta, removed, guard_marker=guard
+        )
+        assert out is not None  # no concurrent refresher in a graded run
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return (
+        spark.read.parquet(idx_p)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_id"))
     )
 
 

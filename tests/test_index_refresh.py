@@ -270,3 +270,83 @@ def test_oracle_corpus_substitution_is_exact():
 
     assert _SIMHASH_CTES.count("FROM documents") == 1
     assert _PACK_CTES.count("FROM documents") == 1
+
+
+def test_exact_refresh_reelects_first_id_and_matches_rebuild(spark):
+    """dedup_exact_index_refresh on the fixture: every planted removal
+    deletes a group LEADER, so the graded output must contain
+    re-elected first_ids (the +2^40 copies) — the case a naive
+    (h, first_id) append cannot express — and equal the full rebuild
+    over (derived minus removed) computed independently here."""
+    from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators.streaming_queries import (
+        EXACT_REFRESH_COPY_OFFSET,
+        EXACT_REFRESH_REMOVE_MOD,
+        _exact_refresh_derived,
+    )
+
+    got = {
+        r["h"]: r["first_id"]
+        for r in all_queries()["dedup_exact_index_refresh"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(got) > 0
+    reelected = [v for v in got.values() if v >= EXACT_REFRESH_COPY_OFFSET]
+    assert len(reelected) > 0, "no re-elected leader — the proof is vacuous"
+
+    want = {
+        r["h"]: r["first_id"]
+        for r in _exact_refresh_derived(spark, "/root/testdata/sf0.001")
+        .where(F.col("doc_id") % EXACT_REFRESH_REMOVE_MOD != 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("first_id"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_exact_refresh_never_rereads_the_corpus_text(spark, tmp_path):
+    """refresh_exact_index O(delta) pinned structurally: build base
+    postings, DELETE the corpus parquet, refresh from a delta file —
+    and verify tombstone + append + re-election on the postings."""
+    from durablestreams_spark.operators.streaming_queries import (
+        refresh_exact_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    dup_text = "shared duplicate content words here"
+    rows = [(i, f"base document {i} unique words") for i in base_ids[:8]]
+    rows += [(base_ids[8], dup_text), (base_ids[9], dup_text)]
+    _write_docs(corpus, rows)
+    docs = spark.read.parquet(str(corpus)).select("doc_id", "text")
+    idx_p = str(tmp_path / "postings.parquet")
+    docs.selectExpr("md5(text) AS h", "doc_id").write.parquet(idx_p)
+    os.remove(corpus)  # the refresh must survive the corpus vanishing
+
+    delta_file = tmp_path / "delta.parquet"
+    _write_docs(
+        delta_file,
+        [(i, f"new arrival {i} fresh words") for i in delta_ids[:4]],
+    )
+    delta = spark.read.parquet(str(delta_file)).select("doc_id", "text")
+    # remove the dup group's LEADER: min(base_ids[8], base_ids[9])
+    leader = min(base_ids[8], base_ids[9])
+    survivor = max(base_ids[8], base_ids[9])
+    removed = spark.createDataFrame([(leader,)], "doc_id long")
+
+    out = refresh_exact_index(spark, idx_p, delta, removed)
+    assert out is not None
+    first = {
+        r["h"]: r["first_id"]
+        for r in out.groupBy("h")
+        .agg(F.min("doc_id").alias("first_id"))
+        .collect()
+    }
+    import hashlib
+
+    dup_h = hashlib.md5(dup_text.encode()).hexdigest()
+    assert first[dup_h] == survivor, "leadership not re-elected"
+    ids = {r["doc_id"] for r in out.collect()}
+    assert leader not in ids and set(delta_ids[:4]) <= ids
