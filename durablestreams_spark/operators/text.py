@@ -1490,6 +1490,61 @@ def _nb_feats_array(wrds_col):
     return F.concat(wrds_col, bigrams)
 
 
+def _nb_feature_stream(docs):
+    """(doc_id, pos, bkt) labeled hashed-feature stream over ``docs``
+    — the ONE tokenize+label+hash definition feeding training counts,
+    batch scoring, and the count-refresh lifecycle."""
+    m = _gopher_metrics(docs, keep_words=True)
+    lbl = m.select("doc_id", "wrds", _gopher_keep_curate_col().alias("pos"))
+    f = lbl.select(
+        "doc_id",
+        "pos",
+        F.explode(_nb_feats_array(F.col("wrds"))).alias("tok"),
+    ).select("doc_id", "pos", _nb_bucket(F.col("tok")).alias("bkt"))
+    return lbl, f
+
+
+def _nb_counts(docs):
+    """The ADDITIVE sufficient statistics of the NB model over
+    ``docs``: per-bucket (pc, nc) feature-class counts plus one
+    sentinel row bkt = -1 holding the (pos, neg) DOC counts the prior
+    derives from.  Counts over doc-disjoint corpus splits sum to the
+    counts over the union — exact integers — which is what makes the
+    model REFRESHABLE: merge a delta's count table into the persisted
+    one and the derived (lam, prior) are bit-identical to a full
+    retrain (refresh_nb_model)."""
+    lbl, f = _nb_feature_stream(docs)
+    c = f.groupBy("bkt").agg(
+        F.sum(F.col("pos").cast("long")).alias("pc"),
+        F.sum((~F.col("pos")).cast("long")).alias("nc"),
+    )
+    docrow = lbl.agg(
+        F.sum(F.col("pos").cast("long")).alias("pc"),
+        F.sum((~F.col("pos")).cast("long")).alias("nc"),
+    ).select(F.lit(-1).cast("long").alias("bkt"), "pc", "nc")
+    return c.select(F.col("bkt").cast("long").alias("bkt"), "pc", "nc")\
+        .unionByName(docrow)
+
+
+def _nb_model_from_counts(counts):
+    """(llr DF, prior DF) derived from a sufficient-statistics table —
+    the same smoothed formulas as _nb_training, so a merged count
+    table yields a bit-identical model (log over identical integers)."""
+    c = counts.where(F.col("bkt") >= 0)
+    t = c.agg(F.sum("pc").alias("pn"), F.sum("nc").alias("nn"))
+    llr = c.crossJoin(F.broadcast(t)).select(
+        "bkt",
+        (
+            F.log((F.col("pc") + 1.0) / (F.col("pn") + NB_BUCKETS))
+            - F.log((F.col("nc") + 1.0) / (F.col("nn") + NB_BUCKETS))
+        ).alias("lam"),
+    )
+    prior = counts.where(F.col("bkt") == -1).select(
+        F.log((F.col("pc") + 1.0) / (F.col("nc") + 1.0)).alias("pri")
+    )
+    return llr, prior
+
+
 def _nb_training(spark, sf_dir):
     """Closed-form NB training over the Gopher seed labels: returns
     (f, llr, prior) — the labeled per-feature bucket stream, the
@@ -1501,13 +1556,7 @@ def _nb_training(spark, sf_dir):
     # scoring pass) and the explode is the whole cost — same guard as
     # _dsir_scored; no-op at scale (files >= cores).
     docs = spread(table(spark, sf_dir, "documents"))
-    m = _gopher_metrics(docs, keep_words=True)
-    lbl = m.select("doc_id", "wrds", _gopher_keep_curate_col().alias("pos"))
-    f = lbl.select(
-        "doc_id",
-        "pos",
-        F.explode(_nb_feats_array(F.col("wrds"))).alias("tok"),
-    ).select("doc_id", "pos", _nb_bucket(F.col("tok")).alias("bkt"))
+    lbl, f = _nb_feature_stream(docs)
     c = f.groupBy("bkt").agg(
         F.sum(F.col("pos").cast("long")).alias("pc"),
         F.sum((~F.col("pos")).cast("long")).alias("nc"),
@@ -1568,10 +1617,16 @@ def _nb_training(spark, sf_dir):
 )
 def text_quality_classifier_nb(spark, sf_dir):
     f, llr, prior = _nb_training(spark, sf_dir)
-    # Exact decimal sum of the per-bucket llr terms — see the
-    # _NB_SCORED_CTES note: double summation order flips round(.,4)
-    # at scale; the decimal sum is order-independent and bit-equal
-    # across engines and runs (SCALE.md money-aggregate policy).
+    return _nb_score(f, llr, prior)
+
+
+def _nb_score(f, llr, prior):
+    """Score a labeled feature stream under a (llr, prior) model —
+    shared by the trained-once classifier and the refreshed-model
+    re-grade.  Exact decimal sum of the per-bucket llr terms — see
+    the _NB_SCORED_CTES note: double summation order flips round(.,4)
+    at scale; the decimal sum is order-independent and bit-equal
+    across engines and runs (SCALE.md money-aggregate policy)."""
     dec = "decimal(38,18)"
     logit = F.round(
         F.max(F.col("pri").cast(dec)) + F.sum(F.col("lam").cast(dec)), 4
@@ -1601,9 +1656,11 @@ def text_quality_classifier_nb(spark, sf_dir):
 CALIB_THRESHOLDS = (-4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0)
 
 
-@query(
-    "text_classifier_calibration",
-    f"""
+#: The full calibration oracle — shared VERBATIM by the trained-once
+#: calibration query and the refreshed-model re-grade
+#: (text_nb_model_refresh): merged counts equal full-retrain counts
+#: exactly, so BOTH grade against the same batch truth.
+_CALIB_SQL = f"""
     WITH {_NB_SCORED_CTES},
     thr AS (SELECT CAST(UNNEST([{", ".join(str(t) for t in CALIB_THRESHOLDS)}])
                         AS DOUBLE) AS thr),
@@ -1637,30 +1694,13 @@ CALIB_THRESHOLDS = (-4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0)
                  * 1000000 + 0.5) / 1000000 AS acc
     FROM cm
     ORDER BY thr
-    """,
-    doc="Classifier CALIBRATION report — the quality-of-the-quality-"
-    "classifier artifact (previously only a docstring accuracy "
-    "note): precision / recall / F1 / accuracy of the NB logit "
-    "against the Gopher seed labels at a FIXED threshold ladder of "
-    f"{len(CALIB_THRESHOLDS)} operating points, the sweep a data "
-    "team reads before picking the selection cut (DCLM reports "
-    "exactly this table for its fastText filter).  The scores are "
-    "text_quality_classifier_nb's shared definition (_NB_SCORED_CTES "
-    "— one model, N graded consumers); the sweep is ONE pass over "
-    "the doc-level scored rows: a bounded 1->|ladder| explode "
-    "(doc-granularity, after the token stream has already been "
-    "reduced) then a per-threshold conditional-count rollup to "
-    "O(|ladder|) rows.  Confusion counts are exact BIGINTs; the "
-    "derived ratios are ratios of identical longs (bit-equal IEEE "
-    "division in both engines) snapped floor-form to the 1e-6 grid, "
-    "with NULL where undefined (division-by-zero semantics differ "
-    "between engines, so the guard is explicit).  F1 uses the "
-    "2tp/(2tp+fp+fn) form — one division, no compounded rounding.",
-)
-def text_classifier_calibration(spark, sf_dir):
-    scored = text_quality_classifier_nb(spark, sf_dir).select(
-        "doc_id", "gopher_keep", "nb_logit"
-    )
+    """
+
+
+def _calibration_from_scored(scored):
+    """The threshold-ladder confusion rollup over a scored
+    (gopher_keep, nb_logit) DF — shared by text_classifier_calibration
+    and the refreshed-model re-grade."""
     t = scored.select(
         "gopher_keep",
         "nb_logit",
@@ -1698,6 +1738,35 @@ def text_classifier_calibration(spark, sf_dir):
         ).otherwise(_snap(2.0 * tp / (2 * tp + fp + fn))).alias("f1"),
         _snap((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("acc"),
     ).orderBy("thr")
+
+
+@query(
+    "text_classifier_calibration",
+    _CALIB_SQL,
+    doc="Classifier CALIBRATION report — the quality-of-the-quality-"
+    "classifier artifact (previously only a docstring accuracy "
+    "note): precision / recall / F1 / accuracy of the NB logit "
+    "against the Gopher seed labels at a FIXED threshold ladder of "
+    f"{len(CALIB_THRESHOLDS)} operating points, the sweep a data "
+    "team reads before picking the selection cut (DCLM reports "
+    "exactly this table for its fastText filter).  The scores are "
+    "text_quality_classifier_nb's shared definition (_NB_SCORED_CTES "
+    "— one model, N graded consumers); the sweep is ONE pass over "
+    "the doc-level scored rows: a bounded 1->|ladder| explode "
+    "(doc-granularity, after the token stream has already been "
+    "reduced) then a per-threshold conditional-count rollup to "
+    "O(|ladder|) rows.  Confusion counts are exact BIGINTs; the "
+    "derived ratios are ratios of identical longs (bit-equal IEEE "
+    "division in both engines) snapped floor-form to the 1e-6 grid, "
+    "with NULL where undefined (division-by-zero semantics differ "
+    "between engines, so the guard is explicit).  F1 uses the "
+    "2tp/(2tp+fp+fn) form — one division, no compounded rounding.",
+)
+def text_classifier_calibration(spark, sf_dir):
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "gopher_keep", "nb_logit"
+    )
+    return _calibration_from_scored(scored)
 
 
 @query(

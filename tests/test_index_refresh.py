@@ -350,3 +350,115 @@ def test_exact_refresh_never_rereads_the_corpus_text(spark, tmp_path):
     assert first[dup_h] == survivor, "leadership not re-elected"
     ids = {r["doc_id"] for r in out.collect()}
     assert leader not in ids and set(delta_ids[:4]) <= ids
+
+
+def test_nb_refresh_merged_counts_equal_full_retrain(spark, tmp_path):
+    """refresh_nb_model: merge base-split counts with the delta's and
+    the result must be integer-identical to training on the union —
+    the additivity that makes the model refreshable — WITHOUT
+    re-reading the base corpus (deleted before the refresh)."""
+    from durablestreams_spark.operators.streaming_queries import (
+        refresh_nb_model,
+    )
+    from durablestreams_spark.operators.text import _nb_counts
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    rows = [
+        (i, f"base document number {i} talks about several things and "
+            f"topic {i % 7} in enough words to pass the word gates")
+        for i in base_ids[:12]
+    ]
+    _write_docs(corpus, rows)
+    base_docs = spark.read.parquet(str(corpus)).select("doc_id", "text")
+    idx_p = str(tmp_path / "counts.parquet")
+    _nb_counts(base_docs).write.parquet(idx_p)
+    full_rows = list(rows)
+    os.remove(corpus)  # refresh must survive the base corpus vanishing
+
+    delta_file = tmp_path / "delta.parquet"
+    drows = [
+        (i, f"delta arrival {i} brings different vocabulary and some "
+            f"more words about subject {i % 3} for the count merge")
+        for i in delta_ids[:6]
+    ]
+    _write_docs(delta_file, drows)
+    delta = spark.read.parquet(str(delta_file)).select("doc_id", "text")
+
+    out = refresh_nb_model(spark, idx_p, delta)
+    assert out is not None
+    merged = {
+        r["bkt"]: (r["pc"], r["nc"]) for r in out.collect()
+    }
+    union_file = tmp_path / "union.parquet"
+    _write_docs(union_file, full_rows + drows)
+    want = {
+        r["bkt"]: (r["pc"], r["nc"])
+        for r in _nb_counts(
+            spark.read.parquet(str(union_file)).select("doc_id", "text")
+        ).collect()
+    }
+    assert merged == want, "merged counts != full-retrain counts"
+
+
+def test_nb_refresh_aborts_on_lost_guard_race(spark, tmp_path):
+    """The shared _guarded_index_swap skeleton under refresh_nb_model:
+    a guard advance mid-compute (racer UDF fires while the refreshed
+    counts are being written) aborts with None, leaves no version
+    debris, and the live artifact is untouched."""
+    from pyspark.sql.functions import udf
+
+    from durablestreams_spark.operators.streaming_queries import (
+        refresh_nb_model,
+    )
+    from durablestreams_spark.operators.text import _nb_counts
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} with plenty of ordinary words here")
+         for i in base_ids[:6]],
+    )
+    docs = spark.read.parquet(str(corpus)).select("doc_id", "text")
+    idx_p = str(tmp_path / "counts.parquet")
+    _nb_counts(docs).write.parquet(idx_p)
+    before = sorted(map(tuple, spark.read.parquet(idx_p).collect()))
+
+    marker = str(tmp_path / "guard")
+    with open(marker, "w") as fh:
+        fh.write("epoch-1")
+
+    def racer(t):
+        with open(marker, "w") as fh:
+            fh.write("epoch-2-racer-won")
+        return t
+
+    race_udf = udf(racer, "string")
+    delta_file = tmp_path / "delta.parquet"
+    _write_docs(
+        delta_file,
+        [(i, f"delta doc {i} arriving with new words") for i in
+         delta_ids[:3]],
+    )
+    delta = (
+        spark.read.parquet(str(delta_file))
+        .select("doc_id", race_udf("text").alias("text"))
+    )
+    out = refresh_nb_model(spark, idx_p, delta, guard_marker=marker)
+    assert out is None, "lost race must return None"
+    after = sorted(map(tuple, spark.read.parquet(idx_p).collect()))
+    assert after == before, "live artifact clobbered by a lost race"
+    parent = os.path.dirname(idx_p)
+    base = os.path.basename(idx_p)
+    versions = [
+        e for e in os.listdir(parent)
+        if e.startswith(base + ".v") and e != base + ".v-genesis"
+    ]
+    # only the genesis version (if migrated) may remain
+    leftovers = [
+        v for v in versions
+        if os.path.realpath(os.path.join(parent, v))
+        != os.path.realpath(idx_p)
+    ]
+    assert leftovers == [], leftovers
