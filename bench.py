@@ -475,17 +475,25 @@ def main() -> None:
     # 3× (q7 0.93 s vs 3.03 s).  Min-of-k is the standard steady-state
     # estimator; the pre-compile pass above already removed first-run
     # compilation, so all runs measure the same work.
+    # Sub-second queries get min-of-5 (r11 VERDICT task 7): the three
+    # largest cross-round deltas were all sub-second CPU-bound queries
+    # with no code change — on those, two extra ~0.5 s runs buy most of
+    # the noise floor back for pennies; multi-second queries keep
+    # min-of-3 (their relative noise is smaller and reruns are dear).
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         try:
-            best, worst, n = None, 0.0, 0
-            for _ in range(3):
+            best, worst, n, runs = None, 0.0, 0, 0
+            while runs < 5:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
                 worst = max(worst, dt)
+                runs += 1
+                if runs >= 3 and best >= 1.0:
+                    break
             timings[name] = round(best, 3)
             spread[name] = [round(best, 3), round(worst, 3)]
             print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
@@ -675,6 +683,23 @@ def main() -> None:
         "'env_vs_prev' below does that comparison automatically."
     )
     result["env_vs_prev"] = compare_env(result.get("env", {}))
+    # CPU-normalized headline (r11 VERDICT task 7): the headline total
+    # rescaled as if this box ran at the round-10 reference clock
+    # (cpu_single_sec = 0.249 measured there), so a cross-round
+    # regression is attributable at a glance — a normalized total that
+    # HOLDS while the raw one moves is environment drift, not a plan
+    # change.  Only the single-core clock is normalized out; I/O-bound
+    # ops keep their raw share (see fsync/disk probes for those).
+    CPU_REF_SEC = 0.249
+    try:
+        cpu_now = float(result["env"]["cpu_single_sec"])
+        if result.get("value") is not None and cpu_now > 0:
+            result["value_cpu_normalized"] = round(
+                result["value"] * (CPU_REF_SEC / cpu_now), 3
+            )
+            result["cpu_ref_sec"] = CPU_REF_SEC
+    except (KeyError, TypeError, ValueError):
+        pass
     append_history(
         result.get("env", {}),
         {
@@ -737,6 +762,9 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "detail": "bench_detail.json",
     }
+    if "value_cpu_normalized" in result:
+        summary["value_cpu_normalized"] = result["value_cpu_normalized"]
+        summary["cpu_ref_sec"] = result["cpu_ref_sec"]
     if result.get("partial"):
         summary["partial"] = True
         summary["partial_sum_sec"] = result["partial_sum_sec"]
