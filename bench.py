@@ -688,14 +688,21 @@ def main() -> None:
     # (cpu_single_sec = 0.249 measured there), so a cross-round
     # regression is attributable at a glance — a normalized total that
     # HOLDS while the raw one moves is environment drift, not a plan
-    # change.  Only the single-core clock is normalized out; I/O-bound
-    # ops keep their raw share (see fsync/disk probes for those).
+    # change.  Only the single-core clock is normalized out: the op_*
+    # latency probes are fsync/disk-bound (op_bulk_ingest_events
+    # especially), so their share stays RAW — scaling them by a CPU
+    # ratio would let a genuine I/O regression hide behind a steady
+    # normalized total (see the fsync/disk env probes for those).
     CPU_REF_SEC = 0.249
     try:
         cpu_now = float(result["env"]["cpu_single_sec"])
         if result.get("value") is not None and cpu_now > 0:
+            io_part = sum(
+                v for k, v in timings.items() if k.startswith("op_")
+            )
+            cpu_part = result["value"] - io_part
             result["value_cpu_normalized"] = round(
-                result["value"] * (CPU_REF_SEC / cpu_now), 3
+                cpu_part * (CPU_REF_SEC / cpu_now) + io_part, 3
             )
             result["cpu_ref_sec"] = CPU_REF_SEC
     except (KeyError, TypeError, ValueError):

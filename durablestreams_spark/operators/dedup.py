@@ -1214,16 +1214,24 @@ def dedup_embedding_cosine_tight_recall(spark, sf_dir):
     with_norm, cand = _tight_parts(
         spark, sf_dir, COSINE_TIGHT_REPORT_MOD
     )
+    return _tight_recall_report(with_norm, cand)
+
+
+def _tight_recall_report(with_norm, cand):
+    """ONE report assembly for every graded LSH operating point
+    (base geometry and amplified share it, so a fix to the report
+    math cannot drift the two graded points apart): banded-verified
+    and candidate counts, exact all-pairs ground truth on the bounded
+    sample (a broadcast cross of two id-only projections, capped by
+    REPORT_MOD — never corpus-proportional) through the SAME
+    _tight_verify cosine definition as the numerator, then recall and
+    candidate-density ratios."""
     scored = _tight_verify(with_norm, cand)
     nv = with_norm.agg(F.count(F.lit(1)).alias("n_vecs"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     nb = scored.where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD).agg(
         F.count(F.lit(1)).alias("n_banded")
     )
-    # Exact ground truth on the bounded sample: enumerate ALL id
-    # pairs (a broadcast cross of two id-only projections, capped by
-    # REPORT_MOD — never corpus-proportional) and push them through
-    # the SAME _tight_verify cosine definition as the numerator.
     ids_a = with_norm.select(F.col("vec_id").alias("vec_a"))
     ids_b = with_norm.select(F.col("vec_id").alias("vec_b"))
     all_pairs = ids_a.crossJoin(F.broadcast(ids_b)).where(
@@ -1264,19 +1272,58 @@ def dedup_embedding_cosine_tight_recall(spark, sf_dir):
 AMPLIFIED_BAND_HAMMING = 1
 
 
-def _band_key_variants_expr():
-    """All 16-bit keys within hamming 1 of ``band_key`` (itself plus
-    16 one-bit flips), as an exploded column — probe-side expansion
-    keeps the amplified match an EQUI-join on (band_id, variant)."""
-    n = COSINE_TIGHT_BAND_BITS
-    return F.explode(
-        F.expr(
-            f"""transform(sequence(0, {n}), k ->
-              IF(k = 0, band_key,
-                 concat(substring(band_key, 1, k - 1),
-                        IF(substring(band_key, k, 1) = '1', '0', '1'),
-                        substring(band_key, k + 1, {n} - k))))"""
+def _variant_flip_sets() -> list[tuple[int, ...]]:
+    """All non-empty bit-position sets of size <= AMPLIFIED_BAND_HAMMING
+    — the expansion is DERIVED from the knob, so moving the operating
+    point to hamming<=2 changes both engines' variant sets in lockstep
+    (C(16,1)=16 extra keys at r=1, +C(16,2)=120 at r=2)."""
+    import itertools
+
+    out: list[tuple[int, ...]] = []
+    for r in range(1, AMPLIFIED_BAND_HAMMING + 1):
+        out += list(
+            itertools.combinations(range(1, COSINE_TIGHT_BAND_BITS + 1), r)
         )
+    return out
+
+
+def _variant_list_exprs(dialect: str) -> list[str]:
+    """The amplified variant-key expressions (original key first, then
+    every flip set) in Spark or DuckDB syntax — ONE generator, two
+    dialect renderings, so the two engines cannot disagree on what a
+    'variant' is."""
+    n = COSINE_TIGHT_BAND_BITS
+    sub = "substring" if dialect == "spark" else "substr"
+
+    def flip(p: int) -> str:
+        if dialect == "spark":
+            return f"IF({sub}(band_key, {p}, 1) = '1', '0', '1')"
+        return (
+            f"(CASE WHEN {sub}(band_key, {p}, 1) = '1'"
+            " THEN '0' ELSE '1' END)"
+        )
+
+    exprs = ["band_key"]
+    for combo in _variant_flip_sets():
+        parts = []
+        prev = 1
+        for p in combo:
+            if p > prev:
+                parts.append(f"{sub}(band_key, {prev}, {p - prev})")
+            parts.append(flip(p))
+            prev = p + 1
+        if prev <= n:
+            parts.append(f"{sub}(band_key, {prev}, {n - prev + 1})")
+        exprs.append("concat(" + ", ".join(parts) + ")")
+    return exprs
+
+
+def _band_key_variants_expr():
+    """All 16-bit keys within hamming AMPLIFIED_BAND_HAMMING of
+    ``band_key``, as an exploded column — probe-side expansion keeps
+    the amplified match an EQUI-join on (band_id, variant)."""
+    return F.explode(
+        F.expr("array(" + ", ".join(_variant_list_exprs("spark")) + ")")
     )
 
 
@@ -1303,14 +1350,9 @@ def _tight_cand_amplified(bands):
 
 
 def _amplified_variants_sql() -> str:
-    """DuckDB restatement of the 17-key hamming<=1 expansion."""
-    n = COSINE_TIGHT_BAND_BITS
-    return f"""list_transform(range(0, {n + 1}), k ->
-        CASE WHEN k = 0 THEN band_key
-             ELSE substr(band_key, 1, k - 1)
-                  || (CASE WHEN substr(band_key, k, 1) = '1'
-                           THEN '0' ELSE '1' END)
-                  || substr(band_key, k + 1, {n} - k) END)"""
+    """DuckDB restatement of the variant-key expansion (a plain list
+    literal — same generator as the Spark side)."""
+    return "[" + ", ".join(_variant_list_exprs("duck")) + "]"
 
 
 @query(
@@ -1379,43 +1421,8 @@ def _amplified_variants_sql() -> str:
 )
 def dedup_embedding_cosine_tight_amplified(spark, sf_dir):
     with_norm = _tight_corpus(spark, sf_dir, COSINE_TIGHT_REPORT_MOD)
-    bands = _tight_band_rows(with_norm)
-    cand = _tight_cand_amplified(bands)
-    scored = _tight_verify(with_norm, cand)
-    nv = with_norm.agg(F.count(F.lit(1)).alias("n_vecs"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    nb = scored.where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD).agg(
-        F.count(F.lit(1)).alias("n_banded")
-    )
-    ids_a = with_norm.select(F.col("vec_id").alias("vec_a"))
-    ids_b = with_norm.select(F.col("vec_id").alias("vec_b"))
-    all_pairs = ids_a.crossJoin(F.broadcast(ids_b)).where(
-        F.col("vec_a") < F.col("vec_b")
-    )
-    nt = (
-        _tight_verify(with_norm, all_pairs)
-        .where(_snap9("cos") >= COSINE_TIGHT_THRESHOLD)
-        .agg(F.count(F.lit(1)).alias("n_true"))
-    )
-    out = nv.crossJoin(nc).crossJoin(nb).crossJoin(nt)
-    return out.select(
-        "n_vecs",
-        "n_cand",
-        "n_banded",
-        "n_true",
-        F.round(
-            F.col("n_banded").cast("double") / F.col("n_true"), 4
-        ).alias("recall"),
-        F.round(
-            F.col("n_cand").cast("double")
-            / (
-                F.col("n_vecs").cast("double")
-                * (F.col("n_vecs") - 1)
-                / 2
-            ),
-            6,
-        ).alias("cand_density"),
-    )
+    cand = _tight_cand_amplified(_tight_band_rows(with_norm))
+    return _tight_recall_report(with_norm, cand)
 
 
 @query(

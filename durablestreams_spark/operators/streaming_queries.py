@@ -1920,7 +1920,12 @@ def text_nb_model_refresh(spark, sf_dir):
             docs.where(~_ndlive_base_pred()),
             guard_marker=guard,
         )
-        assert out is not None  # no concurrent refresher in a graded run
+        if out is None:  # lost race / stale lock: never cache a
+            # pre-refresh artifact as built (assert would vanish
+            # under python -O and the marker would go stale-forever)
+            raise RuntimeError(
+                "guarded-swap refresh lost its race in a graded build"
+            )
         write_marker(marker, sf_dir, name="documents", params=params)
     llr, prior = _nb_model_from_counts(spark.read.parquet(idx_p))
     _, f = _nb_feature_stream(spread(table(spark, sf_dir, "documents")))
@@ -2002,7 +2007,12 @@ def dedup_neardup_index_refresh(spark, sf_dir):
         out = refresh_neardup_index(
             spark, idx_p, delta, removed, guard_marker=guard
         )
-        assert out is not None  # no concurrent refresher in a graded run
+        if out is None:  # lost race / stale lock: never cache a
+            # pre-refresh artifact as built (assert would vanish
+            # under python -O and the marker would go stale-forever)
+            raise RuntimeError(
+                "guarded-swap refresh lost its race in a graded build"
+            )
         write_marker(marker, sf_dir, name="documents", params=params)
     return spark.read.parquet(idx_p).select(
         F.col("band_id").cast("long").alias("band_id"),
@@ -2114,7 +2124,12 @@ def dedup_exact_index_refresh(spark, sf_dir):
         out = refresh_exact_index(
             spark, idx_p, delta, removed, guard_marker=guard
         )
-        assert out is not None  # no concurrent refresher in a graded run
+        if out is None:  # lost race / stale lock: never cache a
+            # pre-refresh artifact as built (assert would vanish
+            # under python -O and the marker would go stale-forever)
+            raise RuntimeError(
+                "guarded-swap refresh lost its race in a graded build"
+            )
         write_marker(marker, sf_dir, name="documents", params=params)
     return (
         spark.read.parquet(idx_p)
@@ -2691,6 +2706,20 @@ from .pipeline_llm import (  # noqa: E402
     _DUCK_SHINGLE5 as _GL_SHINGLE5,
 )
 
+
+def _contam_flag_ctes(p: str = "") -> str:
+    """The contamination-flag CTE triple (all shingles -> bench
+    shingles -> contaminated doc_ids), shared verbatim by the fused
+    gate oracle and the economics-report oracle so the two graded
+    queries cannot disagree on what 'contaminated' means; ``p``
+    prefixes the CTE names to avoid collisions."""
+    return f"""{p}shing AS ({_GL_SHINGLE5}),
+    {p}bsh AS (SELECT DISTINCT sh FROM {p}shing
+            WHERE doc_id % {_GL_BENCH_MOD} = 0),
+    {p}cflag AS (SELECT DISTINCT c.doc_id
+              FROM {p}shing c JOIN {p}bsh b USING (sh))"""
+
+
 #: ONE oracle for the fused live gate and its kill-and-resume twin:
 #: the batch composition of the shared signal definitions over the
 #: full corpus, restricted to ':ndlive' delta rows.  A resumed run
@@ -2712,11 +2741,7 @@ _GATE_LIVE_SQL = f"""
                      AND p.doc_id < a.doc_id
         WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
     ),
-    shing AS ({_GL_SHINGLE5}),
-    bsh AS (SELECT DISTINCT sh FROM shing
-            WHERE doc_id % {_GL_BENCH_MOD} = 0),
-    cflag AS (SELECT DISTINCT c.doc_id
-              FROM shing c JOIN bsh b USING (sh)),
+    {_contam_flag_ctes()},
     split AS (
         SELECT doc_id,
                substr(md5(CAST(doc_id AS VARCHAR) || '{_NDLIVE_TAG}'), 1, 2)
@@ -3018,14 +3043,25 @@ def streaming_ingest_gate_resume(spark, sf_dir):
     except Exception as ex:  # the injected StreamingQueryException
         if "injected mid-stream kill" not in str(ex):
             raise
-    assert os.path.exists(kill_marker), "kill marker missing"
-    first = dict(_GATE_RESUME_LAST_RUN)
+    if not os.path.exists(kill_marker):
+        raise RuntimeError("kill marker missing after injected kill")
+    # Kill evidence straight from the CHECKPOINT (the audit dict is
+    # not populated on a failed drain — awaitTermination raises
+    # before it): the commit log holds exactly the epochs that
+    # completed before the crash, so committed < total proves the
+    # first attempt was genuinely partial.
+    commits_dir = os.path.join(run_dir, "ckpt", "commits")
+    first_committed = (
+        len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+        if os.path.isdir(commits_dir)
+        else 0
+    )
     # restart from the same checkpoint + epoch dirs and drain fully
     _gate_live_drain(spark, sf_dir, run_dir, _GATE_RESUME_LAST_RUN)
     _GATE_RESUME_LAST_RUN.update(
         {
             "killed": True,
-            "first_run_batches": first.get("n_batches"),
+            "first_run_committed": first_committed,
         }
     )
     return _gate_live_assemble(spark, run_dir)
@@ -3220,11 +3256,7 @@ def _contamination_flag_index(spark, sf_dir):
     f"""
     WITH {_NB_SCORED_CTES},
     {_SIMHASH_CTES.strip()},
-    rshing AS ({_GL_SHINGLE5}),
-    rbsh AS (SELECT DISTINCT sh FROM rshing
-             WHERE doc_id % {_GL_BENCH_MOD} = 0),
-    rcflag AS (SELECT DISTINCT c.doc_id
-               FROM rshing c JOIN rbsh b USING (sh)),
+    {_contam_flag_ctes("r")},
     rbands AS (
         SELECT doc_id, simhash, b.b AS band_id,
                (simhash // (1::BIGINT << ({_ND_BITS} * b.b)))

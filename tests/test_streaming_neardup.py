@@ -504,6 +504,9 @@ def test_gate_resume_kill_fires_and_result_matches_uninterrupted(spark):
     }
     audit = sq._GATE_RESUME_LAST_RUN
     assert audit.get("killed") is True
+    # the first attempt was genuinely PARTIAL: the checkpoint commit
+    # log held fewer epochs at kill time than the stream's slices
+    assert 0 < audit["first_run_committed"] < sq._NDLIVE_FILES, audit
     # the resumed drain processed at least the victim batch
     assert audit["n_batches"] >= 1, audit
     assert audit["state_operators"] == [], audit
