@@ -3431,6 +3431,159 @@ def _bench_shingle_index_path(spark, sf_dir) -> str:
     return idx_p
 
 
+def refresh_bench_shingle_index(
+    spark,
+    idx_path: str,
+    delta_bench_docs,
+    removed_ids,
+    guard_marker: str | None = None,
+):
+    """Incremental refresh of the benchmark shingle index (the FOURTH
+    and last persisted serving artifact to gain the maintenance
+    lifecycle): benchmark suites are append-mostly but DO retire
+    evals, and a distinct-shingle table cannot express 'benchmark X
+    was retired' — a shingle shared with a SURVIVING benchmark must
+    outlive X's removal.  Same transform as the exact-hash refresh:
+    the refreshable artifact is the POSTING list (doc_id, sh) keyed
+    by owning benchmark, the serving view is DISTINCT sh at read
+    time, and retirement is a doc-keyed left-anti tombstone that
+    leaves co-owned shingles standing.  O(|delta| + |index rows|);
+    the historical benchmark text is never re-read.  Shared
+    _guarded_index_swap contract."""
+    from .pipeline_llm import _shingle5_arrays
+
+    def _refresh(cur):
+        kept = cur.select("doc_id", "sh").join(
+            removed_ids, "doc_id", "left_anti"
+        )
+        delta_rows = (
+            _shingle5_arrays(
+                delta_bench_docs.select("doc_id", "text").join(
+                    removed_ids, "doc_id", "left_anti"
+                )
+            )
+            .select("doc_id", F.explode("shs").alias("sh"))
+        )
+        return kept.unionByName(delta_rows)
+
+    return _guarded_index_swap(spark, idx_path, _refresh, guard_marker)
+
+
+#: Bench-refresh derived suite: every benchmark doc gets a same-text
+#: copy at +COPY_OFFSET (so a retired benchmark can have a surviving
+#: co-owner for every one of its shingles — the survival case a
+#: distinct-shingle table cannot express); retirement hits doc_id %
+#: REMOVE_MOD == 0 (originals only: 2^41 % 3 = 2, so copies never
+#: match), i.e. every third original benchmark.
+BENCH_REFRESH_COPY_OFFSET = 1 << 41
+BENCH_REFRESH_REMOVE_MOD = 3 * _GL_BENCH_MOD
+
+
+@query(
+    "decontaminate_index_refresh",
+    f"""
+    WITH bench0 AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {_GL_BENCH_MOD} = 0
+    ),
+    derived AS (
+        SELECT doc_id, text FROM bench0
+        UNION ALL
+        SELECT doc_id + ({BENCH_REFRESH_COPY_OFFSET}::BIGINT) AS doc_id,
+               text
+        FROM bench0
+    ),
+    docs_live AS (
+        SELECT * FROM derived
+        WHERE doc_id % {BENCH_REFRESH_REMOVE_MOD} <> 0
+    ),
+    shing AS ({_GL_SHINGLE5.replace("FROM documents", "FROM docs_live")})
+    SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_owners
+    FROM shing GROUP BY 1
+    """,
+    doc="Benchmark-suite index MAINTENANCE lifecycle, graded "
+    "end-to-end — the fourth persisted serving artifact to get the "
+    "guarded-swap refresh (bands r11; exact-hash postings and NB "
+    "counts earlier this round): eval suites retire benchmarks, and "
+    "a DISTINCT-shingle table cannot express retirement — a shingle "
+    "shared with a surviving benchmark must outlive its co-owner's "
+    "removal — so the refreshable artifact is the (benchmark doc_id, "
+    "shingle) POSTING list and the serving view distincts at read "
+    "time (the same posting-list-ification that made first_id "
+    "re-election expressible: it is THE general refreshability "
+    "transform for derived-distinct artifacts).  The graded run "
+    "plants a same-text copy of every benchmark at +2^41, builds the "
+    "':ndlive' base-split posting index, then ONE refresh appending "
+    "the delta split and retiring every third ORIGINAL benchmark "
+    "(copies never match the retirement predicate), so every retired "
+    "doc's shingles have a surviving co-owner — the graded "
+    "(sh, n_owners) rollup over the swapped files must hash-equal a "
+    "full rebuild over the surviving suite, with ownership counts "
+    "dropping 2 -> 1 where retirement bit and shingles NEVER "
+    "disappearing while an owner survives.  O(|delta| + |index|); "
+    "benchmark text never re-read (delete-the-corpus test).",
+)
+def decontaminate_index_refresh(spark, sf_dir):
+    import shutil as _shutil
+
+    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+    root = os.path.join(
+        "/tmp/durablestreams_benchrefresh_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "postings.parquet")
+    params = (
+        f"shingle5:postings:bench%{_BENCH_MOD}"
+        f":copy@{BENCH_REFRESH_COPY_OFFSET}:rm{BENCH_REFRESH_REMOVE_MOD}"
+        f":base<{_NDLIVE_CUT}{_NDLIVE_TAG}:v1"
+    )
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        bench0 = table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % _BENCH_MOD == 0
+        ).select("doc_id", "text")
+        derived = bench0.unionByName(
+            bench0.select(
+                (
+                    F.col("doc_id")
+                    + F.lit(BENCH_REFRESH_COPY_OFFSET)
+                ).alias("doc_id"),
+                "text",
+            )
+        )
+        v0 = idx_p + ".v-genesis"
+        (
+            _shingle5_arrays(derived.where(_ndlive_base_pred()))
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .write.parquet(v0)
+        )
+        os.symlink(v0, idx_p)
+        guard = os.path.join(root, "_guard")
+        with open(guard, "w") as fh:
+            fh.write(f"epoch-0:{params}")
+        delta = derived.where(~_ndlive_base_pred())
+        removed = derived.where(
+            F.col("doc_id") % BENCH_REFRESH_REMOVE_MOD == 0
+        ).select("doc_id")
+        out = refresh_bench_shingle_index(
+            spark, idx_p, delta, removed, guard_marker=guard
+        )
+        if out is None:  # never cache a pre-refresh artifact (see the
+            # guarded-swap raise discipline in the sibling builds)
+            raise RuntimeError(
+                "guarded-swap refresh lost its race in a graded build"
+            )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return (
+        spark.read.parquet(idx_p)
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_owners"))
+    )
+
+
 #: Audit facts of the last streaming_decontaminate_gate run.
 _DECON_LIVE_LAST_RUN: dict = {}
 

@@ -462,3 +462,120 @@ def test_nb_refresh_aborts_on_lost_guard_race(spark, tmp_path):
         != os.path.realpath(idx_p)
     ]
     assert leftovers == [], leftovers
+
+
+def test_bench_refresh_shared_shingles_survive_retirement(spark):
+    """decontaminate_index_refresh on the fixture: every retired
+    benchmark has a same-text surviving copy, so the graded rollup
+    must show ownership drops (2 -> 1) with NO shingle disappearing —
+    and equal a full rebuild computed independently here."""
+    from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators.pipeline_llm import (
+        _BENCH_MOD,
+        _shingle5_arrays,
+    )
+    from durablestreams_spark.operators.streaming_queries import (
+        BENCH_REFRESH_COPY_OFFSET,
+        BENCH_REFRESH_REMOVE_MOD,
+    )
+
+    got = {
+        r["sh"]: r["n_owners"]
+        for r in all_queries()["decontaminate_index_refresh"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(got) > 0
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench0 = docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+    derived = bench0.unionByName(
+        bench0.select(
+            (F.col("doc_id") + BENCH_REFRESH_COPY_OFFSET).alias("doc_id"),
+            "text",
+        )
+    )
+    retired = derived.where(
+        F.col("doc_id") % BENCH_REFRESH_REMOVE_MOD == 0
+    )
+    assert retired.count() > 0, "no retirement in the graded fixture run"
+    live = derived.where(F.col("doc_id") % BENCH_REFRESH_REMOVE_MOD != 0)
+    want = {
+        r["sh"]: r["n"]
+        for r in _shingle5_arrays(live)
+        .select("doc_id", F.explode("shs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the survival case is non-vacuous: retired docs' shingles remain
+    retired_shs = {
+        r["sh"]
+        for r in _shingle5_arrays(retired)
+        .select(F.explode("shs").alias("sh"))
+        .collect()
+    }
+    assert retired_shs and retired_shs <= set(got), (
+        "a retired benchmark's shingles vanished despite a surviving "
+        "co-owner"
+    )
+    assert any(got[s] == 1 for s in retired_shs), (
+        "no ownership drop observed — retirement had no effect"
+    )
+
+
+def test_bench_refresh_never_rereads_the_suite_text(spark, tmp_path):
+    """refresh_bench_shingle_index O(delta): build base postings,
+    DELETE the corpus, refresh from a delta file; shared shingles of
+    a retired owner survive via the co-owner's rows."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _shingle5_arrays,
+    )
+    from durablestreams_spark.operators.streaming_queries import (
+        refresh_bench_shingle_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(base_ids[0], shared), (base_ids[1], shared)]
+    rows += [
+        (i, f"benchmark {i} question about topic {i % 3} with words")
+        for i in base_ids[2:6]
+    ]
+    _write_docs(corpus, rows)
+    docs = spark.read.parquet(str(corpus)).select("doc_id", "text")
+    idx_p = str(tmp_path / "postings.parquet")
+    (
+        _shingle5_arrays(docs)
+        .select("doc_id", F.explode("shs").alias("sh"))
+        .write.parquet(idx_p)
+    )
+    os.remove(corpus)
+
+    delta_file = tmp_path / "delta.parquet"
+    _write_docs(
+        delta_file,
+        [(delta_ids[0], "brand new benchmark with its own five words")],
+    )
+    delta = spark.read.parquet(str(delta_file)).select("doc_id", "text")
+    removed = spark.createDataFrame([(base_ids[0],)], "doc_id long")
+
+    out = refresh_bench_shingle_index(spark, idx_p, delta, removed)
+    assert out is not None
+    owners = {
+        r["sh"]: r["n"]
+        for r in out.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    import hashlib  # noqa: F401  (parallel with sibling tests)
+
+    # the shared doc's shingles survive at ownership 1
+    first_shared = " ".join(shared.split()[:5])
+    assert owners.get(first_shared) == 1, owners.get(first_shared)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert base_ids[0] not in ids and delta_ids[0] in ids
