@@ -1113,3 +1113,40 @@ def test_write_shards_rank_is_bucket_partitioned(spark, tmp_path):
     base = formatted_plan(seqs).lower().count("rangepartitioning")
     assert plan.lower().count("rangepartitioning") <= base, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_amplified_candidates_stay_equi_join(spark):
+    """The recall-amplified operating point's whole claim is that
+    hamming-tolerant matching stays an EQUI-join (probe-side variant
+    expansion), never a similarity predicate in the join condition:
+    the candidate plan must contain no cartesian product and no
+    broadcast nested loop, and the 17x expansion must be a row-local
+    generate, not a Python eval."""
+    from durablestreams_spark.operators.dedup import (
+        AMPLIFIED_BAND_HAMMING,
+        COSINE_TIGHT_BAND_BITS,
+        COSINE_TIGHT_REPORT_MOD,
+        _tight_band_rows,
+        _tight_cand_amplified,
+        _tight_corpus,
+        _variant_list_exprs,
+    )
+
+    cand = _tight_cand_amplified(
+        _tight_band_rows(
+            _tight_corpus(spark, SF_DIR, COSINE_TIGHT_REPORT_MOD)
+        )
+    )
+    plan = formatted_plan(cand)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not has_python_eval(cand), plan
+    # the expansion derives from the knob: r=1 -> 1 + C(16,1) variants
+    import math
+
+    n_variants = 1 + sum(
+        math.comb(COSINE_TIGHT_BAND_BITS, r)
+        for r in range(1, AMPLIFIED_BAND_HAMMING + 1)
+    )
+    assert len(_variant_list_exprs("spark")) == n_variants
+    assert len(_variant_list_exprs("duck")) == n_variants
