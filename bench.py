@@ -122,6 +122,12 @@ SF1_EXTRA = [
     "streaming_write_shards",         # r11 LIVE epoch shard delivery: stateless extract + O(epoch) close
     "streaming_ingest_report",        # r11 per-source admission economics: 4 signals, O(#sources) state
     "streaming_decontaminate_gate",   # r11 LIVE eval-leakage screen: broadcast bench shingles, batch-local rollup
+    "streaming_embedding_dedup_live",  # r12 live embedding near-dup: tight SRP bands + new-vs-new topology, FAISS-split index
+    "dedup_embedding_cosine_tight_amplified",  # r12 recall-amplified operating point: hamming<=1 probe expansion, equi-join
+    "streaming_ingest_gate_resume",   # r12 kill-and-resume exactly-once: crash after side-effects, restart from checkpoint
+    "dedup_exact_index_refresh",      # r12 exact-hash maintenance: posting-list refresh with first_id re-election
+    "text_nb_model_refresh",          # r12 NB count-merge retrain: additive sufficient statistics, guarded swap
+    "decontaminate_index_refresh",    # r12 bench-suite maintenance: shingle postings, retirement with co-owner survival
 ]
 
 
