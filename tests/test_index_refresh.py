@@ -579,3 +579,80 @@ def test_bench_refresh_never_rereads_the_suite_text(spark, tmp_path):
     assert owners.get(first_shared) == 1, owners.get(first_shared)
     ids = {r["doc_id"] for r in out.collect()}
     assert base_ids[0] not in ids and delta_ids[0] in ids
+
+
+def test_live_reader_across_concurrent_guarded_swap(spark, tmp_path):
+    """The interaction the refresh lifecycle exists for: a LIVE
+    foreachBatch reader re-resolves the symlink-versioned index every
+    micro-batch while a refresher swaps it mid-stream.  Every read
+    must be COMPLETE (old version or new version, never a partial
+    file list — 4 band rows per doc is the completeness witness),
+    batch 0 serves the genesis version, and every batch after the
+    swap serves the refreshed one (delta doc present, tombstoned doc
+    absent)."""
+    import tempfile
+
+    from durablestreams_spark.operators.streaming_queries import (
+        _delta_replay_stream,
+        _neardup_base_index_path,
+        refresh_neardup_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"base document {i} about subject {i % 4} words")
+         for i in base_ids[:10]],
+    )
+    base_p = _neardup_base_index_path(spark, str(tmp_path))
+    live_idx = str(tmp_path / "live_index.parquet")
+    shutil.copytree(base_p, live_idx + ".v-genesis")
+    os.symlink(live_idx + ".v-genesis", live_idx)
+
+    new_id, removed_id = delta_ids[0], base_ids[0]
+    refresh_delta = spark.createDataFrame(
+        [(new_id, "a completely new arrival with fresh refresh words")],
+        "doc_id long, text string",
+    )
+    removed = spark.createDataFrame([(removed_id,)], "doc_id long")
+    reads: list = []
+
+    def _serve(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        idx = sess.read.parquet(live_idx)
+        docs = {r["doc_id"] for r in idx.select("doc_id").distinct().collect()}
+        reads.append(
+            (int(epoch_id), os.path.realpath(live_idx), idx.count(), docs)
+        )
+        if int(epoch_id) == 0:
+            out = refresh_neardup_index(
+                sess, live_idx, refresh_delta, removed
+            )
+            assert out is not None
+
+    run_dir = tempfile.mkdtemp(prefix="ds_swapserve_")
+    stream_docs = spark.createDataFrame(
+        [(i, f"stream traffic {i}") for i in delta_ids[1:9]],
+        "doc_id long, text string",
+    )
+    q = (
+        _delta_replay_stream(spark, run_dir, stream_docs)
+        .writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    assert len(reads) >= 2, reads
+    # every read complete: exactly 4 band rows per distinct doc
+    for _e, _v, n_rows, docs in reads:
+        assert n_rows == 4 * len(docs), (n_rows, len(docs))
+    # batch 0 served genesis; post-swap batches serve the refreshed set
+    assert reads[0][1].endswith(".v-genesis"), reads[0][1]
+    assert removed_id in reads[0][3] and new_id not in reads[0][3]
+    for e, v, _n, docs in reads[1:]:
+        assert not v.endswith(".v-genesis"), (e, v)
+        assert new_id in docs and removed_id not in docs, (e, docs)
