@@ -1656,6 +1656,158 @@ def sample_mixture_weights(spark, sf_dir):
     )
 
 
+#: Epoch planner knobs: total training budget = BUDGET_MULT x the
+#: corpus's token count — chosen so the fixture's tempered epoch
+#: demands STRADDLE the repeat cap (roughly 3.7-4.3 epochs): both the
+#: constrained and unconstrained planner branches are exercised, and the Muennighoff et al. 2023 finding that repeated
+#: data holds its value up to ~4 epochs and decays sharply after —
+#: the cap every data-constrained run schedules against.
+EPOCH_BUDGET_MULT = 4
+EPOCH_MAX_REPEATS = 4
+
+
+@query(
+    "pipeline_epoch_plan",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS s6
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+                   CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src),
+    j AS (
+        SELECT source, n_tokens,
+               floor(CAST(s6 AS DOUBLE) / s6_total * 1000000 + 0.5)
+                   / 1000000 AS target_share,
+               CAST({EPOCH_BUDGET_MULT} * n_total AS BIGINT) AS budget
+        FROM per_src, tot
+    ),
+    r AS (
+        SELECT source, n_tokens, target_share,
+               CAST(floor(budget * target_share + 0.5) AS BIGINT)
+                   AS requested_tokens
+        FROM j
+    )
+    SELECT source, n_tokens, target_share, requested_tokens,
+           floor(CAST(requested_tokens AS DOUBLE) / n_tokens * 10000 + 0.5)
+               / 10000 AS epochs_needed,
+           least(floor(CAST(requested_tokens AS DOUBLE) / n_tokens
+                       * 10000 + 0.5) / 10000,
+                 CAST({EPOCH_MAX_REPEATS} AS DOUBLE)) AS repeat_factor,
+           least(requested_tokens,
+                 {EPOCH_MAX_REPEATS} * n_tokens) AS alloc_tokens,
+           (requested_tokens > {EPOCH_MAX_REPEATS} * n_tokens)
+               AS data_constrained,
+           greatest(CAST(0 AS BIGINT),
+                    requested_tokens - {EPOCH_MAX_REPEATS} * n_tokens)
+               AS shortfall_tokens
+    FROM r
+    ORDER BY source
+    """,
+    doc="Data-constrained EPOCH planner — the repeat-factor table of "
+    "Muennighoff et al. 2023 ('Scaling Data-Constrained Language "
+    "Models'): given the tempered mixing shares "
+    "(sample_mixture_weights' alpha=0.5 rule, SAME s6 integer-grid "
+    "normalizer) and a training budget of "
+    f"{EPOCH_BUDGET_MULT}x the corpus's tokens, how many EPOCHS of "
+    "each source does the run schedule?  requested = budget x "
+    "tempered share; epochs_needed = requested / available; "
+    f"repeat_factor caps at {EPOCH_MAX_REPEATS} (the published "
+    "~4-epoch value-decay threshold); alloc_tokens = the capped "
+    "integer allocation, data_constrained flags sources whose demand "
+    "exceeds the cap, shortfall_tokens is the unmet demand a second "
+    "water-filling round would redistribute (reported as data, not "
+    "silently re-normalized — the planner's honesty contract).  "
+    "Determinism: requested derives from the 1e-6-SNAPPED share "
+    "(identical doubles cross-engine) times an exact BIGINT budget; "
+    "epochs ratios are divisions of identical longs snapped 4-dp "
+    "floor-form; integer allocations and flags are pure BIGINT "
+    "arithmetic.  Scale: one partial-aggregated corpus pass to "
+    "O(#sources) rows; everything downstream is driver-scale.  The "
+    "table pipeline_write_shards consumes when an epoch's shard set "
+    "must respect per-source repeat caps.",
+)
+def pipeline_epoch_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    per_src = (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+        .withColumn(
+            "s6",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    tot = per_src.groupBy().agg(
+        F.sum("n_tokens").cast("long").alias("n_total"),
+        F.sum("s6").cast("long").alias("s6_total"),
+    )
+    share = (
+        F.floor(
+            F.col("s6").cast("double") / F.col("s6_total") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    j = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        share.alias("target_share"),
+        (F.lit(EPOCH_BUDGET_MULT) * F.col("n_total"))
+        .cast("long")
+        .alias("budget"),
+    )
+    r = j.select(
+        "source",
+        "n_tokens",
+        "target_share",
+        F.floor(F.col("budget") * F.col("target_share") + F.lit(0.5))
+        .cast("long")
+        .alias("requested_tokens"),
+    )
+    epochs = (
+        F.floor(
+            F.col("requested_tokens").cast("double")
+            / F.col("n_tokens")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    cap = F.lit(EPOCH_MAX_REPEATS) * F.col("n_tokens")
+    return r.select(
+        "source",
+        "n_tokens",
+        "target_share",
+        "requested_tokens",
+        epochs.alias("epochs_needed"),
+        F.least(epochs, F.lit(float(EPOCH_MAX_REPEATS))).alias(
+            "repeat_factor"
+        ),
+        F.least(F.col("requested_tokens"), cap)
+        .cast("long")
+        .alias("alloc_tokens"),
+        (F.col("requested_tokens") > cap).alias("data_constrained"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("requested_tokens") - cap).cast("long"),
+        ).alias("shortfall_tokens"),
+    ).orderBy("source")
+
+
 @query(
     "sample_source_kl",
     f"""
