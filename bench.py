@@ -128,6 +128,7 @@ SF1_EXTRA = [
     "dedup_exact_index_refresh",      # r12 exact-hash maintenance: posting-list refresh with first_id re-election
     "text_nb_model_refresh",          # r12 NB count-merge retrain: additive sufficient statistics, guarded swap
     "decontaminate_index_refresh",    # r12 bench-suite maintenance: shingle postings, retirement with co-owner survival
+    "pipeline_epoch_plan",            # r12 data-constrained epoch planner: one partial-agg pass to O(#sources) rows
 ]
 
 
