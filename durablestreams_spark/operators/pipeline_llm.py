@@ -79,6 +79,20 @@ _DUCK_SHINGLE5 = """
 """
 
 
+def _contam_flag_ctes(p: str = "") -> str:
+    """The contamination-flag CTE triple (all shingles -> bench
+    shingles -> contaminated doc_ids), shared verbatim by every
+    graded consumer — the fused live gate, the economics report, and
+    the batch curation run — so no two queries can disagree on what
+    'contaminated' means; ``p`` prefixes the CTE names to avoid
+    collisions."""
+    return f"""{p}shing AS ({_DUCK_SHINGLE5}),
+    {p}bsh AS (SELECT DISTINCT sh FROM {p}shing
+            WHERE doc_id % {_BENCH_MOD} = 0),
+    {p}cflag AS (SELECT DISTINCT c.doc_id
+              FROM {p}shing c JOIN {p}bsh b USING (sh))"""
+
+
 @query(
     "text_decontaminate",
     f"""

@@ -2707,17 +2707,7 @@ from .pipeline_llm import (  # noqa: E402
 )
 
 
-def _contam_flag_ctes(p: str = "") -> str:
-    """The contamination-flag CTE triple (all shingles -> bench
-    shingles -> contaminated doc_ids), shared verbatim by the fused
-    gate oracle and the economics-report oracle so the two graded
-    queries cannot disagree on what 'contaminated' means; ``p``
-    prefixes the CTE names to avoid collisions."""
-    return f"""{p}shing AS ({_GL_SHINGLE5}),
-    {p}bsh AS (SELECT DISTINCT sh FROM {p}shing
-            WHERE doc_id % {_GL_BENCH_MOD} = 0),
-    {p}cflag AS (SELECT DISTINCT c.doc_id
-              FROM {p}shing c JOIN {p}bsh b USING (sh))"""
+from .pipeline_llm import _contam_flag_ctes  # noqa: E402,F401
 
 
 #: ONE oracle for the fused live gate and its kill-and-resume twin:

@@ -2111,6 +2111,129 @@ def pipeline_curate_v3(spark, sf_dir):
 
 # Shared Gumbel SQL — one definition with sample_dsir_resample.
 from .pipeline_llm import gumbel_sql  # noqa: E402
+from .pipeline_llm import _contam_flag_ctes as _v4_contam_ctes  # noqa: E402
+
+
+@query(
+    "pipeline_curate_v4",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    {_v4_contam_ctes("v4")},
+    s AS (
+        SELECT n.doc_id, d.source, mm.n_words,
+               md5(d.text) AS content_hash, n.nb_logit
+        FROM nbs n
+        JOIN documents d USING (doc_id)
+        JOIN m mm USING (doc_id)
+        LEFT JOIN v4cflag cf ON cf.doc_id = n.doc_id
+        WHERE cf.doc_id IS NULL
+    ),
+    cuts AS (
+        SELECT source,
+               floor(quantile_cont(nb_logit, 1.0/3) * 10000 + 0.5) / 10000
+                   AS cut
+        FROM s GROUP BY source
+    ),
+    kept AS (
+        SELECT s.* FROM s JOIN cuts c USING (source)
+        WHERE s.nb_logit > c.cut
+    ),
+    canon AS (
+        SELECT doc_id, source, n_words
+        FROM (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                           ORDER BY doc_id) AS rn
+              FROM kept)
+        WHERE rn = 1
+    )
+    SELECT {_SPLIT_CASE} AS split, source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens
+    FROM canon
+    GROUP BY 1, 2
+    """,
+    doc="END-TO-END curation with DECONTAMINATION — the batch twin of "
+    "the round-12 fused live gate, so batch curation and live "
+    "admission agree on all five signals: NB quality scoring (the "
+    "shared _NB_SCORED_CTES model) → drop every document sharing a "
+    "5-gram shingle with the benchmark suite (the SHARED "
+    "_contam_flag_ctes definition — eval members self-hit and drop, "
+    "never train on the eval set) → per-source worst-tercile drop by "
+    "logit with cuts computed OVER THE DECONTAMINATED SURVIVORS "
+    "(contaminated docs must not shape the quality distribution — "
+    "the stage-ordering decision a real pipeline makes) → min-id "
+    "content-hash dedup → md5 split datasheet.  Every stage reuses "
+    "its standalone graded definition (curate_v3's machinery plus "
+    "the decontamination gate's flag CTEs).  Scale: the bench "
+    "shingle set is eval-suite-sized so its broadcast is always "
+    "legal; the decon drop is one broadcast join + left-anti before "
+    "any expensive shuffle; everything downstream inherits v3's "
+    "bounded shapes (O(#sources) cuts, digest-key window, partial-agg "
+    "datasheet).  Each stage drops data before the next shuffle.",
+)
+def pipeline_curate_v4(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+    docs = table(spark, sf_dir, "documents")
+    bench_sh = (
+        _shingle5_arrays(docs.where(F.col("doc_id") % _BENCH_MOD == 0))
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    cflag = (
+        _shingle5_arrays(docs)
+        .select("doc_id", F.explode("shs").alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    scored = text_quality_classifier_nb(spark, sf_dir).select(
+        "doc_id", "nb_logit"
+    )
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.md5("text").alias("content_hash"),
+    )
+    # decontaminate BEFORE the cuts aggregate, then materialize once
+    # for its two consumers (the curate_v3 localCheckpoint pattern).
+    s = (
+        scored.join(meta, "doc_id")
+        .join(cflag, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    cuts = s.groupBy(F.col("source").alias("_cut_src")).agg(
+        (
+            F.floor(F.expr("percentile(nb_logit, 1.0D/3)") * 10000 + 0.5)
+            / 10000
+        ).alias("cut")
+    )
+    kept = (
+        s.join(F.broadcast(cuts), F.col("source") == F.col("_cut_src"))
+        .where(F.col("nb_logit") > F.col("cut"))
+        .drop("_cut_src", "cut")
+    )
+    canon = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        canon.select(_split_col().alias("split"), "source", "n_words")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_tokens"),
+        )
+    )
 
 
 @query(
