@@ -129,6 +129,7 @@ SF1_EXTRA = [
     "text_nb_model_refresh",          # r12 NB count-merge retrain: additive sufficient statistics, guarded swap
     "decontaminate_index_refresh",    # r12 bench-suite maintenance: shingle postings, retirement with co-owner survival
     "pipeline_epoch_plan",            # r12 data-constrained epoch planner: one partial-agg pass to O(#sources) rows
+    "pipeline_curate_v4",             # r12 five-signal batch curation: decon drop before the per-source quality cuts
 ]
 
 
