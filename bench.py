@@ -130,6 +130,7 @@ SF1_EXTRA = [
     "decontaminate_index_refresh",    # r12 bench-suite maintenance: shingle postings, retirement with co-owner survival
     "pipeline_epoch_plan",            # r12 data-constrained epoch planner: one partial-agg pass to O(#sources) rows
     "pipeline_curate_v4",             # r12 five-signal batch curation: decon drop before the per-source quality cuts
+    "streaming_token_budget_monitor", # r12 live budget burn-down: five-signal admission + plan-allocation broadcast, O(#sources) state
 ]
 
 

@@ -3384,6 +3384,190 @@ def streaming_ingest_report(spark, sf_dir):
     return _drain(agg, "complete")
 
 
+from .pipeline_llm import (  # noqa: E402
+    EPOCH_BUDGET_MULT as _TB_BUDGET_MULT,
+    EPOCH_MAX_REPEATS as _TB_MAX_REPEATS,
+)
+
+
+@query(
+    "streaming_token_budget_monitor",
+    f"""
+    WITH {_NB_SCORED_CTES},
+    {_SIMHASH_CTES.strip()},
+    tbands AS (
+        SELECT doc_id, simhash, b.b AS band_id,
+               (simhash // (1::BIGINT << ({_ND_BITS} * b.b)))
+                   % {1 << _ND_BITS} AS band_key
+        FROM sig, (SELECT UNNEST(generate_series(0, {_ND_BANDS - 1})) AS b) b
+    ),
+    tflag AS (
+        SELECT DISTINCT a.doc_id
+        FROM tbands a
+        JOIN tbands p ON a.band_id = p.band_id
+                     AND a.band_key = p.band_key
+                     AND p.doc_id < a.doc_id
+        WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
+    ),
+    {_contam_flag_ctes("tb")},
+    hx AS (SELECT md5(text) AS h, min(doc_id) AS first_id
+           FROM documents GROUP BY 1),
+    adm AS (
+        SELECT d.source, mm.n_words
+        FROM documents d
+        JOIN hx x ON md5(d.text) = x.h
+        JOIN nbs n ON n.doc_id = d.doc_id
+        JOIN m mm ON mm.doc_id = d.doc_id
+        LEFT JOIN tflag f ON f.doc_id = d.doc_id
+        LEFT JOIN tbcflag cf ON cf.doc_id = d.doc_id
+        WHERE NOT (x.first_id < d.doc_id)
+          AND f.doc_id IS NULL AND cf.doc_id IS NULL
+          AND n.gopher_keep AND n.nb_logit > 0
+    ),
+    spent AS (
+        SELECT source, CAST(sum(n_words) AS BIGINT) AS admitted_tokens
+        FROM adm GROUP BY source
+    ),
+    ep_doc AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    ep_src AS (
+        SELECT source,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS s6
+        FROM ep_doc GROUP BY source
+    ),
+    ep_tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+                      CAST(sum(s6) AS BIGINT) AS s6_total FROM ep_src),
+    plan AS (
+        SELECT source,
+               least(CAST(floor(CAST({_TB_BUDGET_MULT} * n_total AS BIGINT)
+                                * (floor(CAST(s6 AS DOUBLE) / s6_total
+                                         * 1000000 + 0.5) / 1000000)
+                                + 0.5) AS BIGINT),
+                     {_TB_MAX_REPEATS} * n_tokens) AS alloc_tokens
+        FROM ep_src, ep_tot
+    )
+    SELECT p.source,
+           CAST(coalesce(sp.admitted_tokens, 0) AS BIGINT)
+               AS admitted_tokens,
+           p.alloc_tokens,
+           floor(CAST(coalesce(sp.admitted_tokens, 0) AS DOUBLE)
+                 / p.alloc_tokens * 1000000 + 0.5) / 1000000
+               AS utilization,
+           CAST(p.alloc_tokens - coalesce(sp.admitted_tokens, 0) AS BIGINT)
+               AS remaining_tokens
+    FROM plan p LEFT JOIN spent sp USING (source)
+    """,
+    doc="LIVE token-budget burn-down — the monitor that closes the "
+    "planner loop (pipeline_epoch_plan says how many tokens each "
+    "source may contribute; THIS watches the firehose spend it): "
+    "each arriving document carries the full five-signal admission "
+    "verdict (the streaming_ingest_report machinery — persisted "
+    "hash/near-dup/contamination flag indexes, row-local Gopher, "
+    "served NB logit), and admitted documents' token counts roll up "
+    "per source in a complete-mode aggregation joined BEFORE the "
+    "rollup against the plan's O(#sources) allocation table "
+    "(stream-static broadcast, so the aggregation emits utilization "
+    "and remaining budget directly — a join after a streaming "
+    "aggregation would be an unsupported topology).  One corpus "
+    "replay fills ~a quarter to half of the multi-epoch allocation, "
+    "so utilization and remaining_tokens are non-trivial per-source "
+    "data; state stays O(#sources) forever.  Determinism: admitted "
+    "sums are exact BIGINTs over the shared n_words definition; "
+    "alloc derives from the plan's snapped-share arithmetic; "
+    "utilization is a floor-snapped ratio of identical integers.",
+)
+def streaming_token_budget_monitor(spark, sf_dir):
+    from .pipeline_llm import pipeline_epoch_plan
+    from .text import (
+        _gopher_keep_curate_col,
+        _gopher_metrics,
+        _nb_feats_array,
+    )
+
+    lam, pri = _nb_serving_model(spark, sf_dir)
+    hx = _exact_hash_index(spark, sf_dir)
+    ndf = _neardup_flag_index(spark, sf_dir).withColumn("nd", F.lit(True))
+    cfl = _contamination_flag_index(spark, sf_dir).withColumn(
+        "cont", F.lit(True)
+    )
+    plan = pipeline_epoch_plan(spark, sf_dir).select(
+        F.col("source").alias("_plan_src"), "alloc_tokens"
+    )
+    src = _docs_stream_spread(spark, sf_dir)
+    m = _gopher_metrics(src, keep_words=True, extra_cols=("text", "source"))
+    ann = m.select(
+        "doc_id",
+        "source",
+        F.size("wrds").cast("long").alias("n_words"),
+        F.md5("text").alias("h"),
+        _gopher_keep_curate_col().alias("gopher_keep"),
+        _nb_feats_array(F.col("wrds")).alias("feats"),
+    ).where(F.size("feats") > 0)
+    scored = ann.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "h",
+        "gopher_keep",
+        _nb_logit_col(F.col("feats"), lam, pri).alias("nb_logit"),
+    )
+    flagged = (
+        scored.join(hx, "h")
+        .join(ndf, "doc_id", "left")
+        .join(cfl, "doc_id", "left")
+        # plan attach BEFORE the aggregation (broadcast O(#sources)):
+        # a stream-static join after a streaming aggregation is an
+        # unsupported topology, and the rollup can carry alloc via
+        # max() since it is constant per source.
+        .join(
+            F.broadcast(plan), F.col("source") == F.col("_plan_src")
+        )
+        .select(
+            "source",
+            "n_words",
+            "alloc_tokens",
+            (
+                ~(F.col("first_id") < F.col("doc_id"))
+                & ~F.coalesce("nd", F.lit(False))
+                & ~F.coalesce("cont", F.lit(False))
+                & F.col("gopher_keep")
+                & (F.col("nb_logit") > 0)
+            ).alias("admitted"),
+        )
+    )
+    spent = F.sum(
+        F.when(F.col("admitted"), F.col("n_words")).otherwise(F.lit(0))
+    ).cast("long")
+    agg = flagged.groupBy("source").agg(
+        spent.alias("admitted_tokens"),
+        F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+    )
+    out = agg.select(
+        "source",
+        "admitted_tokens",
+        "alloc_tokens",
+        (
+            F.floor(
+                F.col("admitted_tokens").cast("double")
+                / F.col("alloc_tokens")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("utilization"),
+        (F.col("alloc_tokens") - F.col("admitted_tokens"))
+        .cast("long")
+        .alias("remaining_tokens"),
+    )
+    return _drain(out, "complete")
+
+
 def _bench_shingle_index_path(spark, sf_dir) -> str:
     """Persisted benchmark 5-gram shingle index — the eval-suite
     artifact the LIVE decontamination gate broadcasts: the DISTINCT
