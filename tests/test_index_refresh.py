@@ -572,8 +572,6 @@ def test_bench_refresh_never_rereads_the_suite_text(spark, tmp_path):
         .agg(F.countDistinct("doc_id").alias("n"))
         .collect()
     }
-    import hashlib  # noqa: F401  (parallel with sibling tests)
-
     # the shared doc's shingles survive at ownership 1
     first_shared = " ".join(shared.split()[:5])
     assert owners.get(first_shared) == 1, owners.get(first_shared)
