@@ -605,14 +605,17 @@ _PACK_CTES = f"""
 """
 
 
-def _pack_from_counts(t):
+def _pack_from_counts(t, order_cols=("doc_id",)):
     """The concat-and-chunk pack over per-doc token-count rows
     ``(doc_id, shard, n_tok)`` — factored so the LIVE epoch writer
     (streaming_write_shards) packs its accumulated arrivals through
-    the SAME rule as the batch corpus pack."""
+    the SAME rule as the batch corpus pack.  ``order_cols`` is the
+    within-shard concatenation order (the budgeted epoch writer packs
+    epoch-major: all of epoch 0, then epoch 1, ... — so repeats of a
+    doc land in distinct training sequences)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+    w = W.partitionBy("shard").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     c = t.withColumn("cum", F.sum("n_tok").over(w))
@@ -2182,4 +2185,329 @@ def pipeline_write_shards_payload(spark, sf_dir):
             "content_fp",
         )
         .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted epoch-plan EXECUTION (the planner's actuator).
+#
+# Token unit contract (the plan/writer/monitor honesty decision): the
+# epoch planner allocates in WHITESPACE tokens (pipeline_epoch_plan's
+# n_tok), so the budgeted writer delivers and truncates in the SAME
+# whitespace-token unit, and streaming_token_budget_monitor burns the
+# same unit down.  The BPE payload writer is a different product
+# (token-ID arrays) and carries its own BPE counts; a run shipping BPE
+# payloads against this plan must re-plan in BPE units — the unit is
+# part of the plan's identity, never silently converted.
+# ---------------------------------------------------------------------------
+
+#: Plan CTEs shared by the budgeted writer's and delivery report's
+#: oracles — the EXACT integer/snapped arithmetic of
+#: pipeline_epoch_plan (same s6 grid, same BIGINT budget, same cap),
+#: reduced to the columns the actuator consumes.  ``reps`` splits the
+#: allocation into whole epochs and a fractional remainder by pure
+#: BIGINT division, so both engines agree exactly.
+_EPOCH_REPS_CTES = f"""per_doc_tok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS s6
+        FROM per_doc_tok GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+                   CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src),
+    plan AS (
+        SELECT source, n_tokens,
+               least(CAST(floor(CAST({EPOCH_BUDGET_MULT} * n_total AS BIGINT)
+                                * (floor(CAST(s6 AS DOUBLE) / s6_total
+                                         * 1000000 + 0.5) / 1000000)
+                                + 0.5) AS BIGINT),
+                     {EPOCH_MAX_REPEATS} * n_tokens) AS alloc_tokens
+        FROM per_src, tot
+    ),
+    reps AS (
+        SELECT source, n_tokens, alloc_tokens,
+               alloc_tokens // n_tokens AS full_epochs,
+               alloc_tokens % n_tokens AS rem_tokens
+        FROM plan
+    )"""
+
+#: Delivered-row CTEs shared by both budgeted oracles: every doc of a
+#: source repeated once per whole epoch (epoch-id 0..full_epochs-1,
+#: full n_tok each), plus ONE fractional epoch (epoch-id =
+#: full_epochs) filled in md5-shuffled doc order until exactly
+#: rem_tokens are delivered — the boundary doc is TRUNCATED (delivers
+#: rem - cum_before tokens), so per-source delivered ≡ alloc_tokens
+#: as an integer identity, not an approximation.
+_BUDGETED_ROWS_CTES = f"""{_EPOCH_REPS_CTES},
+    epochs AS (SELECT UNNEST(range({EPOCH_MAX_REPEATS})) AS epoch),
+    full_rows AS (
+        SELECT d.doc_id, d.source, e.epoch, d.n_tok
+        FROM per_doc_tok d JOIN reps r USING (source)
+        JOIN epochs e ON e.epoch < r.full_epochs
+    ),
+    frac_cum AS (
+        SELECT d.doc_id, d.source, r.full_epochs AS epoch, d.n_tok,
+               r.rem_tokens,
+               sum(d.n_tok) OVER (
+                   PARTITION BY d.source
+                   ORDER BY substr(md5(d.source || ':'
+                                       || CAST(d.doc_id AS VARCHAR)
+                                       || ':epoch:{SHARD_SEED}'), 1, 16),
+                            d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM per_doc_tok d JOIN reps r USING (source)
+        WHERE r.rem_tokens > 0
+    ),
+    frac_rows AS (
+        SELECT doc_id, source, epoch,
+               CASE WHEN cum <= rem_tokens THEN n_tok
+                    ELSE rem_tokens - (cum - n_tok) END AS n_tok
+        FROM frac_cum
+        WHERE cum - n_tok < rem_tokens
+          AND (CASE WHEN cum <= rem_tokens THEN n_tok
+                    ELSE rem_tokens - (cum - n_tok) END) > 0
+    ),
+    delivered AS (
+        SELECT doc_id, source, epoch, n_tok FROM full_rows
+        UNION ALL
+        SELECT doc_id, source, epoch, n_tok FROM frac_rows
+    )"""
+
+
+def _budgeted_doc_rows(spark, sf_dir):
+    """(doc_id, source, epoch, n_tok) delivered rows materializing the
+    epoch plan — the Spark twin of ``_BUDGETED_ROWS_CTES``.
+
+    Scale shape: the plan side is O(#sources) and broadcast; whole-
+    epoch replication is a broadcast join against a 4-row epoch table
+    (never a corpus self-union); the fractional epoch's per-source
+    ordered cumsum runs the two-phase 256-bucket plan (per-(source,
+    bucket) windows + broadcast bucket-prefix offsets from an
+    O(#sources x 256) rollup) — no per-source global sort window, the
+    same shape sample_token_budget pins."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    per_doc = docs.select(
+        "doc_id", "source", n_tok.cast("long").alias("n_tok")
+    )
+    reps = pipeline_epoch_plan(spark, sf_dir).select(
+        "source",
+        "alloc_tokens",
+        F.expr("alloc_tokens DIV n_tokens").alias("full_epochs"),
+        (F.col("alloc_tokens") % F.col("n_tokens")).alias("rem_tokens"),
+    )
+    joined = per_doc.join(F.broadcast(reps), "source")
+    epochs = spark.range(EPOCH_MAX_REPEATS).select(
+        F.col("id").alias("epoch")
+    )
+    full_rows = (
+        joined.join(F.broadcast(epochs), F.col("epoch") < F.col("full_epochs"))
+        .select("doc_id", "source", "epoch", "n_tok")
+    )
+    u = F.substring(
+        F.md5(
+            F.concat(
+                F.col("source"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+                F.lit(f":epoch:{SHARD_SEED}"),
+            )
+        ),
+        1,
+        16,
+    )
+    d = (
+        joined.where(F.col("rem_tokens") > 0)
+        .withColumn("u", u)
+        .withColumn("bucket", F.substring("u", 1, 2))
+    )
+    btot = d.groupBy("source", "bucket").agg(F.sum("n_tok").alias("btok"))
+    # O(#sources x 256) rows: bounded per-source ordered window.
+    wb = W.partitionBy("source").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    bases = btot.select(
+        "source",
+        "bucket",
+        (F.sum("btok").over(wb) - F.col("btok")).alias("base"),
+    )
+    wd = W.partitionBy("source", "bucket").orderBy("u", "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.col("base") + F.sum("n_tok").over(wd)
+    deliv = (
+        F.when(F.col("cum") <= F.col("rem_tokens"), F.col("n_tok"))
+        .otherwise(F.col("rem_tokens") - (F.col("cum") - F.col("n_tok")))
+        .cast("long")
+    )
+    frac_rows = (
+        d.join(F.broadcast(bases), ["source", "bucket"])
+        .withColumn("cum", cum)
+        .where(F.col("cum") - F.col("n_tok") < F.col("rem_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("full_epochs").alias("epoch"),
+            deliv.alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    return full_rows.unionByName(frac_rows)
+
+
+def _write_shards_budgeted(spark, sf_dir, root: str | None = None):
+    """The budgeted shard writer: the epoch plan's delivered rows
+    packed epoch-major through the shared concat-and-chunk rule, then
+    through _write_shards' seeded-shuffle / two-phase-rank / cache-
+    marker machinery verbatim (own artifact root, own params)."""
+
+    def seqs():
+        rows = _budgeted_doc_rows(spark, sf_dir).select(
+            "doc_id",
+            "epoch",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            "n_tok",
+        )
+        return _pack_from_counts(rows, order_cols=("epoch", "doc_id"))
+
+    return _write_shards(
+        spark,
+        sf_dir,
+        root=root,
+        seqs_fn=seqs,
+        root_base="/tmp/durablestreams_shards_budgeted_v1",
+        params=(
+            f"budgeted:pack{PACK_SEQ_LEN}x{PACK_SHARDS}:ws{WRITE_SHARDS}"
+            f":seed{SHARD_SEED}:b{EPOCH_BUDGET_MULT}:r{EPOCH_MAX_REPEATS}:v1"
+        ),
+    )
+
+
+@query(
+    "pipeline_write_shards_budgeted",
+    f"""
+    WITH {_BUDGETED_ROWS_CTES},
+    t AS (
+        SELECT doc_id, epoch, doc_id % {PACK_SHARDS} AS shard, n_tok
+        FROM delivered
+    ),
+    c AS (
+        SELECT doc_id, epoch, shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY epoch, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM t
+    ),
+    packed AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tok) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_in
+        FROM c GROUP BY shard, seq_id
+    ),
+    {_SHARD_RANK_SQL}
+    SELECT CAST(shard_out AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST('0x' || substr(
+               md5(key || ':' || CAST(rank AS VARCHAR)), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_fp
+    FROM assigned
+    GROUP BY shard_out
+    ORDER BY shard_id
+    """,
+    doc="The epoch plan's ACTUATOR (VERDICT r12 task 1) — the shard "
+    "set that MATERIALIZES pipeline_epoch_plan: every source's docs "
+    "repeated once per whole allocated epoch (pure BIGINT "
+    "alloc_tokens DIV n_tokens — never the 4-dp display "
+    "repeat_factor), plus one fractional epoch filled in seeded-md5 "
+    "doc order and TRUNCATED at the boundary doc so per-source "
+    "delivered tokens ≡ alloc_tokens exactly (integer identity, "
+    "graded by pipeline_budgeted_delivery).  Delivered (doc, epoch) "
+    "rows pack epoch-major through the shared concat-and-chunk rule "
+    "and ship through _write_shards' seeded deterministic shuffle + "
+    "two-phase 256-bucket exact rank + cache-marker persistence "
+    "verbatim; the graded manifest is read back FROM THE WRITTEN "
+    "FILES (position-sensitive (key, rank) content fingerprint, so "
+    "a writer that drops, duplicates, misorders or misassigns one "
+    "sequence is a hash mismatch).  Unit contract: plan, writer and "
+    "live monitor all count WHITESPACE tokens — the unit is part of "
+    "the plan's identity (see module note).  Scale: whole-epoch "
+    "replication is a broadcast join against a 4-row epoch table; "
+    "the fractional fill is the two-phase bucket-rank plan "
+    "per source (no global sort); packing is one hash shuffle.  "
+    "Constrained (rem=0) and unconstrained (truncating) sources both "
+    "present in the fixture by construction.  Reference capability: "
+    "none — north star (Muennighoff et al. 2023 epoch scheduling, "
+    "executed).",
+)
+def pipeline_write_shards_budgeted(spark, sf_dir):
+    return _shards_manifest(_write_shards_budgeted(spark, sf_dir))
+
+
+@query(
+    "pipeline_budgeted_delivery",
+    f"""
+    WITH {_BUDGETED_ROWS_CTES}
+    SELECT r.source,
+           CAST(r.alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(sum(d.n_tok) AS BIGINT) AS delivered_tokens,
+           CAST(r.full_epochs AS BIGINT) AS full_epochs,
+           CAST(count(*) FILTER (WHERE d.epoch = r.full_epochs)
+                AS BIGINT) AS n_frac_docs,
+           (sum(d.n_tok) = r.alloc_tokens) AS budget_met
+    FROM delivered d JOIN reps r USING (source)
+    GROUP BY r.source, r.alloc_tokens, r.full_epochs
+    ORDER BY r.source
+    """,
+    doc="Delivery audit of the budgeted shard writer — the graded "
+    "proof that the actuator honors the plan: per source, the plan's "
+    "alloc_tokens next to the writer's actually-delivered token sum "
+    "(over the SAME delivered rows the shards pack), the whole-epoch "
+    "count, the fractional-epoch doc count, and budget_met — "
+    "delivered ≡ alloc as an INTEGER equality column the hash gate "
+    "pins TRUE for every source (truncating the boundary doc makes "
+    "it an identity, not a tolerance).  One partial-aggregated pass "
+    "over the delivered rows to O(#sources) output.",
+)
+def pipeline_budgeted_delivery(spark, sf_dir):
+    rows = _budgeted_doc_rows(spark, sf_dir)
+    reps = pipeline_epoch_plan(spark, sf_dir).select(
+        "source",
+        "alloc_tokens",
+        F.expr("alloc_tokens DIV n_tokens").alias("full_epochs"),
+    )
+    # Conditional count keeps rem=0 (constrained) sources in the
+    # output with n_frac_docs=0 — they have no fractional-epoch rows.
+    return (
+        rows.join(F.broadcast(reps), "source")
+        .groupBy("source", "alloc_tokens", "full_epochs")
+        .agg(
+            F.sum("n_tok").cast("long").alias("delivered_tokens"),
+            F.sum(
+                F.when(F.col("epoch") == F.col("full_epochs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_frac_docs"),
+        )
+        .select(
+            "source",
+            F.col("alloc_tokens").cast("long").alias("alloc_tokens"),
+            "delivered_tokens",
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            "n_frac_docs",
+            (F.col("delivered_tokens") == F.col("alloc_tokens")).alias(
+                "budget_met"
+            ),
+        )
+        .orderBy("source")
     )

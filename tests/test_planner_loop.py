@@ -87,3 +87,91 @@ def test_budget_monitor_tracks_the_plan(spark):
         assert abs(r["utilization"] - want_util) < 1e-12, r
         # one corpus replay cannot exceed a 4x-budget allocation
         assert 0 <= r["utilization"] < 1, r
+
+
+def test_budgeted_writer_delivers_exactly_the_plan(spark):
+    """The actuator's core identity: per-source delivered whitespace
+    tokens == the plan's alloc_tokens for EVERY source (the boundary
+    doc is truncated, so this is integer equality, not tolerance),
+    with both constrained (no fractional epoch) and unconstrained
+    (truncating fractional epoch) sources present in the fixture."""
+    qs = all_queries()
+    plan = {
+        r["source"]: r["alloc_tokens"]
+        for r in qs["pipeline_epoch_plan"].fn(spark, SF_DIR).collect()
+    }
+    rows = qs["pipeline_budgeted_delivery"].fn(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(plan)
+    for r in rows:
+        assert r["budget_met"], r
+        assert r["delivered_tokens"] == plan[r["source"]], r
+    frac_classes = {r["n_frac_docs"] == 0 for r in rows}
+    assert frac_classes == {True, False}, (
+        "fixture must exercise both the rem=0 (constrained) and the "
+        "truncating-fractional paths"
+    )
+
+
+def test_budgeted_writer_rerun_is_byte_identical(spark, tmp_path):
+    """Two independent builds (separate artifact roots, no shared
+    cache) must produce the identical budgeted shard set — the
+    seeded-shuffle reproducibility contract extended to the
+    epoch-repeated corpus."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _write_shards_budgeted,
+    )
+
+    cols = ["shard_out", "rank", "key", "shard", "seq_id", "n_tokens_in"]
+    a = sorted(
+        map(
+            tuple,
+            _write_shards_budgeted(spark, SF_DIR, root=str(tmp_path / "a"))
+            .select(*cols)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            _write_shards_budgeted(spark, SF_DIR, root=str(tmp_path / "b"))
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_budgeted_writer_repeats_epoch_major(spark):
+    """A constrained source's docs appear exactly full_epochs times in
+    the delivered rows, an unconstrained source's boundary doc is
+    truncated (0 < delivered < its full n_tok), and total delivered
+    across sources equals the plan's total allocation."""
+    from pyspark.sql import functions as F
+
+    from durablestreams_spark.operators.pipeline_llm import (
+        _budgeted_doc_rows,
+        pipeline_epoch_plan,
+    )
+
+    rows = _budgeted_doc_rows(spark, SF_DIR)
+    plan = pipeline_epoch_plan(spark, SF_DIR).collect()
+    alloc = {r["source"]: r["alloc_tokens"] for r in plan}
+    full = {
+        r["source"]: r["alloc_tokens"] // r["n_tokens"] for r in plan
+    }
+    rem = {r["source"]: r["alloc_tokens"] % r["n_tokens"] for r in plan}
+    per_doc = (
+        rows.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .collect()
+    )
+    for r in per_doc:
+        # every doc appears at least full_epochs times, at most +1
+        # (the fractional epoch), and for rem=0 sources exactly
+        # full_epochs times
+        assert full[r["source"]] <= r["n_copies"] <= full[r["source"]] + 1, r
+        if rem[r["source"]] == 0:
+            assert r["n_copies"] == full[r["source"]], r
+    total = rows.agg(F.sum("n_tok")).collect()[0][0]
+    assert total == sum(alloc.values())
