@@ -3348,6 +3348,18 @@ def _five_signal_stream(spark, sf_dir):
     token-budget monitor so two graded dashboards cannot drift on what
     'admitted' means (the review's _contam_flag_ctes rule applied to
     the Spark side)."""
+    return _five_signal_annotate(
+        spark, sf_dir, _docs_stream_spread(spark, sf_dir)
+    )
+
+
+def _five_signal_annotate(spark, sf_dir, src):
+    """The five-signal annotation over ANY (doc_id, text, source)
+    frame — streaming (the economics report / budget monitor) or
+    static (the budget gate's per-batch arrivals and its pre-stream
+    allocation pass).  Every signal is a row-local expression or a
+    1:1 lookup against a persisted flag index, so the same code is
+    legal on both sides."""
     from .text import (
         _gopher_keep_curate_col,
         _gopher_metrics,
@@ -3362,7 +3374,6 @@ def _five_signal_stream(spark, sf_dir):
     cfl = _contamination_flag_index(spark, sf_dir).withColumn(
         "cont", F.lit(True)
     )
-    src = _docs_stream_spread(spark, sf_dir)
     m = _gopher_metrics(
         src, keep_words=True, extra_cols=("text", "source")
     )
@@ -3561,6 +3572,355 @@ def streaming_token_budget_monitor(spark, sf_dir):
         .alias("remaining_tokens"),
     )
     return _drain(out, "complete")
+
+
+#: Audit facts of the last streaming_ingest_gate_budget run.
+_GATE_BUDGET_LAST_RUN: dict = {}
+
+#: The budget gate's replay depth: one epoch MORE than any source's
+#: repeat cap, so every source with a nonzero quality allocation is
+#: GUARANTEED to exhaust its budget mid-run at any scale factor (the
+#: rung must bite by construction, never by fixture luck).
+_BUDGET_REPLAYS = _TB_MAX_REPEATS + 1
+
+
+def _budget_alloc_table(spark, sf_dir):
+    """O(#sources) per-source token allocation for the budget gate:
+    pipeline_epoch_plan's EXACT arithmetic (s6 integer grid, snapped
+    share, BIGINT budget, repeat cap) applied to the gate window's
+    QUALITY-SURVIVING tokens — plan over what you will actually train
+    on (curate-then-plan), which is also what makes enforcement bite:
+    alloc <= _TB_MAX_REPEATS x per-replay quality spend, and the
+    firehose replays one epoch more than that."""
+    delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
+    ann = _five_signal_annotate(spark, sf_dir, delta)
+    keep = (
+        ~F.col("exact_dup")
+        & ~F.col("near_dup")
+        & ~F.col("contaminated")
+        & F.col("gopher_keep")
+        & (F.col("nb_logit") > 0)
+    )
+    q = (
+        ann.where(keep)
+        .groupBy("source")
+        .agg(F.sum("n_words").cast("long").alias("q_tok"))
+        .withColumn(
+            "s6",
+            F.floor(
+                F.sqrt(F.col("q_tok").cast("double")) * 1000000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    tot = q.groupBy().agg(
+        F.sum("q_tok").cast("long").alias("q_total"),
+        F.sum("s6").cast("long").alias("s6_total"),
+    )
+    share = (
+        F.floor(
+            F.col("s6").cast("double") / F.col("s6_total") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    requested = F.floor(
+        (F.lit(_TB_BUDGET_MULT) * F.col("q_total")).cast("long") * share
+        + F.lit(0.5)
+    ).cast("long")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(requested, F.lit(_TB_MAX_REPEATS) * F.col("q_tok"))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+def _budget_gate_drain(spark, sf_dir, run_dir, audit):
+    """Drain the budget-enforcing admission topology: the gate window
+    (the ':ndlive' delta) is replayed _BUDGET_REPLAYS whole epochs
+    (one parquet file per epoch, maxFilesPerTrigger=1 — the
+    multi-epoch firehose), and foreachBatch decides EVERY arrival:
+    the five fused admission signals (1:1 lookups against the
+    persisted hash / near-dup / contamination flag indexes + the
+    row-local Gopher gate + the served NB logit), then the SIXTH
+    rung — budget_exhausted — from a deterministic cutoff: a
+    quality-surviving arrival is admitted iff the cumulative
+    quality-surviving tokens of its source in GLOBAL (epoch, doc_id)
+    order, including itself, stay within alloc_tokens.  Cross-epoch
+    spend comes from a per-epoch LEDGER (epoch-dir writes with the
+    before_epoch retry guard — the gate family's exactly-once
+    discipline); the within-batch part is a per-source window cumsum
+    in doc_id order.  The (epoch, doc_id) key makes the decision a
+    pure function of the data, independent of batching — the
+    batch-order-determinism the oracle replays."""
+    import time as _time
+
+    alloc = _budget_alloc_table(spark, sf_dir).collect()
+    alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
+    delta = (
+        table(spark, sf_dir, "documents")
+        .where(~_ndlive_base_pred())
+        .select("doc_id", "text", "source")
+    )
+    stream_dir = os.path.join(run_dir, "delta")
+    os.makedirs(stream_dir, exist_ok=True)
+    stage = os.path.join(run_dir, "_stage")
+    for e in range(_BUDGET_REPLAYS):
+        (
+            delta.withColumn("epoch", F.lit(e).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = [
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(stream_dir, f"epoch{e}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        # strictly increasing mtimes pin the file-source processing
+        # order to epoch order (the source sorts by timestamp)
+        t = _time.time() + e - _BUDGET_REPLAYS
+        os.utime(dst, (t, t))
+    ledger_path = os.path.join(run_dir, "ledger")
+    dec_path = os.path.join(run_dir, "decisions")
+
+    def _decide(batch_df, epoch_id):
+        from pyspark.sql import Window as W
+
+        sess = batch_df.sparkSession
+        epochs = [
+            r[0] for r in batch_df.select("epoch").distinct().collect()
+        ]
+        if len(epochs) != 1 or int(epochs[0]) != int(epoch_id):
+            # one file per trigger in mtime order means batch k IS
+            # epoch k; anything else silently breaks the ledger's
+            # "prior epochs" reads — fail loudly instead.
+            raise RuntimeError(
+                f"budget gate batch {epoch_id} carried epochs {epochs}"
+            )
+        ann = _five_signal_annotate(sess, sf_dir, batch_df)
+        keep = (
+            ~F.col("exact_dup")
+            & ~F.col("near_dup")
+            & ~F.col("contaminated")
+            & F.col("gopher_keep")
+            & (F.col("nb_logit") > 0)
+        )
+        al = sess.createDataFrame(
+            alloc_rows, "source string, alloc_tokens long"
+        )
+        prior = _epoch_read(sess, ledger_path, before_epoch=epoch_id)
+        if prior is None:
+            prior = sess.createDataFrame(
+                [], "source string, q_tok long"
+            )
+        prior = prior.groupBy("source").agg(
+            F.sum("q_tok").cast("long").alias("prior_tok")
+        )
+        w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        qtok = F.when(keep, F.col("n_words")).otherwise(F.lit(0))
+        dec = (
+            ann.withColumn("quality", keep)
+            .withColumn("wcum", F.sum(qtok).over(w))
+            .join(F.broadcast(al), "source", "left")
+            .join(F.broadcast(prior), "source", "left")
+            .withColumn(
+                "admitted",
+                F.col("quality")
+                & (
+                    F.coalesce("prior_tok", F.lit(0)) + F.col("wcum")
+                    <= F.col("alloc_tokens")
+                ),
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.lit(int(epoch_id)).cast("long").alias("epoch"),
+                "n_words",
+                "exact_dup",
+                "near_dup",
+                "contaminated",
+                "gopher_keep",
+                "nb_logit",
+                "quality",
+                F.coalesce("admitted", F.lit(False)).alias("admitted"),
+                F.coalesce("alloc_tokens", F.lit(0)).alias(
+                    "alloc_tokens"
+                ),
+            )
+        )
+        _epoch_write(dec, dec_path, epoch_id)
+        _epoch_write(
+            ann.where(keep)
+            .groupBy("source")
+            .agg(F.sum("n_words").cast("long").alias("q_tok")),
+            ledger_path,
+            epoch_id,
+        )
+
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, source string, epoch long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(_decide)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_audit(q, audit, ledger_path)
+    return dec_path
+
+
+@query(
+    "streaming_ingest_gate_budget",
+    f"""
+    WITH gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
+    nw AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_words
+        FROM documents
+    ),
+    gd AS (
+        SELECT g.doc_id, g.exact_dup, g.near_dup, g.contaminated,
+               g.gopher_keep, g.nb_logit, g.keep, n.source, n.n_words
+        FROM gate g JOIN nw n USING (doc_id)
+    ),
+    qsrc AS (
+        SELECT source, CAST(sum(n_words) AS BIGINT) AS q_tok,
+               CAST(floor(sqrt(CAST(sum(n_words) AS DOUBLE)) * 1000000
+                          + 0.5) AS BIGINT) AS s6
+        FROM gd WHERE keep GROUP BY source
+    ),
+    qtot AS (SELECT CAST(sum(q_tok) AS BIGINT) AS q_total,
+                    CAST(sum(s6) AS BIGINT) AS s6_total FROM qsrc),
+    qalloc AS (
+        SELECT source,
+               least(CAST(floor(CAST({_TB_BUDGET_MULT} * q_total AS BIGINT)
+                                * (floor(CAST(s6 AS DOUBLE) / s6_total
+                                         * 1000000 + 0.5) / 1000000)
+                                + 0.5) AS BIGINT),
+                     {_TB_MAX_REPEATS} * q_tok) AS alloc_tokens
+        FROM qsrc, qtot
+    ),
+    ep AS (SELECT UNNEST(range({_BUDGET_REPLAYS})) AS epoch),
+    arr AS (SELECT gd.*, e.epoch FROM gd CROSS JOIN ep e),
+    cum AS (
+        SELECT a.*, qa.alloc_tokens,
+               sum(CASE WHEN a.keep THEN a.n_words ELSE 0 END) OVER (
+                   PARTITION BY a.source ORDER BY a.epoch, a.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cumq
+        FROM arr a LEFT JOIN qalloc qa USING (source)
+    ),
+    dec AS (
+        SELECT *, (keep AND cumq <= alloc_tokens) AS admitted FROM cum
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_arrivals,
+           CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(sum(CASE WHEN NOT exact_dup AND near_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT contaminated AND NOT gopher_keep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT contaminated
+                              AND gopher_keep AND nb_logit <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_fail,
+           CAST(sum(CASE WHEN keep AND NOT admitted
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_budget_exhausted,
+           CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(sum(CASE WHEN admitted THEN n_words ELSE 0 END)
+                AS BIGINT) AS admitted_tokens,
+           CAST(coalesce(max(alloc_tokens), 0) AS BIGINT) AS alloc_tokens
+    FROM dec
+    GROUP BY source, epoch
+    ORDER BY source, epoch
+    """.replace("{GATE_LIVE}", _GATE_LIVE_SQL),
+    doc="BUDGET-ENFORCING admission — the fused gate's SIXTH decision "
+    "input (VERDICT r12 task 2): the gate window is replayed as a "
+    f"multi-epoch firehose ({_BUDGET_REPLAYS} whole epochs, one more "
+    "than the repeat cap, so every source with a nonzero allocation "
+    "EXHAUSTS its budget mid-run by construction at any scale "
+    "factor), and each arrival gets the five fused signals plus "
+    "budget_exhausted: a quality-surviving arrival is admitted iff "
+    "its source's cumulative quality tokens in GLOBAL (epoch, "
+    "doc_id) order stay within alloc_tokens — the plan arithmetic "
+    "(pipeline_epoch_plan's s6/snap/cap rules, SAME token unit: "
+    "whitespace) applied to the window's quality-surviving tokens, "
+    "i.e. plan over what you actually train on.  The cutoff is a "
+    "pure function of the data — cumulative sums are ordered by the "
+    "(epoch, doc_id) key the shard writer already uses, NEVER by "
+    "arrival, so batching cannot change a decision (the "
+    "determinism subtlety the task named); cross-epoch spend rides "
+    "the per-epoch ledger with the before_epoch retry guard "
+    "(exactly-once discipline), and a batch carrying the wrong epoch "
+    "fails loudly rather than desynchronizing the ledger.  The "
+    "graded table is the economics report grown by the new rung: "
+    "per (source, epoch), first-failing-reason counts (exact > near "
+    "> contaminated > gopher > NB > budget_exhausted > admitted) "
+    "that PARTITION n_arrivals, plus the admitted-token burn-down "
+    "against alloc.  Scale: signals are 1:1 persisted-index lookups "
+    "+ row-local expressions; the ledger is O(#sources) per epoch; "
+    "the within-batch cumsum is a per-source window over one "
+    "window's arrivals.  Reference capability: none — north star "
+    "(closes the planner loop's actuation gap: the monitor observes "
+    "the budget, THIS enforces it).",
+)
+def streaming_ingest_gate_budget(spark, sf_dir):
+    run_dir = tempfile.mkdtemp(prefix="ds_gatebudget_")
+    try:
+        dec_path = _budget_gate_drain(
+            spark, sf_dir, run_dir, _GATE_BUDGET_LAST_RUN
+        )
+        dec = _epoch_read(spark, dec_path)
+        e, nd = F.col("exact_dup"), F.col("near_dup")
+        c = F.col("contaminated")
+        g, l = F.col("gopher_keep"), F.col("nb_logit")
+
+        def cnt(cond):
+            return F.sum(cond.cast("long")).cast("long")
+
+        out = (
+            dec.groupBy("source", "epoch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+                cnt(e).alias("n_exact_dup"),
+                cnt(~e & nd).alias("n_near_dup"),
+                cnt(~e & ~nd & c).alias("n_contaminated"),
+                cnt(~e & ~nd & ~c & ~g).alias("n_gopher_fail"),
+                cnt(~e & ~nd & ~c & g & (l <= 0)).alias("n_nb_fail"),
+                cnt(F.col("quality") & ~F.col("admitted")).alias(
+                    "n_budget_exhausted"
+                ),
+                cnt(F.col("admitted")).alias("n_admitted"),
+                F.sum(
+                    F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("admitted_tokens"),
+                F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+            )
+            .orderBy("source", "epoch")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(run_dir, ignore_errors=True)
 
 
 def _bench_shingle_index_path(spark, sf_dir) -> str:

@@ -515,3 +515,69 @@ def test_gate_resume_kill_fires_and_result_matches_uninterrupted(spark):
         for r in sq.streaming_ingest_gate_live(spark, SF_DIR).collect()
     }
     assert resumed == clean, "crash was observable in the delivered data"
+
+
+def test_budget_gate_enforces_and_partitions(spark):
+    """streaming_ingest_gate_budget: the sixth rung's invariants the
+    hash gate alone doesn't make visible — (a) reason counts
+    partition n_arrivals in every (source, epoch) cell; (b) every
+    source with a nonzero allocation EXHAUSTS its budget during the
+    replay (the by-construction bite: replays = cap + 1); (c) the
+    gate never overspends (sum admitted_tokens <= alloc, per source);
+    (d) once exhausted a source admits nothing in later epochs (the
+    cutoff is monotone); (e) the topology is stateless multi-batch
+    (one batch per epoch, no streaming state store)."""
+    from collections import defaultdict
+
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    out = sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()
+    assert len(out) > 0
+    audit = sq._GATE_BUDGET_LAST_RUN
+    assert audit["n_batches"] == sq._BUDGET_REPLAYS, audit
+    assert audit["state_operators"] == [], audit
+    spent = defaultdict(int)
+    alloc = {}
+    exhausted_at = {}
+    for r in out:
+        parts = (
+            r["n_exact_dup"]
+            + r["n_near_dup"]
+            + r["n_contaminated"]
+            + r["n_gopher_fail"]
+            + r["n_nb_fail"]
+            + r["n_budget_exhausted"]
+            + r["n_admitted"]
+        )
+        assert parts == r["n_arrivals"], r
+        spent[r["source"]] += r["admitted_tokens"]
+        alloc[r["source"]] = r["alloc_tokens"]
+        if r["n_budget_exhausted"] > 0 and r["source"] not in exhausted_at:
+            exhausted_at[r["source"]] = r["epoch"]
+    for s, a in alloc.items():
+        assert spent[s] <= a, (s, spent[s], a)
+        if a > 0:
+            assert s in exhausted_at, f"{s} never exhausted (alloc {a})"
+    # monotone cutoff: after the first epoch with an exhaustion and
+    # zero admissions, no later epoch admits
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r["source"]].append(r)
+    for s, rows in by_src.items():
+        rows.sort(key=lambda r: r["epoch"])
+        closed = False
+        for r in rows:
+            if closed:
+                assert r["n_admitted"] == 0, (s, r)
+            if r["n_budget_exhausted"] > 0 and r["n_admitted"] == 0:
+                closed = True
+
+
+def test_budget_gate_rerun_is_byte_identical(spark):
+    """The budget cutoff is a pure function of the data — two
+    independent drains must agree row for row."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    a = sorted(map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
