@@ -467,18 +467,26 @@ def test_embedding_cosine_has_no_all_pairs_stage(spark):
 
 def test_embedding_cosine_matches_all_pairs_exactly(spark):
     """Recall check: the banded-LSH two-phase result must equal the
-    exact all-pairs answer at the graded threshold on the fixture —
-    the bands are tuned (8×2 bits at cos ≥ 0.4) so no true pair is
-    lost.  This keeps the oracle (which IS all-pairs SQL) honest."""
-    from durablestreams_spark.operators.dedup import COSINE_DUP_THRESHOLD
+    exact all-pairs answer at the graded threshold on the fixture's
+    graded 1-in-COSINE_DUP_MOD sample — the bands are tuned (8×2 bits
+    at cos ≥ 0.4) so no true pair is lost.  This keeps the oracle
+    (which IS all-pairs SQL over the same sample) honest."""
+    from durablestreams_spark.operators.dedup import (
+        COSINE_DUP_MOD,
+        COSINE_DUP_THRESHOLD,
+    )
 
     df = all_queries()["dedup_embedding_cosine"].fn(spark, SF_DIR)
     got = {(r.vec_a, r.vec_b) for r in df.collect()}
 
     from durablestreams_spark.analytics.core import table as _table
 
-    emb = _table(spark, SF_DIR, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        _table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id") % COSINE_DUP_MOD == 0)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     wn = emb.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x))
