@@ -25,6 +25,7 @@ expression form is the default.)
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -396,38 +397,11 @@ def _kmeans_sql(src: str = "v") -> str:
     "the round-5 proportional knobs (K=n/50, sample=n/5) are gone.",
 )
 def similarity_ivf_topk(spark, sf_dir):
-    ranked = _ivf_index(spark, sf_dir)
-    # Multiple assignment: a corpus vector is indexed under its
-    # IVF_ASSIGN nearest cells (index grows ×ASSIGN, recall jumps).
-    cells = ranked.where(F.col("cr") <= IVF_ASSIGN).select(
-        "vec_id", "emb", "norm", "cent_id"
-    )
-    # Multi-probe: a query searches its IVF_NPROBE nearest cells.
-    q = ranked.where(
-        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % IVF_QUERY_MOD == 0)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("norm").alias("qnorm"),
-        F.col("cent_id").alias("qcell"),
-    )
-    scored = (
-        cells.join(q, (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias("sim"),
-        )
-        # a neighbor sharing >1 probed cell with the query appears once
-        # per shared cell; dedup before ranking
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
-    )
+    # Multiple assignment (cells, cr <= IVF_ASSIGN) + multi-probe
+    # (queries, cr <= IVF_NPROBE) through the shared search —
+    # _ivf_search_topk is the one scoring definition this query and
+    # the post-removal search both grade through.
+    return _ivf_search_topk(_ivf_index(spark, sf_dir))
 
 
 @query(
@@ -558,6 +532,216 @@ def similarity_ivf_upsert(spark, sf_dir):
             (neigh_tag >= "cc").alias("from_delta"),
         )
     )
+
+
+from .dedup import (  # noqa: E402
+    COSINE_DUP_THRESHOLD as _RM_THRESHOLD,
+    _cosine_bands_sql as _rm_bands_sql,
+)
+
+
+def _ivf_search_topk(ranked, query_mod=IVF_QUERY_MOD):
+    """The ONE IVF cell-probe search over ranked index rows —
+    (query_id, neighbor_id, rank, cosine) — shared by
+    similarity_ivf_topk and the post-removal search so the two graded
+    consumers cannot drift on scoring, dedup, or tie-break rules."""
+    cells = ranked.where(F.col("cr") <= IVF_ASSIGN).select(
+        "vec_id", "emb", "norm", "cent_id"
+    )
+    q = ranked.where(
+        (F.col("cr") <= IVF_NPROBE) & (F.col("vec_id") % query_mod == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("cent_id").alias("qcell"),
+    )
+    scored = (
+        cells.join(
+            q,
+            (F.col("cent_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("emb", "qemb") / (F.col("norm") * F.col("qnorm"))).alias(
+                "sim"
+            ),
+        )
+        # a neighbor sharing >1 probed cell with the query appears once
+        # per shared cell; dedup before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 4).alias("cosine"),
+        )
+    )
+
+
+def refresh_ivf_remove(spark, idx_path: str, removed_ids, guard_marker=None):
+    """FAISS ``remove_ids`` for the persisted IVF index — the LAST
+    serving artifact to gain a retirement path (VERDICT r12 task 4):
+    tombstone every index row (cell memberships AND query-probe rows)
+    whose vec_id is in ``removed_ids``, behind the shared
+    _guarded_index_swap skeleton (O_EXCL lock, guard re-check after
+    the write, atomic symlink repoint, retention-1 GC).  The coarse
+    quantizer is FROZEN — removal is a left-anti join over index
+    rows, O(|removed| + |index rows|), and the corpus embeddings are
+    NEVER re-read (pinned by the delete-the-corpus test).  Returns
+    the refreshed index DataFrame, or None on a lost race."""
+    from .streaming_queries import _guarded_index_swap
+
+    def _refresh(cur):
+        return cur.join(removed_ids, "vec_id", "left_anti")
+
+    return _guarded_index_swap(spark, idx_path, _refresh, guard_marker)
+
+
+def _ivf_removed_ids(spark, sf_dir):
+    """The graded removal set, deterministic in both engines:
+    (a) the embedding-dedup NON-KEEPERS — every vector appearing as
+    the larger member (vec_b) of a verified loose near-dup pair, the
+    first_id-keeper convention; composing dedup with index
+    maintenance is the whole point: dedup decides, the index retires.
+    (b) the rank-1 neighbor of the SMALLEST pre-removal query — so
+    the 'removed vector was a query's former top-1' case is
+    structural at every scale factor, not fixture luck."""
+    from .dedup import dedup_embedding_cosine
+
+    dups = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    pre1 = (
+        _ivf_search_topk(_ivf_index(spark, sf_dir))
+        .where(F.col("rank") == 1)
+        .orderBy("query_id")
+        .limit(1)
+        .select(F.col("neighbor_id").alias("vec_id"))
+    )
+    return dups.unionByName(pre1).distinct()
+
+
+#: Own artifact root for the removal-refreshed IVF index — the graded
+#: query must never mutate the shared _ann_cached artifact other
+#: consumers serve from.
+_IVF_REMOVE_ROOT = "/tmp/durablestreams_ivfremove_v1"
+
+
+def _ivf_removed_index(spark, sf_dir):
+    """Persisted removal-refreshed IVF index: seed a private copy of
+    the full IVF index rows, tombstone the graded removal set through
+    refresh_ivf_remove's guarded swap, serve the swapped artifact
+    (cache-marker protocol, embeddings-fingerprint keyed)."""
+    import shutil as _shutil
+
+    from .cache_marker import marker_current, write_marker
+
+    root = os.path.join(
+        _IVF_REMOVE_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = f"{_ann_params()}:rm{_RM_THRESHOLD}:v1"
+    if not marker_current(marker, sf_dir, name="embeddings", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        _ivf_index(spark, sf_dir).write.mode("overwrite").parquet(idx_p)
+        removed = _ivf_removed_ids(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        out = refresh_ivf_remove(spark, idx_p, removed)
+        assert out is not None, "fresh lockfile cannot be held"
+        write_marker(marker, sf_dir, name="embeddings", params=params)
+    from ..analytics.core import spread as _spread_fn
+
+    return _spread_fn(spark.read.parquet(idx_p))
+
+
+@query(
+    "similarity_ivf_remove",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    {_kmeans_sql()},
+    assigned AS (
+        SELECT vec_id, label, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cents{IVF_KMEANS_ITERS}
+    ),
+    cells0 AS (SELECT vec_id, emb, cent_id FROM assigned
+               WHERE cr <= {IVF_ASSIGN}),
+    q0 AS (SELECT vec_id AS query_id, emb AS qemb, cent_id AS qcell
+           FROM assigned
+           WHERE cr <= {IVF_NPROBE} AND vec_id % {IVF_QUERY_MOD} = 0),
+    scored0 AS (
+        SELECT DISTINCT q0.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q0.qemb, c.emb) AS sim
+        FROM q0 JOIN cells0 c ON c.cent_id = q0.qcell
+                             AND c.vec_id <> q0.query_id
+    ),
+    pre AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id)
+                          AS rank
+            FROM scored0),
+    {_rm_bands_sql()},
+    removed AS (
+        SELECT DISTINCT vec_b AS vec_id
+        FROM cand
+        JOIN sig x ON vec_a = x.vec_id
+        JOIN sig y ON vec_b = y.vec_id
+        WHERE list_cosine_similarity(x.emb, y.emb) >= {_RM_THRESHOLD}
+        UNION
+        SELECT neighbor_id AS vec_id FROM pre
+        WHERE rank = 1 AND query_id = (SELECT min(query_id) FROM pre)
+    ),
+    scored AS (
+        SELECT DISTINCT q0.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q0.qemb, c.emb) AS sim
+        FROM q0 JOIN cells0 c ON c.cent_id = q0.qcell
+                             AND c.vec_id <> q0.query_id
+        WHERE q0.query_id NOT IN (SELECT vec_id FROM removed)
+          AND c.vec_id NOT IN (SELECT vec_id FROM removed)
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="IVF index REMOVAL — FAISS remove_ids (VERDICT r12 task 4), "
+    "completing the last serving artifact's maintenance lifecycle: "
+    "the graded removal set composes dedup with index maintenance "
+    "(every loose embedding-dedup non-keeper retires from the index) "
+    "plus the smallest query's former rank-1 neighbor, so the "
+    "'removed vector was a top-1' promotion case is structural at "
+    "every SF.  Removal tombstones index rows (cells AND probe rows) "
+    "by a left-anti join behind the shared _guarded_index_swap — "
+    "O(|removed| + |index rows|), quantizer frozen, corpus "
+    "embeddings never re-read (delete-the-corpus test) — on a "
+    "PRIVATE persisted copy (the shared serving artifact is not "
+    "mutated by a graded read).  Graded output: post-removal "
+    f"top-{TOP_K} through the SAME shared search as "
+    "similarity_ivf_topk; the oracle replays removal as a batch "
+    "NOT-IN filter over the same frozen-quantizer assignment, so a "
+    "refresh that leaves a stale neighbor, drops a survivor, or "
+    "fails to promote the next-best neighbor is a hash mismatch.  "
+    "Removed queries stop being queries (their probe rows retire "
+    "with them) — deletion means deletion.",
+)
+def similarity_ivf_remove(spark, sf_dir):
+    return _ivf_search_topk(_ivf_removed_index(spark, sf_dir))
 
 
 #: Persisted-index root: learned ANN artifacts (IVF assignment, PQ

@@ -249,3 +249,100 @@ def test_ivf_upsert_delta_is_searchable_and_flagged(spark):
     got = _pairs(qs["similarity_ivf_upsert"].fn(spark, SF_DIR))
     recall = len(got & brute) / len(brute)
     assert recall >= 0.8, recall
+
+
+def test_ivf_remove_retires_and_promotes(spark):
+    """remove_ids semantics: (a) no removed vector appears in the
+    post-removal result — as neighbor OR as query; (b) the structural
+    former-top-1 case promotes: the smallest pre-removal query's
+    rank-1 neighbor is removed, so post-removal that query's rank-1
+    must be its pre-removal rank-2 (the next-best survivor); (c) the
+    post-removal result equals the same frozen-quantizer search over
+    the surviving rows (rebuild equivalence)."""
+    from durablestreams_spark.operators.similarity import (
+        _ivf_index,
+        _ivf_removed_ids,
+        _ivf_search_topk,
+    )
+
+    qs = all_queries()
+    out = qs["similarity_ivf_remove"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    removed = {
+        r["vec_id"] for r in _ivf_removed_ids(spark, SF_DIR).collect()
+    }
+    assert removed, "empty removal set — the composition is vacuous"
+    for r in rows:
+        assert r["neighbor_id"] not in removed, r
+        assert r["query_id"] not in removed, r
+    pre = (
+        _ivf_search_topk(_ivf_index(spark, SF_DIR))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    q0 = pre[0]["query_id"]
+    pre_q0 = [r for r in pre if r["query_id"] == q0]
+    assert pre_q0[0]["neighbor_id"] in removed, "top-1 case not planted"
+    if q0 not in removed:
+        post_q0 = sorted(
+            (r for r in rows if r["query_id"] == q0),
+            key=lambda r: r["rank"],
+        )
+        survivors = [
+            r["neighbor_id"]
+            for r in pre_q0
+            if r["neighbor_id"] not in removed
+        ]
+        assert post_q0[0]["neighbor_id"] == survivors[0], (
+            pre_q0,
+            post_q0,
+        )
+    # (c) rebuild equivalence: same quantizer, surviving rows only
+    surv = _ivf_index(spark, SF_DIR).where(
+        ~F.col("vec_id").isin(list(removed))
+    )
+    rebuilt = {
+        tuple(r) for r in _ivf_search_topk(surv).collect()
+    }
+    assert {tuple(r) for r in rows} == rebuilt
+
+
+def test_ivf_remove_never_rereads_the_corpus(spark, tmp_path):
+    """refresh_ivf_remove is O(|removed| + |index rows|): seed a
+    private index copy, DELETE the corpus parquet it was built from,
+    and the refresh must still succeed — the corpus is never
+    re-read."""
+    import os
+    import shutil
+
+    from durablestreams_spark.operators.similarity import (
+        _ivf_index,
+        refresh_ivf_remove,
+    )
+
+    sf_copy = tmp_path / "sf"
+    shutil.copytree(SF_DIR, sf_copy)
+    idx_p = str(tmp_path / "index.parquet")
+    _ivf_index(spark, str(sf_copy)).write.parquet(idx_p)
+    some = [
+        r["vec_id"]
+        for r in spark.read.parquet(idx_p).select("vec_id").distinct().limit(3).collect()
+    ]
+    os.remove(sf_copy / "embeddings.parquet")
+    removed = spark.createDataFrame([(v,) for v in some], "vec_id long")
+    out = refresh_ivf_remove(spark, idx_p, removed)
+    assert out is not None
+    left = {r["vec_id"] for r in out.select("vec_id").distinct().collect()}
+    assert left and not (left & set(some))
+
+
+def test_ivf_remove_does_not_mutate_the_shared_artifact(spark):
+    """The graded removal query serves from a PRIVATE artifact copy:
+    similarity_ivf_topk must return identical rows before and after a
+    similarity_ivf_remove run."""
+    qs = all_queries()
+    before = sorted(map(tuple, qs["similarity_ivf_topk"].fn(spark, SF_DIR).collect()))
+    qs["similarity_ivf_remove"].fn(spark, SF_DIR).collect()
+    after = sorted(map(tuple, qs["similarity_ivf_topk"].fn(spark, SF_DIR).collect()))
+    assert before == after
