@@ -421,3 +421,58 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int]:
     total = sum(samples)
     peak = max((abs(s) for s in samples), default=0)
     return n, sample_rate, total, peak
+
+
+# ---------------------------------------------------------------------------
+# raster encoders + difference hash (the pixel-space near-dup family)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode a top-down RGB raster as a valid 24-bpp bottom-up BMP
+    (BGR byte order, 4-byte row padding) — the re-encode side of the
+    pixel-dedup fixture: the same raster shipped as BMP and as PPM
+    must decode back byte-identical through decode_pixels."""
+    assert len(rgb) == width * height * 3
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixdata = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            p = 3 * (y * width + x)
+            r, g, b = rgb[p], rgb[p + 1], rgb[p + 2]
+            pixdata += bytes((b, g, r))  # BGR
+        pixdata += b"\x00" * pad
+    size = 14 + 40 + len(pixdata)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(pixdata), 2835, 2835, 0, 0,
+    )
+    return header + info + bytes(pixdata)
+
+
+def encode_ppm_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode a top-down RGB raster as a binary P6 PPM — byte-for-byte
+    the raster after the ASCII header."""
+    assert len(rgb) == width * height * 3
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def dhash_bits(width: int, height: int, rgb: bytes) -> int:
+    """64-bit difference hash over the luminance grid: sample a 9x8
+    nearest-neighbor grid (gx = c*width//9, gy = r*height//8), integer
+    luminance (R+G+B)//3, bit j = r*8+c set iff lum(r,c) > lum(r,c+1).
+    All-integer arithmetic so the SQL oracle replays it exactly."""
+    bits = 0
+    for r in range(8):
+        gy = (r * height) // 8
+        lums = []
+        for c in range(9):
+            gx = (c * width) // 9
+            p = 3 * (gy * width + gx)
+            lums.append((rgb[p] + rgb[p + 1] + rgb[p + 2]) // 3)
+        for c in range(8):
+            if lums[c] > lums[c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits

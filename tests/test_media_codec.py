@@ -325,3 +325,89 @@ def test_feature_extract_branches_agree(spark):
 
         (y,) = sess.run(None, {"x": np.eye(4, dtype=np.float32)})
         assert np.allclose(y, np.eye(4))
+
+
+def test_phash_encoders_roundtrip_and_match_formula():
+    """The re-encode fixture's core property, on real bytes: the same
+    raster encoded as BMP and as PPM decodes back byte-identical, and
+    dhash_bits over the decoded pixels equals the pure-formula hash
+    the SQL oracle replays."""
+    from durablestreams_spark.operators.media_codec import (
+        decode_pixels,
+        dhash_bits,
+        encode_bmp_rgb,
+        encode_ppm_rgb,
+    )
+    from durablestreams_spark.operators.multimodal import (
+        PHASH_H,
+        PHASH_W,
+        _phash_pixel,
+    )
+
+    for d in (0, 7, 21, 90000007):
+        rgb = bytes(
+            _phash_pixel(d, i, False) for i in range(PHASH_W * PHASH_H * 3)
+        )
+        for enc in (encode_bmp_rgb, encode_ppm_rgb):
+            w, h, back = decode_pixels(enc(PHASH_W, PHASH_H, rgb))[0]
+            assert (w, h, back) == (PHASH_W, PHASH_H, rgb), enc
+        # formula-side hash (what the oracle computes) == byte-side
+        lums = []
+        for r in range(8):
+            gy = 2 * r
+            row = []
+            for c in range(9):
+                gx = 2 * c
+                p = 3 * (gy * PHASH_W + gx)
+                row.append((rgb[p] + rgb[p + 1] + rgb[p + 2]) // 3)
+            lums.append(row)
+        want = 0
+        for r in range(8):
+            for c in range(8):
+                if lums[r][c] > lums[r][c + 1]:
+                    want |= 1 << (r * 8 + c)
+        assert dhash_bits(PHASH_W, PHASH_H, rgb) == want
+
+
+def test_phash_pigeonhole_matches_all_pairs_truth(spark):
+    """Pigeonhole exactness: the banded equi-join matcher must return
+    EXACTLY the all-pairs hamming<=PHASH_HAM truth over the fixture's
+    hashes — 4x16 bands cannot miss a <=3 pair (>=1 intact band) and
+    the verify step kills every >3 candidate.  Also pins the planted
+    structure: every BMP<->PPM re-encode pair matches at hamming 0,
+    and at least one perturbed pair matches at hamming >= 1."""
+    import itertools
+
+    from durablestreams_spark.operators.multimodal import (
+        PHASH_HAM,
+        PHASH_OFF,
+        _phash_keys,
+    )
+    from durablestreams_spark.analytics.core import all_queries
+
+    SF = "/root/testdata/sf0.001"
+    keys = {
+        r["media_id"]: (r["k0"], r["k1"], r["k2"], r["k3"])
+        for r in _phash_keys(spark, SF).collect()
+    }
+    truth = set()
+    for a, b in itertools.combinations(sorted(keys), 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(keys[a], keys[b]))
+        if h <= PHASH_HAM:
+            truth.add((a, b, h))
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in all_queries()["multimodal_phash_dedup"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert got == truth
+    base = [m for m in keys if m < PHASH_OFF]
+    assert base, "no planted media"
+    for d in base:
+        assert (d, d + PHASH_OFF, 0) in got, (
+            f"re-encoded copy of {d} not matched at hamming 0"
+        )
+    assert any(h >= 1 for (_a, _b, h) in got), (
+        "no perturbed pair matched — the hamming>0 path is vacuous"
+    )
