@@ -1014,3 +1014,153 @@ def multimodal_phash_dedup(spark, sf_dir):
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gate-image rule — the binary modality's signal for the fused
+# admission gate (VERDICT r12 task 6).  Every document carries ONE
+# derived image; every GATE_PIX_EVERY-th doc RE-ENCODES its
+# predecessor's raster (PPM instead of BMP — the exact escape the
+# byte-level gate had), and every GATE_PIX_NOISY_EVERY-th of those is
+# additionally brightness-perturbed (hamming 1-3 instead of 0).  All
+# deterministic, so the oracle replays the rule arithmetically while
+# the Spark side earns its keys from real encoded bytes.
+# ---------------------------------------------------------------------------
+
+GATE_PIX_EVERY = 11
+GATE_PIX_NOISY_EVERY = 3
+
+
+def _gate_image_rule(d: int) -> tuple[int, bool, bool]:
+    """(raster seed, is_reencode, noisy) for doc d."""
+    if d % GATE_PIX_EVERY == 0 and d > 0:
+        return d - 1, True, (d // GATE_PIX_EVERY) % GATE_PIX_NOISY_EVERY == 0
+    return d, False, False
+
+
+def gate_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: doc_id → the doc's gate image (REAL BMP or
+    PPM bytes via the rule above) → decode → dHash band keys."""
+    from .media_codec import (
+        decode_pixels,
+        dhash_bits,
+        encode_bmp_rgb,
+        encode_ppm_rgb,
+    )
+
+    n = PHASH_W * PHASH_H * 3
+    mask = (1 << PHASH_BAND_BITS) - 1
+    for pdf in batches:
+        out: dict = {"doc_id": pdf["doc_id"].astype("int64")}
+        cols: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            seed, reenc, noisy = _gate_image_rule(d)
+            rgb = bytes(_phash_pixel(seed, i, noisy) for i in range(n))
+            blob = (
+                encode_ppm_rgb(PHASH_W, PHASH_H, rgb)
+                if reenc
+                else encode_bmp_rgb(PHASH_W, PHASH_H, rgb)
+            )
+            w, h, back = decode_pixels(blob)[0]
+            bits = dhash_bits(w, h, back)
+            for b in range(PHASH_BANDS):
+                cols[b].append((bits >> (PHASH_BAND_BITS * b)) & mask)
+        for b in range(PHASH_BANDS):
+            out[f"k{b}"] = pd.Series(cols[b], dtype="int64")
+        yield pd.DataFrame(out)
+
+
+_GATE_PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"k{b}", T.LongType()) for b in range(PHASH_BANDS)]
+)
+
+
+def gate_phash_keys(df):
+    """(doc_id, k0..k3) for any frame carrying doc_id — real bytes."""
+    return df.select("doc_id").mapInPandas(
+        gate_phash_batch, schema=_GATE_PHASH_SCHEMA
+    )
+
+
+def gate_phash_sql(prefix: str, src: str = "documents") -> str:
+    """DuckDB CTE chain replaying the gate-image dHash band keys for
+    every doc in ``src``: CTEs {prefix}keys (doc_id, band_id,
+    band_key) and {prefix}hk (doc_id, k0..k3).  Pure integer
+    arithmetic over the 72 SAMPLED grid pixels per doc — the
+    nearest-neighbor map keeps the replay O(72/doc) at any raster
+    size (same policy as the multimodal_phash_dedup oracle)."""
+    p = prefix
+    return f"""{p}var AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {GATE_PIX_EVERY} = 0 AND doc_id > 0
+                    THEN doc_id - 1 ELSE doc_id END AS seed,
+               CASE WHEN doc_id % {GATE_PIX_EVERY} = 0 AND doc_id > 0
+                         AND (doc_id // {GATE_PIX_EVERY})
+                             % {GATE_PIX_NOISY_EVERY} = 0
+                    THEN 1 ELSE 0 END AS noisy
+        FROM {src}
+    ),
+    {p}pix AS (
+        SELECT doc_id, r, c,
+               ((seed % 97 + 3) * i * i + 31 * seed + 7 * i)
+                   % {PHASH_PIX_MOD}
+               + CASE WHEN noisy = 1 AND gx >= {PHASH_W - 2} AND gy < 6
+                      THEN {PHASH_NOISE} ELSE 0 END AS v
+        FROM (SELECT v.doc_id, v.seed, v.noisy, r.r, c.c,
+                     2 * r.r AS gy, 2 * c.c AS gx,
+                     3 * ((2 * r.r) * {PHASH_W} + 2 * c.c) + ch.ch AS i
+              FROM {p}var v,
+                   (SELECT UNNEST(range(8)) AS r) r,
+                   (SELECT UNNEST(range(9)) AS c) c,
+                   (SELECT UNNEST(range(3)) AS ch) ch)
+    ),
+    {p}lum AS (
+        SELECT doc_id, r, c, sum(v) // 3 AS lum
+        FROM {p}pix GROUP BY doc_id, r, c
+    ),
+    {p}bits AS (
+        SELECT a.doc_id, a.r * 8 + a.c AS j,
+               CASE WHEN a.lum > b.lum THEN 1 ELSE 0 END AS bit
+        FROM {p}lum a
+        JOIN {p}lum b ON b.doc_id = a.doc_id AND b.r = a.r
+                      AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    {p}keys AS (
+        SELECT doc_id, CAST(j // {PHASH_BAND_BITS} AS BIGINT) AS band_id,
+               CAST(sum(bit * (1::BIGINT
+                               << CAST(j % {PHASH_BAND_BITS} AS INT)))
+                    AS BIGINT) AS band_key
+        FROM {p}bits GROUP BY doc_id, j // {PHASH_BAND_BITS}
+    ),
+    {p}hk AS (
+        SELECT doc_id,
+               max(CASE WHEN band_id = 0 THEN band_key END) AS k0,
+               max(CASE WHEN band_id = 1 THEN band_key END) AS k1,
+               max(CASE WHEN band_id = 2 THEN band_key END) AS k2,
+               max(CASE WHEN band_id = 3 THEN band_key END) AS k3
+        FROM {p}keys GROUP BY doc_id
+    )"""
+
+
+def gate_pxflag_sql(prefix: str, src: str = "documents") -> str:
+    """DuckDB CTE chain extending gate_phash_sql with {prefix}pxflag:
+    the doc_ids that have a SMALLER-id doc within hamming <=
+    PHASH_HAM anywhere in ``src`` — the pixel analog of the SimHash
+    ndflag CTEs (larger member flagged; order-independent)."""
+    p = prefix
+    return f"""{gate_phash_sql(prefix, src)},
+    {p}pxflag AS (
+        SELECT DISTINCT a.doc_id
+        FROM {p}keys a
+        JOIN {p}keys b ON a.band_id = b.band_id
+                      AND a.band_key = b.band_key
+                      AND b.doc_id < a.doc_id
+        JOIN {p}hk x ON x.doc_id = a.doc_id
+        JOIN {p}hk y ON y.doc_id = b.doc_id
+        WHERE bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+            + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+            <= {PHASH_HAM}
+    )"""

@@ -2709,6 +2709,13 @@ from .pipeline_llm import (  # noqa: E402
 from .pipeline_llm import _contam_flag_ctes  # noqa: E402,F401
 
 
+from .multimodal import (  # noqa: E402
+    PHASH_HAM as _PX_HAM,
+    gate_phash_keys as _gate_phash_keys,
+    gate_pxflag_sql as _gate_pxflag_sql,
+)
+
+
 #: ONE oracle for the fused live gate and its kill-and-resume twin:
 #: the batch composition of the shared signal definitions over the
 #: full corpus, restricted to ':ndlive' delta rows.  A resumed run
@@ -2731,6 +2738,7 @@ _GATE_LIVE_SQL = f"""
         WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
     ),
     {_contam_flag_ctes()},
+    {_gate_pxflag_sql("g")},
     split AS (
         SELECT doc_id,
                substr(md5(CAST(doc_id AS VARCHAR) || '{_NDLIVE_TAG}'), 1, 2)
@@ -2742,22 +2750,120 @@ _GATE_LIVE_SQL = f"""
     j AS (
         SELECT d.doc_id, (x.first_id < d.doc_id) AS exact_dup,
                (f.doc_id IS NOT NULL) AS near_dup,
+               (pf.doc_id IS NOT NULL) AS pixel_dup,
                (cf.doc_id IS NOT NULL) AS contaminated,
                n.gopher_keep, n.nb_logit
         FROM documents d
         JOIN hmin x ON md5(d.text) = x.h
         JOIN nbs n ON n.doc_id = d.doc_id
         LEFT JOIN ndflag f ON f.doc_id = d.doc_id
+        LEFT JOIN gpxflag pf ON pf.doc_id = d.doc_id
         LEFT JOIN cflag cf ON cf.doc_id = d.doc_id
         JOIN split s ON s.doc_id = d.doc_id
         WHERE NOT s.is_base
     )
-    SELECT doc_id, exact_dup, near_dup, contaminated, gopher_keep,
-           nb_logit,
-           (NOT exact_dup AND NOT near_dup AND NOT contaminated
+    SELECT doc_id, exact_dup, near_dup, pixel_dup, contaminated,
+           gopher_keep, nb_logit,
+           (NOT exact_dup AND NOT near_dup AND NOT pixel_dup
+            AND NOT contaminated
             AND gopher_keep AND nb_logit > 0) AS keep
     FROM j
     """
+
+
+def _pixel_base_index_path(spark, sf_dir) -> str:
+    """Persisted banded PIXEL-signature index over the BASE split —
+    the binary modality's 'historical corpus' artifact the fused gate
+    serves against: each base doc's gate-image dHash band keys
+    (multimodal.gate_phash_keys — REAL encode/decode/hash) exploded
+    to (band_id, band_key, doc_id, k0..k3).  Returns the parquet
+    PATH (the foreachBatch re-reads it per micro-batch alongside its
+    run-local appends — the _neardup_base_index_path protocol)."""
+    import shutil as _shutil
+
+    from .multimodal import PHASH_BANDS
+
+    root = os.path.join(
+        "/tmp/durablestreams_pxlive_base_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = f"dhash64:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:ham{_PX_HAM}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = table(spark, sf_dir, "documents").where(_ndlive_base_pred())
+        (
+            _pixel_band_rows(_gate_phash_keys(base))
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return idx_p
+
+
+def _pixel_band_rows(keys):
+    """(doc_id, band_id, band_key, k0..k3) band rows from gate-image
+    key rows — the keys ride along so candidate verification is a
+    row-local bit_count, never a second lookup."""
+    from .multimodal import PHASH_BANDS
+
+    return keys.select(
+        "doc_id",
+        *[f"k{b}" for b in range(PHASH_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"k{b}") for b in range(PHASH_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+
+
+def _pixel_hamming(prefix_a: str, prefix_b: str):
+    """Row-local hamming between two key-column sets."""
+    from .multimodal import PHASH_BANDS
+
+    ham = None
+    for b in range(PHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"{prefix_a}{b}").bitwiseXOR(F.col(f"{prefix_b}{b}"))
+        )
+        ham = term if ham is None else ham + term
+    return ham
+
+
+def _pixel_batch_matches(bands, idx):
+    """Per-batch pixel near-dup flags, mirroring _neardup_batch_matches:
+    (1) batch vs (base index + prior appends) band equi-join, larger
+    member flagged; (2) intra-batch band self-join.  Verify =
+    row-local hamming over the carried keys, <= PHASH_HAM."""
+    from .multimodal import PHASH_BANDS, PHASH_HAM
+
+    cand = idx.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("other"),
+        *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
+    )
+    ham = _pixel_hamming("k", "o")
+    f1 = (
+        bands.join(cand, ["band_id", "band_key"])
+        .where(F.col("other") != F.col("doc_id"))
+        .where(ham <= PHASH_HAM)
+        .select(F.greatest("doc_id", "other").alias("doc_id"))
+    )
+    cand2 = bands.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("other"),
+        *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
+    )
+    f2 = (
+        bands.join(cand2, ["band_id", "band_key"])
+        .where(F.col("other") < F.col("doc_id"))
+        .where(ham <= PHASH_HAM)
+        .select("doc_id")
+    )
+    return f1.unionByName(f2).distinct()
 
 
 def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
@@ -2788,12 +2894,15 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
     lam, pri = _nb_serving_model(spark, sf_dir)
     base_idx_path = _exact_hash_index_base_path(spark, sf_dir)
     nd_base_path = _neardup_base_index_path(spark, sf_dir)
+    px_base_path = _pixel_base_index_path(spark, sf_dir)
     bench_path = _bench_shingle_index_path(spark, sf_dir)
     app_path = os.path.join(run_dir, "appended")
     nd_app_path = os.path.join(run_dir, "nd_appended")
+    px_app_path = os.path.join(run_dir, "px_appended")
     adm_path = os.path.join(run_dir, "admission")
     flag_path = os.path.join(run_dir, "flags")
     nd_flag_path = os.path.join(run_dir, "nd_flags")
+    px_flag_path = os.path.join(run_dir, "px_flags")
     c_flag_path = os.path.join(run_dir, "c_flags")
     kill_marker = os.path.join(run_dir, "_killed")
 
@@ -2839,6 +2948,24 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
             nd_flag_path,
             epoch_id,
         )
+        # (2d/3d) the PIXEL arm, FUSED (VERDICT r12 task 6): the
+        # batch's gate-image dHash band keys (real encode/decode/hash
+        # in one Arrow stage) vs (base pixel index + prior appends) +
+        # the intra-batch self-join — the binary modality's near-dup
+        # signal, so two re-encoded copies of the same image no
+        # longer both pass the gate.
+        px_bands = _pixel_band_rows(
+            _gate_phash_keys(hashed)
+        ).localCheckpoint(eager=True)
+        px_idx = sess.read.parquet(px_base_path)
+        px_prior = _epoch_read(sess, px_app_path, before_epoch=epoch_id)
+        if px_prior is not None:
+            px_idx = px_idx.unionByName(px_prior)
+        _epoch_write(
+            _pixel_batch_matches(px_bands, px_idx),
+            px_flag_path,
+            epoch_id,
+        )
         # (2c) contamination screen, FUSED (VERDICT r11 task 6): the
         # batch's distinct 5-gram shingles vs the BROADCAST benchmark
         # index — eval-suite-sized, constant as the corpus grows, so
@@ -2878,6 +3005,7 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
             epoch_id,
         )
         _epoch_write(bands, nd_app_path, epoch_id)
+        _epoch_write(px_bands, px_app_path, epoch_id)
         # injected one-shot crash AFTER every side-effect write and
         # BEFORE the commit — the kill-and-resume proof's worst case.
         if (
@@ -2915,8 +3043,8 @@ def _gate_live_assemble(spark, run_dir):
         return spark.createDataFrame(
             [],
             "doc_id long, exact_dup boolean, near_dup boolean, "
-            "contaminated boolean, gopher_keep boolean, "
-            "nb_logit double, keep boolean",
+            "pixel_dup boolean, contaminated boolean, "
+            "gopher_keep boolean, nb_logit double, keep boolean",
         )
 
     def _flag(df, sub, col):
@@ -2931,20 +3059,24 @@ def _gate_live_assemble(spark, run_dir):
 
     adm = _flag(adm, "flags", "flagged")
     adm = _flag(adm, "nd_flags", "nd_flagged")
+    adm = _flag(adm, "px_flags", "px_flagged")
     adm = _flag(adm, "c_flags", "c_flagged")
     exact_dup = F.coalesce("flagged", F.lit(False))
     near_dup = F.coalesce("nd_flagged", F.lit(False))
+    pixel_dup = F.coalesce("px_flagged", F.lit(False))
     contaminated = F.coalesce("c_flagged", F.lit(False))
     out = adm.select(
         "doc_id",
         exact_dup.alias("exact_dup"),
         near_dup.alias("near_dup"),
+        pixel_dup.alias("pixel_dup"),
         contaminated.alias("contaminated"),
         "gopher_keep",
         "nb_logit",
         (
             ~exact_dup
             & ~near_dup
+            & ~pixel_dup
             & ~contaminated
             & F.col("gopher_keep")
             & (F.col("nb_logit") > 0)
@@ -2957,10 +3089,10 @@ def _gate_live_assemble(spark, run_dir):
 @query(
     "streaming_ingest_gate_live",
     _GATE_LIVE_SQL,
-    doc="The composed LIVE admission gate with new-vs-new detection "
-    "AND fused decontamination — the full five-signal production "
-    "admission pass in ONE replay (VERDICT r11 task 6 folded into "
-    "the r10-task-3 gate): the ':ndlive' delta 20% is replayed "
+    doc="The composed LIVE admission gate with new-vs-new detection, "
+    "fused decontamination AND the binary modality (r12 task 6) — "
+    "the full SIX-signal production admission pass in ONE replay: "
+    "the ':ndlive' delta 20% is replayed "
     "multi-batch and foreachBatch runs stateless steps: (1) row-local "
     "Gopher gate + served NB logit (the shared persisted-model "
     "artifacts); (2) batch content-hashes vs (base hash index + prior "
@@ -2972,13 +3104,18 @@ def _gate_live_assemble(spark, run_dir):
     "batch-oracle truth, regardless of batching; (3) an intra-batch "
     "hash self-join for same-batch pairs; (2b/3b) the "
     "streaming_dedup_neardup_live band detection FUSED over the same "
-    "arrivals, reduced to per-doc flags; (2c) the decontamination "
+    "arrivals, reduced to per-doc flags; (2d/3d) the PIXEL arm: each "
+    "arrival's gate-image dHash band keys (REAL encode/decode/hash "
+    "in one Arrow stage) vs (base pixel index + prior appends) plus "
+    "an intra-batch self-join — two re-encoded copies of the same "
+    "image no longer both pass; (2c) the decontamination "
     "screen FUSED: distinct 5-gram shingles vs the BROADCAST "
     "benchmark shingle index (eval-suite-sized, constant as the "
     "corpus grows — the broadcast is always legal), a 'contaminated' "
     "rung in the admission ladder; (4) append the batch's (h, doc_id) "
-    "and band-signature entries so they serve later batches.  keep = "
-    "NOT exact_dup AND NOT near_dup AND NOT contaminated AND "
+    "and band/pixel-signature entries so they serve later batches.  "
+    "keep = NOT exact_dup AND NOT near_dup AND NOT pixel_dup AND "
+    "NOT contaminated AND "
     "gopher_keep AND nb_logit > 0, hash-gated against the batch "
     "composition over the full corpus restricted to delta rows.  At "
     "100 TB: flags and appends are O(arrivals), self-joins bounded "
@@ -3202,6 +3339,49 @@ def _neardup_flag_index(spark, sf_dir):
     return spark.read.parquet(idx_p)
 
 
+def _pixel_flag_index(spark, sf_dir):
+    """Persisted per-doc PIXEL near-dup FLAG index: doc_ids whose
+    gate image is within hamming <= PHASH_HAM of a smaller-id doc's
+    image anywhere in the corpus — the binary modality's analog of
+    _neardup_flag_index (band self-join over the banded key rows,
+    larger member kept, 1:1 stream-static serving shape)."""
+    import shutil as _shutil
+
+    from .multimodal import PHASH_BANDS, PHASH_HAM
+
+    root = os.path.join(
+        "/tmp/durablestreams_pxflag_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "flags.parquet")
+    params = f"dhash64:flag:ham{PHASH_HAM}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        keys = _gate_phash_keys(
+            table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        bands = _pixel_band_rows(keys)
+        other = bands.select(
+            "band_id",
+            "band_key",
+            F.col("doc_id").alias("other"),
+            *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
+        )
+        (
+            bands.join(other, ["band_id", "band_key"])
+            .where(F.col("other") < F.col("doc_id"))
+            .where(_pixel_hamming("k", "o") <= PHASH_HAM)
+            .select("doc_id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return spark.read.parquet(idx_p)
+
+
 def _contamination_flag_index(spark, sf_dir):
     """Persisted per-doc CONTAMINATION flag index: doc_ids with at
     least one distinct 5-gram shingle in the benchmark suite
@@ -3260,18 +3440,21 @@ def _contamination_flag_index(spark, sf_dir):
                      AND p.doc_id < a.doc_id
         WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
     ),
+    {_gate_pxflag_sql("r")},
     hx AS (SELECT md5(text) AS h, min(doc_id) AS first_id
            FROM documents GROUP BY 1),
     j AS (
         SELECT d.source,
                (x.first_id < d.doc_id) AS exact_dup,
                (f.doc_id IS NOT NULL) AS near_dup,
+               (pf.doc_id IS NOT NULL) AS pixel_dup,
                (cf.doc_id IS NOT NULL) AS contaminated,
                n.gopher_keep, n.nb_logit
         FROM documents d
         JOIN hx x ON md5(d.text) = x.h
         JOIN nbs n ON n.doc_id = d.doc_id
         LEFT JOIN rflag f ON f.doc_id = d.doc_id
+        LEFT JOIN rpxflag pf ON pf.doc_id = d.doc_id
         LEFT JOIN rcflag cf ON cf.doc_id = d.doc_id
     )
     SELECT source,
@@ -3281,16 +3464,22 @@ def _contamination_flag_index(spark, sf_dir):
            CAST(sum(CASE WHEN NOT exact_dup AND near_dup
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
-                              AND contaminated
+                              AND pixel_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pixel_dup,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup AND contaminated
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup
                               AND NOT contaminated AND NOT gopher_keep
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup
                               AND NOT contaminated
                               AND gopher_keep AND nb_logit <= 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_fail,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup
                               AND NOT contaminated
                               AND gopher_keep AND nb_logit > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
@@ -3298,18 +3487,22 @@ def _contamination_flag_index(spark, sf_dir):
     GROUP BY source
     """,
     doc="The ingest gate's end-to-end ECONOMICS dashboard (VERDICT "
-    "r10 task 6; r11 task 6 added the contamination rung) — per "
+    "r10 task 6; r11 task 6 added the contamination rung; r12 task 6 "
+    "the pixel rung) — per "
     "(source, rejection reason) admission accounting, the table a "
     "pipeline owner actually watches: each arriving document is "
-    "annotated with the gate's five signals — exact-dup (1:1 join vs "
+    "annotated with the gate's six signals — exact-dup (1:1 join vs "
     "the persisted content-hash index), near-dup (1:1 LEFT join vs "
     "the persisted per-doc FLAG index, which pre-collapses the band "
     "join's pair fan-out so the stream side never aggregates), "
     "contamination (1:1 LEFT join vs the persisted per-doc "
-    "bench-shingle-hit flag index, same pre-collapse protocol), the "
+    "bench-shingle-hit flag index, same pre-collapse protocol), "
+    "pixel near-dup (1:1 LEFT join vs the persisted per-doc "
+    "gate-image dHash flag index — the binary modality), the "
     "row-local Gopher gate, and the served NB logit — then "
     "attributed to its FIRST failing reason in gate order (exact > "
-    "near > contaminated > gopher > NB > admitted), so each source's "
+    "near > pixel > contaminated > gopher > NB > admitted), so each "
+    "source's "
     "reason counts partition its n_docs exactly.  The "
     "rollup is a complete-mode aggregation with O(#sources) state — "
     "the streaming_quality_monitor contract, bounded forever at any "
@@ -3321,7 +3514,7 @@ def _contamination_flag_index(spark, sf_dir):
 def streaming_ingest_report(spark, sf_dir):
     flagged = _five_signal_stream(spark, sf_dir)
     e, nd = F.col("exact_dup"), F.col("near_dup")
-    c = F.col("contaminated")
+    px, c = F.col("pixel_dup"), F.col("contaminated")
     g, l = F.col("gopher_keep"), F.col("nb_logit")
 
     def cnt(cond):
@@ -3331,10 +3524,11 @@ def streaming_ingest_report(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         cnt(e).alias("n_exact_dup"),
         cnt(~e & nd).alias("n_near_dup"),
-        cnt(~e & ~nd & c).alias("n_contaminated"),
-        cnt(~e & ~nd & ~c & ~g).alias("n_gopher_fail"),
-        cnt(~e & ~nd & ~c & g & (l <= 0)).alias("n_nb_fail"),
-        cnt(~e & ~nd & ~c & g & (l > 0)).alias("n_admitted"),
+        cnt(~e & ~nd & px).alias("n_pixel_dup"),
+        cnt(~e & ~nd & ~px & c).alias("n_contaminated"),
+        cnt(~e & ~nd & ~px & ~c & ~g).alias("n_gopher_fail"),
+        cnt(~e & ~nd & ~px & ~c & g & (l <= 0)).alias("n_nb_fail"),
+        cnt(~e & ~nd & ~px & ~c & g & (l > 0)).alias("n_admitted"),
     )
     return _drain(agg, "complete")
 
@@ -3371,6 +3565,9 @@ def _five_signal_annotate(spark, sf_dir, src):
     ndf = _neardup_flag_index(spark, sf_dir).withColumn(
         "nd", F.lit(True)
     )
+    pxf = _pixel_flag_index(spark, sf_dir).withColumn(
+        "px", F.lit(True)
+    )
     cfl = _contamination_flag_index(spark, sf_dir).withColumn(
         "cont", F.lit(True)
     )
@@ -3396,6 +3593,7 @@ def _five_signal_annotate(spark, sf_dir, src):
     return (
         scored.join(hx, "h")
         .join(ndf, "doc_id", "left")
+        .join(pxf, "doc_id", "left")
         .join(cfl, "doc_id", "left")
         .select(
             "doc_id",
@@ -3403,6 +3601,7 @@ def _five_signal_annotate(spark, sf_dir, src):
             "n_words",
             (F.col("first_id") < F.col("doc_id")).alias("exact_dup"),
             F.coalesce("nd", F.lit(False)).alias("near_dup"),
+            F.coalesce("px", F.lit(False)).alias("pixel_dup"),
             F.coalesce("cont", F.lit(False)).alias("contaminated"),
             "gopher_keep",
             "nb_logit",
@@ -3436,6 +3635,7 @@ from .pipeline_llm import (  # noqa: E402
         WHERE bit_count(xor(a.simhash, p.simhash)) <= {_ND_HAM}
     ),
     {_contam_flag_ctes("tb")},
+    {_gate_pxflag_sql("t")},
     hx AS (SELECT md5(text) AS h, min(doc_id) AS first_id
            FROM documents GROUP BY 1),
     adm AS (
@@ -3445,9 +3645,11 @@ from .pipeline_llm import (  # noqa: E402
         JOIN nbs n ON n.doc_id = d.doc_id
         JOIN m mm ON mm.doc_id = d.doc_id
         LEFT JOIN tflag f ON f.doc_id = d.doc_id
+        LEFT JOIN tpxflag pf ON pf.doc_id = d.doc_id
         LEFT JOIN tbcflag cf ON cf.doc_id = d.doc_id
         WHERE NOT (x.first_id < d.doc_id)
-          AND f.doc_id IS NULL AND cf.doc_id IS NULL
+          AND f.doc_id IS NULL AND pf.doc_id IS NULL
+          AND cf.doc_id IS NULL
           AND n.gopher_keep AND n.nb_logit > 0
     ),
     spent AS (
@@ -3541,6 +3743,7 @@ def streaming_token_budget_monitor(spark, sf_dir):
             (
                 ~F.col("exact_dup")
                 & ~F.col("near_dup")
+                & ~F.col("pixel_dup")
                 & ~F.col("contaminated")
                 & F.col("gopher_keep")
                 & (F.col("nb_logit") > 0)
@@ -3597,6 +3800,7 @@ def _budget_alloc_table(spark, sf_dir):
     keep = (
         ~F.col("exact_dup")
         & ~F.col("near_dup")
+        & ~F.col("pixel_dup")
         & ~F.col("contaminated")
         & F.col("gopher_keep")
         & (F.col("nb_logit") > 0)
@@ -3702,6 +3906,7 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
         keep = (
             ~F.col("exact_dup")
             & ~F.col("near_dup")
+            & ~F.col("pixel_dup")
             & ~F.col("contaminated")
             & F.col("gopher_keep")
             & (F.col("nb_logit") > 0)
@@ -3741,6 +3946,7 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
                 "n_words",
                 "exact_dup",
                 "near_dup",
+                "pixel_dup",
                 "contaminated",
                 "gopher_keep",
                 "nb_logit",
@@ -3786,8 +3992,9 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
         FROM documents
     ),
     gd AS (
-        SELECT g.doc_id, g.exact_dup, g.near_dup, g.contaminated,
-               g.gopher_keep, g.nb_logit, g.keep, n.source, n.n_words
+        SELECT g.doc_id, g.exact_dup, g.near_dup, g.pixel_dup,
+               g.contaminated, g.gopher_keep, g.nb_logit, g.keep,
+               n.source, n.n_words
         FROM gate g JOIN nw n USING (doc_id)
     ),
     qsrc AS (
@@ -3826,12 +4033,17 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
            CAST(sum(CASE WHEN NOT exact_dup AND near_dup
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
-                              AND contaminated
+                              AND pixel_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pixel_dup,
+           CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup AND contaminated
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup
                               AND NOT contaminated AND NOT gopher_keep
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
            CAST(sum(CASE WHEN NOT exact_dup AND NOT near_dup
+                              AND NOT pixel_dup
                               AND NOT contaminated
                               AND gopher_keep AND nb_logit <= 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_fail,
@@ -3885,7 +4097,7 @@ def streaming_ingest_gate_budget(spark, sf_dir):
         )
         dec = _epoch_read(spark, dec_path)
         e, nd = F.col("exact_dup"), F.col("near_dup")
-        c = F.col("contaminated")
+        px, c = F.col("pixel_dup"), F.col("contaminated")
         g, l = F.col("gopher_keep"), F.col("nb_logit")
 
         def cnt(cond):
@@ -3897,9 +4109,10 @@ def streaming_ingest_gate_budget(spark, sf_dir):
                 F.count(F.lit(1)).cast("long").alias("n_arrivals"),
                 cnt(e).alias("n_exact_dup"),
                 cnt(~e & nd).alias("n_near_dup"),
-                cnt(~e & ~nd & c).alias("n_contaminated"),
-                cnt(~e & ~nd & ~c & ~g).alias("n_gopher_fail"),
-                cnt(~e & ~nd & ~c & g & (l <= 0)).alias("n_nb_fail"),
+                cnt(~e & ~nd & px).alias("n_pixel_dup"),
+                cnt(~e & ~nd & ~px & c).alias("n_contaminated"),
+                cnt(~e & ~nd & ~px & ~c & ~g).alias("n_gopher_fail"),
+                cnt(~e & ~nd & ~px & ~c & g & (l <= 0)).alias("n_nb_fail"),
                 cnt(F.col("quality") & ~F.col("admitted")).alias(
                     "n_budget_exhausted"
                 ),

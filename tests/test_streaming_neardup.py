@@ -318,10 +318,15 @@ def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
         assert r["keep"] == (
             (not r["exact_dup"])
             and (not r["near_dup"])
+            and (not r["pixel_dup"])
             and (not r["contaminated"])
             and r["gopher_keep"]
             and r["nb_logit"] > 0
         )
+    assert any(r["pixel_dup"] for r in out), (
+        "no pixel-dup flag at sf0.001 — the binary-modality rung is "
+        "vacuous"
+    )
 
 
 def test_gate_live_flags_new_vs_new_exact_dups(spark, tmp_path):
@@ -401,6 +406,7 @@ def test_ingest_report_reasons_partition_and_state_is_bounded(spark):
         assert (
             r["n_exact_dup"]
             + r["n_near_dup"]
+            + r["n_pixel_dup"]
             + r["n_contaminated"]
             + r["n_gopher_fail"]
             + r["n_nb_fail"]
@@ -543,6 +549,7 @@ def test_budget_gate_enforces_and_partitions(spark):
         parts = (
             r["n_exact_dup"]
             + r["n_near_dup"]
+            + r["n_pixel_dup"]
             + r["n_contaminated"]
             + r["n_gopher_fail"]
             + r["n_nb_fail"]
