@@ -218,3 +218,25 @@ def test_streaming_epoch_writer_matches_batch_on_same_delta(spark):
         )
     )
     assert live1 == batch and len(live1) > 0
+
+
+def test_shards_resume_survives_midstream_kill(spark):
+    """Kill-and-resume for the delivery topology: the injected crash
+    really fired mid-run (checkpoint commit log shows fewer committed
+    epochs than the full drain's batches), and the resumed run's
+    close-step manifest equals an uninterrupted run's row for row."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    resumed = sorted(
+        map(tuple, sq.streaming_write_shards_resume(spark, SF_DIR).collect())
+    )
+    audit = sq._SHARDS_RESUME_LAST_RUN
+    assert audit["killed"] is True
+    assert audit["state_operators"] == [], audit
+    # the first attempt committed some but not all of the delta's
+    # micro-batches (one file per trigger — _NDLIVE_FILES total)
+    assert 0 < audit["first_run_committed"] < sq._NDLIVE_FILES, audit
+    clean = sorted(
+        map(tuple, sq.streaming_write_shards(spark, SF_DIR).collect())
+    )
+    assert resumed == clean and len(resumed) > 0
