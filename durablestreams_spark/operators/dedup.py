@@ -761,10 +761,12 @@ COSINE_DUP_BAND_BITS = 2
 #: candidates (8×2: ~0.90 of pairs; the r12-suggested 32×4 re-tune:
 #: ~0.87 with the same O(Σ bucket²) join work — measured, no help).
 #: The scale-safe form is therefore the recall-report pattern: grade
-#: the loose point on a bounded 1-in-COSINE_DUP_MOD sample (the scan
-#: is size-controlled by construction at any corpus scale) and serve
+#: the loose point on a 1-in-COSINE_DUP_MOD sample and serve
 #: production dedup from the tight/amplified points, which prune for
-#: real.  VERDICT r12 task 3 option (b).
+#: real.  Like COSINE_TIGHT_REPORT_MOD, the modulus is a knob tuned
+#: WITH corpus size (a fixed modulus is a constant fraction, still
+#: quadratic in n — at larger SFs you raise MOD to hold the sampled
+#: set roughly constant).  VERDICT r12 task 3 option (b).
 COSINE_DUP_MOD = 5
 
 

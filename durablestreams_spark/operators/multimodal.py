@@ -1031,6 +1031,17 @@ GATE_PIX_EVERY = 11
 GATE_PIX_NOISY_EVERY = 3
 
 
+def _pixel_params() -> str:
+    """Every constant that shapes persisted pixel artifacts, folded
+    into their cache-marker params (the _ann_params rule: a knob
+    change must rebuild, never serve stale rows)."""
+    return (
+        f"ham{PHASH_HAM}:b{PHASH_BANDS}x{PHASH_BAND_BITS}"
+        f":w{PHASH_W}x{PHASH_H}:m{PHASH_PIX_MOD}:n{PHASH_NOISE}"
+        f":e{GATE_PIX_EVERY}.{GATE_PIX_NOISY_EVERY}"
+    )
+
+
 def _gate_image_rule(d: int) -> tuple[int, bool, bool]:
     """(raster seed, is_reencode, noisy) for doc d."""
     if d % GATE_PIX_EVERY == 0 and d > 0:

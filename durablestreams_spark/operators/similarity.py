@@ -534,7 +534,16 @@ def similarity_ivf_upsert(spark, sf_dir):
     )
 
 
+# Import-order constraint (load-order-sensitive circular import):
+# this module-level import of dedup must sit AFTER _bucket_sql /
+# _bucket_spark are defined above — dedup's own module body calls
+# _cosine_bands_sql(), which imports them back from this module while
+# it is still initializing.  Moving this import earlier (or moving
+# _bucket_sql later) breaks startup in one load order.
 from .dedup import (  # noqa: E402
+    COSINE_DUP_BAND_BITS as _RM_BAND_BITS,
+    COSINE_DUP_BANDS as _RM_BANDS,
+    COSINE_DUP_MOD as _RM_MOD,
     COSINE_DUP_THRESHOLD as _RM_THRESHOLD,
     _cosine_bands_sql as _rm_bands_sql,
 )
@@ -651,7 +660,10 @@ def _ivf_removed_index(spark, sf_dir):
     )
     marker = os.path.join(root, "_built")
     idx_p = os.path.join(root, "index.parquet")
-    params = f"{_ann_params()}:rm{_RM_THRESHOLD}:v1"
+    params = (
+        f"{_ann_params()}:rm{_RM_THRESHOLD}"
+        f":mod{_RM_MOD}:b{_RM_BANDS}x{_RM_BAND_BITS}:v1"
+    )
     if not marker_current(marker, sf_dir, name="embeddings", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -660,7 +672,13 @@ def _ivf_removed_index(spark, sf_dir):
             eager=True
         )
         out = refresh_ivf_remove(spark, idx_p, removed)
-        assert out is not None, "fresh lockfile cannot be held"
+        if out is None:
+            # a racer holds the fresh artifact's lock; serving without
+            # the tombstones would grade a stale index — fail loudly
+            # (never an assert: -O would skip it and write the marker)
+            raise RuntimeError(
+                "ivf-remove refresh lost the lock on a fresh artifact"
+            )
         write_marker(marker, sf_dir, name="embeddings", params=params)
     from ..analytics.core import spread as _spread_fn
 

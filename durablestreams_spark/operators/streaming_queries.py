@@ -2789,7 +2789,9 @@ def _pixel_base_index_path(spark, sf_dir) -> str:
     )
     marker = os.path.join(root, "_built")
     idx_p = os.path.join(root, "index.parquet")
-    params = f"dhash64:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:ham{_PX_HAM}:v1"
+    from .multimodal import _pixel_params
+
+    params = f"dhash64:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:{_pixel_params()}:v1"
     if not marker_current(marker, sf_dir, name="documents", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -2818,6 +2820,21 @@ def _pixel_band_rows(keys):
     )
 
 
+def _pixel_other_rows(bands):
+    """The candidate-side rename of a band-rows frame (doc_id->other,
+    k{b}->o{b}) — ONE definition for the live gate's two join arms and
+    the persisted flag-index build, so the candidate projection cannot
+    desynchronize between them."""
+    from .multimodal import PHASH_BANDS
+
+    return bands.select(
+        "band_id",
+        "band_key",
+        F.col("doc_id").alias("other"),
+        *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
+    )
+
+
 def _pixel_hamming(prefix_a: str, prefix_b: str):
     """Row-local hamming between two key-column sets."""
     from .multimodal import PHASH_BANDS
@@ -2838,12 +2855,7 @@ def _pixel_batch_matches(bands, idx):
     row-local hamming over the carried keys, <= PHASH_HAM."""
     from .multimodal import PHASH_BANDS, PHASH_HAM
 
-    cand = idx.select(
-        "band_id",
-        "band_key",
-        F.col("doc_id").alias("other"),
-        *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
-    )
+    cand = _pixel_other_rows(idx)
     ham = _pixel_hamming("k", "o")
     f1 = (
         bands.join(cand, ["band_id", "band_key"])
@@ -2851,12 +2863,7 @@ def _pixel_batch_matches(bands, idx):
         .where(ham <= PHASH_HAM)
         .select(F.greatest("doc_id", "other").alias("doc_id"))
     )
-    cand2 = bands.select(
-        "band_id",
-        "band_key",
-        F.col("doc_id").alias("other"),
-        *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
-    )
+    cand2 = _pixel_other_rows(bands)
     f2 = (
         bands.join(cand2, ["band_id", "band_key"])
         .where(F.col("other") < F.col("doc_id"))
@@ -3251,10 +3258,11 @@ def streaming_write_shards(spark, sf_dir):
     import shutil as _shutil
 
     run_dir = tempfile.mkdtemp(prefix="ds_shardslive_")
-    _shards_live_drain(spark, sf_dir, run_dir, _SHARDS_LIVE_LAST_RUN)
-    out = _shards_live_close(spark, sf_dir, run_dir)
-    _shutil.rmtree(run_dir, ignore_errors=True)
-    return out
+    try:
+        _shards_live_drain(spark, sf_dir, run_dir, _SHARDS_LIVE_LAST_RUN)
+        return _shards_live_close(spark, sf_dir, run_dir)
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
 
 
 def _shards_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
@@ -3369,6 +3377,13 @@ def streaming_write_shards_resume(spark, sf_dir):
     run_dir = tempfile.mkdtemp(prefix="ds_shardsresume_")
     kill_marker = os.path.join(run_dir, "_killed")
     try:
+        return _shards_resume_run(spark, sf_dir, run_dir, kill_marker)
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def _shards_resume_run(spark, sf_dir, run_dir, kill_marker):
+    try:
         _shards_live_drain(
             spark, sf_dir, run_dir, _SHARDS_RESUME_LAST_RUN, kill_epoch=2
         )
@@ -3395,9 +3410,7 @@ def streaming_write_shards_resume(spark, sf_dir):
             "first_run_committed": first_committed,
         }
     )
-    out = _shards_live_close(spark, sf_dir, run_dir)
-    _shutil.rmtree(run_dir, ignore_errors=True)
-    return out
+    return _shards_live_close(spark, sf_dir, run_dir)
 
 
 def _neardup_flag_index(spark, sf_dir):
@@ -3462,7 +3475,9 @@ def _pixel_flag_index(spark, sf_dir):
     )
     marker = os.path.join(root, "_built")
     idx_p = os.path.join(root, "flags.parquet")
-    params = f"dhash64:flag:ham{PHASH_HAM}:v1"
+    from .multimodal import _pixel_params
+
+    params = f"dhash64:flag:{_pixel_params()}:v1"
     if not marker_current(marker, sf_dir, name="documents", params=params):
         _shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -3470,12 +3485,7 @@ def _pixel_flag_index(spark, sf_dir):
             table(spark, sf_dir, "documents")
         ).localCheckpoint(eager=True)
         bands = _pixel_band_rows(keys)
-        other = bands.select(
-            "band_id",
-            "band_key",
-            F.col("doc_id").alias("other"),
-            *[F.col(f"k{b}").alias(f"o{b}") for b in range(PHASH_BANDS)],
-        )
+        other = _pixel_other_rows(bands)
         (
             bands.join(other, ["band_id", "band_key"])
             .where(F.col("other") < F.col("doc_id"))
