@@ -131,6 +131,14 @@ SF1_EXTRA = [
     "pipeline_epoch_plan",            # r12 data-constrained epoch planner: one partial-agg pass to O(#sources) rows
     "pipeline_curate_v4",             # r12 five-signal batch curation: decon drop before the per-source quality cuts
     "streaming_token_budget_monitor", # r12 live budget burn-down: five-signal admission + plan-allocation broadcast, O(#sources) state
+    "pipeline_write_shards_budgeted", # r13 epoch-plan actuator: whole epochs + truncated md5 fractional fill, shared write path
+    "pipeline_budgeted_delivery",     # r13 delivery audit: delivered == alloc integer identity, O(#sources) rows
+    "streaming_ingest_gate_budget",   # r13 budget-enforcing admission: multi-epoch firehose, (epoch, doc_id) cutoff, per-epoch ledger
+    "dedup_embedding_cosine_recall",  # r13 loose-point operating report: recall/density vs exact truth on the bounded sample
+    "similarity_ivf_remove",          # r13 ANN deletion: guarded-swap tombstone, frozen quantizer, survivor top-k
+    "multimodal_phash_dedup",         # r13 pixel near-dup: real decode + dHash, 4x16 pigeonhole bands
+    "streaming_write_shards_resume",  # r13 delivery-side kill-and-resume: crash + checkpoint restart, manifest parity
+    "similarity_pq_remove",           # r13 PQ-code retirement: shared removal set, guarded-swap tombstone, ADC survivor scan
 ]
 
 

@@ -549,6 +549,49 @@ from .dedup import (  # noqa: E402
 )
 
 
+#: The graded REMOVAL SET, one SQL definition shared by the IVF and
+#: PQ removal oracles (so the two artifacts cannot disagree on which
+#: vectors retired): loose embedding-dedup non-keepers (every vec_b of
+#: a verified theta=0.4 pair on the bounded sample) UNION the smallest
+#: IVF query's former rank-1 neighbor (the structural promotion case).
+#: Requires a CTE ``v`` (vec_id, label, emb) in scope; defines CTEs
+#: train/cents*/assigned/cells0/q0/scored0/pre/sig/bands/cand/removed.
+_RM_SET_CTES = f"""    {_kmeans_sql()},
+    assigned AS (
+        SELECT vec_id, label, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
+                                           cent_id) AS cr
+        FROM v, cents{IVF_KMEANS_ITERS}
+    ),
+    cells0 AS (SELECT vec_id, emb, cent_id FROM assigned
+               WHERE cr <= {IVF_ASSIGN}),
+    q0 AS (SELECT vec_id AS query_id, emb AS qemb, cent_id AS qcell
+           FROM assigned
+           WHERE cr <= {IVF_NPROBE} AND vec_id % {IVF_QUERY_MOD} = 0),
+    scored0 AS (
+        SELECT DISTINCT q0.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q0.qemb, c.emb) AS sim
+        FROM q0 JOIN cells0 c ON c.cent_id = q0.qcell
+                             AND c.vec_id <> q0.query_id
+    ),
+    pre AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id)
+                          AS rank
+            FROM scored0),
+    {_rm_bands_sql()},
+    removed AS (
+        SELECT DISTINCT vec_b AS vec_id
+        FROM cand
+        JOIN sig x ON vec_a = x.vec_id
+        JOIN sig y ON vec_b = y.vec_id
+        WHERE list_cosine_similarity(x.emb, y.emb) >= {_RM_THRESHOLD}
+        UNION
+        SELECT neighbor_id AS vec_id FROM pre
+        WHERE rank = 1 AND query_id = (SELECT min(query_id) FROM pre)
+    )"""
+
+
 def _ivf_search_topk(ranked, query_mod=IVF_QUERY_MOD):
     """The ONE IVF cell-probe search over ranked index rows —
     (query_id, neighbor_id, rank, cosine) — shared by
@@ -690,40 +733,7 @@ def _ivf_removed_index(spark, sf_dir):
     f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
-    {_kmeans_sql()},
-    assigned AS (
-        SELECT vec_id, label, emb, cent_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY list_cosine_similarity(emb, cemb) DESC,
-                                           cent_id) AS cr
-        FROM v, cents{IVF_KMEANS_ITERS}
-    ),
-    cells0 AS (SELECT vec_id, emb, cent_id FROM assigned
-               WHERE cr <= {IVF_ASSIGN}),
-    q0 AS (SELECT vec_id AS query_id, emb AS qemb, cent_id AS qcell
-           FROM assigned
-           WHERE cr <= {IVF_NPROBE} AND vec_id % {IVF_QUERY_MOD} = 0),
-    scored0 AS (
-        SELECT DISTINCT q0.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q0.qemb, c.emb) AS sim
-        FROM q0 JOIN cells0 c ON c.cent_id = q0.qcell
-                             AND c.vec_id <> q0.query_id
-    ),
-    pre AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY sim DESC, neighbor_id)
-                          AS rank
-            FROM scored0),
-    {_rm_bands_sql()},
-    removed AS (
-        SELECT DISTINCT vec_b AS vec_id
-        FROM cand
-        JOIN sig x ON vec_a = x.vec_id
-        JOIN sig y ON vec_b = y.vec_id
-        WHERE list_cosine_similarity(x.emb, y.emb) >= {_RM_THRESHOLD}
-        UNION
-        SELECT neighbor_id AS vec_id FROM pre
-        WHERE rank = 1 AND query_id = (SELECT min(query_id) FROM pre)
-    ),
+{_RM_SET_CTES},
     scored AS (
         SELECT DISTINCT q0.query_id, c.vec_id AS neighbor_id,
                list_cosine_similarity(q0.qemb, c.emb) AS sim
@@ -1181,6 +1191,13 @@ _PQ_ADC_SUM_SPARK = " + ".join(f"dt[{m}][codes[{m}]]" for m in range(PQ_M))
 )
 def similarity_pq_topk(spark, sf_dir):
     codes, qdt = _pq_artifacts(spark, sf_dir)
+    return _pq_adc_search(codes, qdt)
+
+
+def _pq_adc_search(codes, qdt):
+    """The ONE whole-corpus ADC scoring pass — shared by
+    similarity_pq_topk and the post-removal PQ search so the two
+    graded consumers cannot drift on scoring or tie-break rules."""
     w_rank = W.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
@@ -1196,6 +1213,114 @@ def similarity_pq_topk(spark, sf_dir):
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist"))
     )
+
+
+#: Own artifact root for the removal-refreshed PQ codes (the same
+#: private-copy rule as the IVF removal).
+_PQ_REMOVE_ROOT = "/tmp/durablestreams_pqremove_v1"
+
+
+def _pq_removed_codes(spark, sf_dir):
+    """Persisted removal-refreshed PQ code table: seed a private copy
+    of the pq_codes artifact, tombstone the SHARED graded removal set
+    (one dedup decision retires a vector from EVERY serving artifact
+    — IVF cells AND PQ codes) through refresh_ivf_remove's guarded
+    swap (the tombstone is vec_id-keyed, artifact-agnostic), serve
+    the swapped artifact."""
+    import shutil as _shutil
+
+    from .cache_marker import marker_current, write_marker
+
+    root = os.path.join(
+        _PQ_REMOVE_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "codes.parquet")
+    params = (
+        f"{_ann_params()}:rm{_RM_THRESHOLD}"
+        f":mod{_RM_MOD}:b{_RM_BANDS}x{_RM_BAND_BITS}:pq:v1"
+    )
+    if not marker_current(marker, sf_dir, name="embeddings", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        codes, _qdt = _pq_artifacts(spark, sf_dir)
+        codes.write.mode("overwrite").parquet(idx_p)
+        removed = _ivf_removed_ids(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        out = refresh_ivf_remove(spark, idx_p, removed)
+        if out is None:
+            raise RuntimeError(
+                "pq-remove refresh lost the lock on a fresh artifact"
+            )
+        write_marker(marker, sf_dir, name="embeddings", params=params)
+    from ..analytics.core import spread as _spread_fn
+
+    return _spread_fn(spark.read.parquet(idx_p))
+
+
+@query(
+    "similarity_pq_remove",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sub AS (SELECT vec_id, s.sub_id,
+                   emb[s.sub_id*{PQ_SUB}+1 : s.sub_id*{PQ_SUB}+{PQ_SUB}] AS svec
+            FROM v, (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS sub_id) s),
+    {_pq_kmeans_sql("pq")},
+    enc AS (
+        SELECT s.vec_id, s.sub_id, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {_pq_duck_l2('s.svec', 'c.cemb')} ASC,
+                                           c.cent_id) AS rn
+        FROM sub s JOIN pqcents c ON c.sub_id = s.sub_id),
+    codes AS (SELECT vec_id, list(code ORDER BY sub_id) AS codes
+              FROM enc WHERE rn = 1 GROUP BY vec_id),
+    qd AS (
+        SELECT s.vec_id AS query_id, s.sub_id, c.cent_id,
+               {_pq_duck_l2('s.svec', 'c.cemb')} AS d2
+        FROM sub s JOIN pqcents c ON c.sub_id = s.sub_id
+        WHERE s.vec_id % {PQ_QUERY_MOD} = 0),
+    qdt AS (SELECT query_id, list(arr ORDER BY sub_id) AS dt
+            FROM (SELECT query_id, sub_id, list(d2 ORDER BY cent_id) AS arr
+                  FROM qd GROUP BY query_id, sub_id)
+            GROUP BY query_id),
+    {_RM_SET_CTES},
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_PQ_ADC_SUM_DUCK} AS adist
+        FROM qdt q, codes c
+        WHERE c.vec_id <> q.query_id
+          AND c.vec_id NOT IN (SELECT vec_id FROM removed)
+          AND q.query_id NOT IN (SELECT vec_id FROM removed))
+    SELECT query_id, neighbor_id, rank, round(adist, 4) AS adist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist ASC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+    doc="PQ code-table REMOVAL — the second half of FAISS remove_ids "
+    "(VERDICT r12 task 4 named 'the persisted IVF (and PQ codes)'): "
+    "the SAME graded removal set as similarity_ivf_remove (one "
+    "shared SQL definition — one dedup decision retires a vector "
+    "from every serving artifact) tombstones the persisted PQ code "
+    "rows through the same guarded-swap left-anti refresh on a "
+    "private artifact copy; retired queries stop querying (their ADC "
+    "lookup tables are filtered by the same set).  Codebooks frozen "
+    "(no retrain — the FAISS economics), corpus never re-read.  "
+    f"Graded output: post-removal whole-corpus ADC top-{TOP_K} "
+    "through the SAME shared scoring as similarity_pq_topk; the "
+    "oracle replays removal as a batch NOT-IN filter over the same "
+    "frozen codebooks, so a stale code row or a dropped survivor is "
+    "a hash mismatch.",
+)
+def similarity_pq_remove(spark, sf_dir):
+    codes = _pq_removed_codes(spark, sf_dir)
+    _codes, qdt = _pq_artifacts(spark, sf_dir)
+    removed_q = _ivf_removed_ids(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return _pq_adc_search(codes, qdt.join(removed_q, "query_id", "left_anti"))
 
 
 def _pq_artifacts(spark, sf_dir):

@@ -346,3 +346,30 @@ def test_ivf_remove_does_not_mutate_the_shared_artifact(spark):
     qs["similarity_ivf_remove"].fn(spark, SF_DIR).collect()
     after = sorted(map(tuple, qs["similarity_ivf_topk"].fn(spark, SF_DIR).collect()))
     assert before == after
+
+
+def test_pq_remove_shares_the_removal_set_and_spares_the_artifact(spark):
+    """The PQ removal must retire EXACTLY the same vectors as the IVF
+    removal (one dedup decision, every artifact), never emit a removed
+    vector as neighbor or query, and leave the shared pq_codes
+    artifact unmutated for similarity_pq_topk."""
+    from durablestreams_spark.operators.similarity import (
+        _ivf_removed_ids,
+    )
+
+    qs = all_queries()
+    before = sorted(
+        map(tuple, qs["similarity_pq_topk"].fn(spark, SF_DIR).collect())
+    )
+    out = qs["similarity_pq_remove"].fn(spark, SF_DIR).collect()
+    assert out
+    removed = {
+        r["vec_id"] for r in _ivf_removed_ids(spark, SF_DIR).collect()
+    }
+    for r in out:
+        assert r["neighbor_id"] not in removed, r
+        assert r["query_id"] not in removed, r
+    after = sorted(
+        map(tuple, qs["similarity_pq_topk"].fn(spark, SF_DIR).collect())
+    )
+    assert before == after
