@@ -772,22 +772,54 @@ PHASH_BANDS = 4
 PHASH_BAND_BITS = 16
 PHASH_HAM = 3
 #: Deterministic pixel formula (shared with the oracle): byte i of
-#: doc d's raster = ((d%97+3)*i*i + 31*d + 7*i) % 196 — the %196
-#: headroom keeps the +60 perturbation from wrapping, and the
-#: d-dependent quadratic coefficient decorrelates docs (measured: min
-#: cross-doc hamming 5 over 19,900 pairs incl. sf1-range ids, while
-#: perturbed variants land at hamming 0-3).
+#: seed s's raster = md5(s ‖ ':px:' ‖ i//16)[i%16] % 196 — each
+#: 16-byte md5 block supplies 16 raster bytes, so the raster is
+#: high-entropy pseudorandom PER DOC (adjacent-grid luminances iid ⇒
+#: cross-doc dHash distance ~ Binomial(64, ½), P(hamming≤3) ≈ 5e-15 —
+#: zero natural collisions at any fixture scale; the earlier
+#: quadratic-ramp formula collided on sf1's strided id space and
+#: flagged 95% of docs).  The %196 headroom keeps the +60
+#: perturbation from wrapping; perturbed variants land at hamming
+#: 0-3 by the 3-cell noise region.
 PHASH_PIX_MOD = 196
 PHASH_NOISE = 60
 
 
-def _phash_pixel(doc_id: int, i: int, noisy: bool) -> int:
+def _phash_pixel(seed_id: int, i: int, noisy: bool) -> int:
+    import hashlib
+
+    blk = hashlib.md5(f"{seed_id}:px:{i // 16}".encode()).digest()
+    v = blk[i % 16] % PHASH_PIX_MOD
     x = (i // 3) % PHASH_W
     y = (i // 3) // PHASH_W
-    v = ((doc_id % 97 + 3) * i * i + 31 * doc_id + 7 * i) % PHASH_PIX_MOD
     if noisy and x >= PHASH_W - 2 and y < 6:
         v += PHASH_NOISE
     return v
+
+
+def _phash_raster(seed_id: int, noisy: bool) -> bytes:
+    """The full raster of _phash_pixel in md5-block strides: 54 digest
+    calls per image instead of w*h*3 scalar evaluations — the live
+    gate hashes every arrival, so the fixture builder must not be the
+    bottleneck (identical bytes to the scalar form, pinned by
+    test)."""
+    import hashlib
+
+    import numpy as np
+
+    n = PHASH_W * PHASH_H * 3
+    raw = b"".join(
+        hashlib.md5(f"{seed_id}:px:{b}".encode()).digest()
+        for b in range(n // 16)
+    )
+    v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) % PHASH_PIX_MOD
+    if noisy:
+        i = np.arange(n, dtype=np.int64)
+        p = i // 3
+        x = p % PHASH_W
+        y = p // PHASH_W
+        v = v + ((x >= PHASH_W - 2) & (y < 6)) * PHASH_NOISE
+    return v.astype(np.uint8).tobytes()
 
 
 _MEDIA_SCHEMA = T.StructType(
@@ -815,15 +847,13 @@ def build_phash_media_batch(
         ids, blobs = [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            rgb = bytes(_phash_pixel(d, i, False) for i in range(n))
+            rgb = _phash_raster(d, False)
             ids.append(d)
             blobs.append(encode_bmp_rgb(PHASH_W, PHASH_H, rgb))
             ids.append(d + PHASH_OFF)
             blobs.append(encode_ppm_rgb(PHASH_W, PHASH_H, rgb))
             if (d // PHASH_MOD) % PHASH_NOISY_EVERY == 0:
-                noisy = bytes(
-                    _phash_pixel(d, i, True) for i in range(n)
-                )
+                noisy = _phash_raster(d, True)
                 ids.append(d + 2 * PHASH_OFF)
                 blobs.append(encode_bmp_rgb(PHASH_W, PHASH_H, noisy))
         yield pd.DataFrame(
@@ -895,7 +925,9 @@ def _phash_keys(spark, sf_dir):
     ),
     pix AS (
         SELECT media_id, r, c,
-               ((doc_id % 97 + 3) * i * i + 31 * doc_id + 7 * i)
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':px:'
+                                       || CAST(i // 16 AS VARCHAR)),
+                                   (i % 16) * 2 + 1, 2) AS BIGINT)
                    % {PHASH_PIX_MOD}
                + CASE WHEN noisy = 1 AND gx >= {PHASH_W - 2} AND gy < 6
                       THEN {PHASH_NOISE} ELSE 0 END AS v
@@ -959,12 +991,11 @@ def _phash_keys(spark, sf_dir):
     "fixture plants the exact failure the gate had: the SAME raster "
     "re-encoded BMP<->PPM (hamming 0 — byte-level dedup is blind to "
     "it, dHash is not) plus brightness-perturbed copies at hamming "
-    "0-3; distinct small-range doc ids sit at hamming >= 5 "
-    "(measured over 19,900 pairs), while sf1's strided synthetic id "
-    "space also produces genuine cross-doc hash collisions — the "
-    "matcher reports them, honestly: graded truth is the matcher's "
-    "EXACTNESS (banded == all-pairs hamming<=3), not fixture "
-    "precision; real photographs decorrelate naturally.  The "
+    "0-3; distinct docs' rasters are md5-block pseudorandom, so "
+    "cross-doc dHash distance concentrates at Binomial(64, 1/2) — "
+    "zero natural collisions at any fixture scale (the graded truth "
+    "is the matcher's EXACTNESS: banded == all-pairs hamming<=3).  "
+    "The "
     "oracle replays the builder's pixel arithmetic over just the 72 "
     "SAMPLED grid pixels per image (the nearest-neighbor map makes "
     "the replay O(72/doc) at any raster size); the Spark side "
@@ -1038,7 +1069,7 @@ def _pixel_params() -> str:
     return (
         f"ham{PHASH_HAM}:b{PHASH_BANDS}x{PHASH_BAND_BITS}"
         f":w{PHASH_W}x{PHASH_H}:m{PHASH_PIX_MOD}:n{PHASH_NOISE}"
-        f":e{GATE_PIX_EVERY}.{GATE_PIX_NOISY_EVERY}"
+        f":e{GATE_PIX_EVERY}.{GATE_PIX_NOISY_EVERY}:md5raster"
     )
 
 
@@ -1059,7 +1090,6 @@ def gate_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encode_ppm_rgb,
     )
 
-    n = PHASH_W * PHASH_H * 3
     mask = (1 << PHASH_BAND_BITS) - 1
     for pdf in batches:
         out: dict = {"doc_id": pdf["doc_id"].astype("int64")}
@@ -1067,7 +1097,7 @@ def gate_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             seed, reenc, noisy = _gate_image_rule(d)
-            rgb = bytes(_phash_pixel(seed, i, noisy) for i in range(n))
+            rgb = _phash_raster(seed, noisy)
             blob = (
                 encode_ppm_rgb(PHASH_W, PHASH_H, rgb)
                 if reenc
@@ -1089,9 +1119,17 @@ _GATE_PHASH_SCHEMA = T.StructType(
 
 
 def gate_phash_keys(df):
-    """(doc_id, k0..k3) for any frame carrying doc_id — real bytes."""
-    return df.select("doc_id").mapInPandas(
-        gate_phash_batch, schema=_GATE_PHASH_SCHEMA
+    """(doc_id, k0..k3) for any frame carrying doc_id — real bytes.
+    The id projection is repartitioned to the session's parallelism
+    first: a foreachBatch micro-batch is typically ONE file = one
+    partition, which would run the whole Arrow hashing stage on one
+    core (the round-13 warm-gate profile); shuffling bare longs costs
+    nothing next to that."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id")
+        .repartition(n)
+        .mapInPandas(gate_phash_batch, schema=_GATE_PHASH_SCHEMA)
     )
 
 
@@ -1115,7 +1153,9 @@ def gate_phash_sql(prefix: str, src: str = "documents") -> str:
     ),
     {p}pix AS (
         SELECT doc_id, r, c,
-               ((seed % 97 + 3) * i * i + 31 * seed + 7 * i)
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':px:'
+                                       || CAST(i // 16 AS VARCHAR)),
+                                   (i % 16) * 2 + 1, 2) AS BIGINT)
                    % {PHASH_PIX_MOD}
                + CASE WHEN noisy = 1 AND gx >= {PHASH_W - 2} AND gy < 6
                       THEN {PHASH_NOISE} ELSE 0 END AS v

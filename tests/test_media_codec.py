@@ -411,3 +411,20 @@ def test_phash_pigeonhole_matches_all_pairs_truth(spark):
     assert any(h >= 1 for (_a, _b, h) in got), (
         "no perturbed pair matched — the hamming>0 path is vacuous"
     )
+
+
+def test_phash_raster_vectorized_matches_scalar():
+    """_phash_raster (numpy) must produce byte-identical rasters to
+    the scalar _phash_pixel form the oracles replay."""
+    from durablestreams_spark.operators.multimodal import (
+        PHASH_H,
+        PHASH_W,
+        _phash_pixel,
+        _phash_raster,
+    )
+
+    n = PHASH_W * PHASH_H * 3
+    for d in (0, 7, 11, 22, 90000011):
+        for noisy in (False, True):
+            want = bytes(_phash_pixel(d, i, noisy) for i in range(n))
+            assert _phash_raster(d, noisy) == want, (d, noisy)
