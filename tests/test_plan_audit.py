@@ -1158,3 +1158,35 @@ def test_amplified_candidates_stay_equi_join(spark):
     )
     assert len(_variant_list_exprs("spark")) == n_variants
     assert len(_variant_list_exprs("duck")) == n_variants
+
+
+def test_phash_dedup_has_no_all_pairs_stage(spark):
+    """The pixel near-dup's pair phase must be the 100 TB shape:
+    banded equi-joins only — no broadcast nested-loop of the media
+    corpus against itself, no cartesian product.  Python is allowed
+    exactly once (the Arrow encode/decode/hash stages); the candidate
+    join and hamming verify stay JVM-side."""
+    df = all_queries()["multimodal_phash_dedup"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # (the Arrow encode/decode/hash stage is localCheckpointed before
+    # the pair phase, so the audited plan is exactly the join graph)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the verify is bit_count over carried keys, JVM-side
+    assert not has_python_eval(df), plan
+
+
+def test_pixel_flag_serving_join_is_one_to_one(spark):
+    """The economics report's pixel signal must be a 1:1 LEFT lookup
+    against the persisted per-doc flag index — never a band-pair
+    fan-out on the stream side (the _neardup_flag_index protocol)."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _pixel_flag_index,
+    )
+
+    flags = _pixel_flag_index(spark, SF_DIR)
+    # per-doc flags: one row per flagged doc, no band columns
+    assert flags.columns == ["doc_id"], flags.columns
+    n = flags.count()
+    d = flags.distinct().count()
+    assert n == d > 0, (n, d)
