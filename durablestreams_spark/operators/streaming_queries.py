@@ -4098,10 +4098,13 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
     return dec_path
 
 
-@query(
-    "streaming_ingest_gate_budget",
-    f"""
-    WITH gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
+#: ONE oracle definition of the budget gate's decision rows (the CTE
+#: chain ending in ``dec``: six-signal admission + plan arithmetic +
+#: global (epoch, doc_id) cumulative cutoff) — shared by the budget
+#: gate's economics report, its kill-and-resume twin, the gate-fed
+#: shard writer, and the admission→delivery audit, so the four graded
+#: consumers can never drift from each other.
+_GATE_BUDGET_DEC_CTES = f"""gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
     nw AS (
         SELECT doc_id, source,
                CAST(len(list_filter(string_split_regex(text, '\\s+'),
@@ -4142,7 +4145,13 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
     ),
     dec AS (
         SELECT *, (keep AND cumq <= alloc_tokens) AS admitted FROM cum
-    )
+    )""".replace("{GATE_LIVE}", _GATE_LIVE_SQL)
+
+#: The budget gate's graded economics-report tail over ``dec`` —
+#: shared verbatim by streaming_ingest_gate_budget and its
+#: kill-and-resume twin (a resumed run must produce the SAME truth).
+_GATE_BUDGET_REPORT_SQL = f"""
+    WITH {_GATE_BUDGET_DEC_CTES}
     SELECT source, CAST(epoch AS BIGINT) AS epoch,
            CAST(count(*) AS BIGINT) AS n_arrivals,
            CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
@@ -4175,7 +4184,12 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
     FROM dec
     GROUP BY source, epoch
     ORDER BY source, epoch
-    """.replace("{GATE_LIVE}", _GATE_LIVE_SQL),
+    """
+
+
+@query(
+    "streaming_ingest_gate_budget",
+    _GATE_BUDGET_REPORT_SQL,
     doc="BUDGET-ENFORCING admission — the fused gate's SIXTH decision "
     "input (VERDICT r12 task 2): the gate window is replayed as a "
     f"multi-epoch firehose ({_BUDGET_REPLAYS} whole epochs, one more "
@@ -4212,44 +4226,263 @@ def streaming_ingest_gate_budget(spark, sf_dir):
         dec_path = _budget_gate_drain(
             spark, sf_dir, run_dir, _GATE_BUDGET_LAST_RUN
         )
-        dec = _epoch_read(spark, dec_path)
-        e, nd = F.col("exact_dup"), F.col("near_dup")
-        px, c = F.col("pixel_dup"), F.col("contaminated")
-        g, l = F.col("gopher_keep"), F.col("nb_logit")
-
-        def cnt(cond):
-            return F.sum(cond.cast("long")).cast("long")
-
-        out = (
-            dec.groupBy("source", "epoch")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_arrivals"),
-                cnt(e).alias("n_exact_dup"),
-                cnt(~e & nd).alias("n_near_dup"),
-                cnt(~e & ~nd & px).alias("n_pixel_dup"),
-                cnt(~e & ~nd & ~px & c).alias("n_contaminated"),
-                cnt(~e & ~nd & ~px & ~c & ~g).alias("n_gopher_fail"),
-                cnt(~e & ~nd & ~px & ~c & g & (l <= 0)).alias("n_nb_fail"),
-                cnt(F.col("quality") & ~F.col("admitted")).alias(
-                    "n_budget_exhausted"
-                ),
-                cnt(F.col("admitted")).alias("n_admitted"),
-                F.sum(
-                    F.when(F.col("admitted"), F.col("n_words")).otherwise(
-                        F.lit(0)
-                    )
-                )
-                .cast("long")
-                .alias("admitted_tokens"),
-                F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
-            )
-            .orderBy("source", "epoch")
-            .localCheckpoint(eager=True)
-        )
-        return out
+        return _gate_budget_report(_epoch_read(spark, dec_path))
     finally:
         import shutil as _shutil
 
+        _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def _gate_budget_report(dec):
+    """The budget gate's graded economics report over drained decision
+    rows — factored so the kill-and-resume twin grades the SAME
+    aggregation (a resumed run must produce the same truth)."""
+    e, nd = F.col("exact_dup"), F.col("near_dup")
+    px, c = F.col("pixel_dup"), F.col("contaminated")
+    g, l = F.col("gopher_keep"), F.col("nb_logit")
+
+    def cnt(cond):
+        return F.sum(cond.cast("long")).cast("long")
+
+    return (
+        dec.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            cnt(e).alias("n_exact_dup"),
+            cnt(~e & nd).alias("n_near_dup"),
+            cnt(~e & ~nd & px).alias("n_pixel_dup"),
+            cnt(~e & ~nd & ~px & c).alias("n_contaminated"),
+            cnt(~e & ~nd & ~px & ~c & ~g).alias("n_gopher_fail"),
+            cnt(~e & ~nd & ~px & ~c & g & (l <= 0)).alias("n_nb_fail"),
+            cnt(F.col("quality") & ~F.col("admitted")).alias(
+                "n_budget_exhausted"
+            ),
+            cnt(F.col("admitted")).alias("n_admitted"),
+            F.sum(
+                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("admitted_tokens"),
+            F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+        )
+        .orderBy("source", "epoch")
+        .localCheckpoint(eager=True)
+    )
+
+
+#: The admitted-rows → pack → rank → manifest oracle tail over the
+#: shared ``dec`` CTE chain — one definition for the gate-fed shard
+#: writer and the admission→delivery audit.
+_GATE_SHARDS_PACK_CTES = f"""gt AS (
+        SELECT doc_id, epoch, doc_id % {_PL_PACK_SHARDS} AS shard,
+               n_words AS n_tok
+        FROM dec WHERE admitted
+    ),
+    gc AS (
+        SELECT doc_id, epoch, shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY epoch, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM gt
+    ),
+    packed AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tok) // {_PL_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_in
+        FROM gc GROUP BY shard, seq_id
+    )"""
+
+#: Audit facts of the last gate-fed shard run (per consuming query).
+_GATE_SHARDS_LAST_RUN: dict = {}
+_GATE_DELIV_LAST_RUN: dict = {}
+
+
+def _gate_shards_close(spark, sf_dir, run_dir, dec_path):
+    """Close the admission→delivery seam: pack and write training
+    shards from EXACTLY the budget gate's admitted (source, epoch,
+    doc) decision rows — the corpus is never re-read at close (the
+    gate's decision record carries each arrival's token count), and
+    the delivered (doc, epoch) set is the gate's, not the planner's.
+    Epoch-major packing + the batch writer's seeded-shuffle /
+    two-phase-rank / manifest machinery verbatim.  Returns
+    (decision rows, per-shard manifest), both cut off from run_dir
+    (localCheckpoint) so the caller can tear the run down."""
+    from .pipeline_llm import (
+        _pack_from_counts,
+        _shards_manifest,
+        _write_shards,
+    )
+
+    dec = _epoch_read(spark, dec_path).localCheckpoint(eager=True)
+    adm = dec.where(F.col("admitted")).select(
+        "doc_id",
+        "epoch",
+        (F.col("doc_id") % _PL_PACK_SHARDS).alias("shard"),
+        F.col("n_words").alias("n_tok"),
+    )
+    shards = _write_shards(
+        spark,
+        sf_dir,
+        root=os.path.join(run_dir, "shards"),
+        seqs_fn=lambda: _pack_from_counts(
+            adm, order_cols=("epoch", "doc_id")
+        ),
+        params=(
+            f"gate-budget:pack{_PL_SEQ_LEN}x{_PL_PACK_SHARDS}"
+            f":ws{_PL_WRITE_SHARDS}:seed{_PL_SEED}"
+            f":b{_TB_BUDGET_MULT}:r{_TB_MAX_REPEATS}:v1"
+        ),
+    )
+    return dec, _shards_manifest(shards).localCheckpoint(eager=True)
+
+
+@query(
+    "streaming_shards_from_gate",
+    f"""
+    WITH {_GATE_BUDGET_DEC_CTES},
+    {_GATE_SHARDS_PACK_CTES},
+    {_PL_RANK_SQL}
+    SELECT CAST(shard_out AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST('0x' || substr(
+               md5(key || ':' || CAST(rank AS VARCHAR)), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_fp
+    FROM assigned
+    GROUP BY shard_out
+    ORDER BY shard_id
+    """,
+    doc="The admission→delivery SEAM, closed (VERDICT r13 task 1): "
+    "the training shards contain EXACTLY the documents the budget "
+    "gate admitted.  The live six-signal budget gate drains first "
+    "(the streaming_ingest_gate_budget topology verbatim — multi-"
+    "epoch firehose, per-epoch spend ledger, global (epoch, doc_id) "
+    "cutoff); its drained DECISION RECORD — never the corpus — then "
+    "feeds the shard machinery: admitted (doc, epoch) rows pack "
+    "epoch-major through the shared concat-and-chunk rule and ship "
+    "through _write_shards' seeded deterministic shuffle + two-phase "
+    "256-bucket exact rank, one parquet partition per shard.  The "
+    "graded rows are the per-shard manifest read back FROM THE "
+    "WRITTEN FILES (position-sensitive (key, rank) content "
+    "fingerprint), against an oracle that replays the ENTIRE arc in "
+    "one statement: six-signal admission + plan arithmetic + budget "
+    "cutoff + concat-and-chunk + rank — so a writer that ships one "
+    "rejected doc, drops one admitted doc, or misorders one sequence "
+    "is a hash mismatch.  This turns the planner (r12), the enforcer "
+    "(r13) and the writer (r13) into one provable pipeline: what the "
+    "gate admits is what trains.  Scale: the close step is "
+    "O(admitted rows) metadata — token counts ride the decision "
+    "record, so the 100 TB corpus text is read exactly once, in the "
+    "stream.  Reference capability: none — north star.",
+)
+def streaming_shards_from_gate(spark, sf_dir):
+    import shutil as _shutil
+
+    run_dir = tempfile.mkdtemp(prefix="ds_gateshards_")
+    try:
+        dec_path = _budget_gate_drain(
+            spark, sf_dir, run_dir, _GATE_SHARDS_LAST_RUN
+        )
+        _dec, man = _gate_shards_close(spark, sf_dir, run_dir, dec_path)
+        return man
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@query(
+    "streaming_gate_shard_delivery",
+    f"""
+    WITH {_GATE_BUDGET_DEC_CTES},
+    {_GATE_SHARDS_PACK_CTES},
+    per_src AS (
+        SELECT source,
+               CAST(coalesce(max(alloc_tokens), 0) AS BIGINT)
+                   AS alloc_tokens,
+               CAST(sum(CASE WHEN admitted THEN n_words ELSE 0 END)
+                    AS BIGINT) AS admitted_tokens,
+               CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_admitted
+        FROM dec GROUP BY source
+    ),
+    stot AS (
+        SELECT CAST(sum(n_tokens_in) AS BIGINT) AS shard_tokens
+        FROM packed
+    )
+    SELECT p.source, p.alloc_tokens, p.admitted_tokens, p.n_admitted,
+           (p.admitted_tokens <= p.alloc_tokens) AS within_alloc,
+           s.shard_tokens,
+           (s.shard_tokens =
+            (SELECT CAST(sum(admitted_tokens) AS BIGINT) FROM per_src))
+               AS tokens_match
+    FROM per_src p CROSS JOIN stot s
+    ORDER BY p.source
+    """,
+    doc="Delivery audit of the gate-fed shard writer — the graded "
+    "end-to-end proof for the admission→delivery seam: per source, "
+    "the gate's alloc_tokens next to its actually-admitted token sum "
+    "(within_alloc pinned TRUE: enforcement held), and the total "
+    "tokens in the WRITTEN shard files (the manifest read back from "
+    "parquet) next to the decision record's admitted total — "
+    "tokens_match pinned TRUE: the pack/write machinery neither "
+    "dropped nor duplicated one token of what the gate admitted "
+    "(membership and ORDER are covered by streaming_shards_from_"
+    "gate's position-sensitive fingerprint; this pins the per-source "
+    "economics).  One O(#sources) aggregate over the decision record "
+    "plus one over the manifest.  Reference capability: none — "
+    "north star.",
+)
+def streaming_gate_shard_delivery(spark, sf_dir):
+    import shutil as _shutil
+
+    run_dir = tempfile.mkdtemp(prefix="ds_gatedeliv_")
+    try:
+        dec_path = _budget_gate_drain(
+            spark, sf_dir, run_dir, _GATE_DELIV_LAST_RUN
+        )
+        dec, man = _gate_shards_close(spark, sf_dir, run_dir, dec_path)
+        per_src = dec.groupBy("source").agg(
+            F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+            F.sum(
+                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("admitted_tokens"),
+            F.sum(F.col("admitted").cast("long"))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+        stot = man.agg(
+            F.sum("n_tokens").cast("long").alias("shard_tokens")
+        )
+        adm_tot = per_src.agg(
+            F.sum("admitted_tokens").cast("long").alias("adm_total")
+        )
+        return (
+            per_src.crossJoin(F.broadcast(stot))
+            .crossJoin(F.broadcast(adm_tot))
+            .select(
+                "source",
+                "alloc_tokens",
+                "admitted_tokens",
+                "n_admitted",
+                (
+                    F.col("admitted_tokens") <= F.col("alloc_tokens")
+                ).alias("within_alloc"),
+                "shard_tokens",
+                (F.col("shard_tokens") == F.col("adm_total")).alias(
+                    "tokens_match"
+                ),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
         _shutil.rmtree(run_dir, ignore_errors=True)
 
 

@@ -588,3 +588,44 @@ def test_budget_gate_rerun_is_byte_identical(spark):
     a = sorted(map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()))
     b = sorted(map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_gate_shard_delivery_identity(spark):
+    """The admission→delivery seam (r13 task 1): per source the gate
+    never overspends (within_alloc pinned TRUE), the WRITTEN shard
+    files carry exactly the decision record's admitted token total
+    (tokens_match pinned TRUE), and the per-source economics agree
+    with the budget gate's own report — the two halves of the
+    pipeline observe one truth."""
+    from collections import defaultdict
+
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    deliv = sq.streaming_gate_shard_delivery(spark, SF_DIR).collect()
+    assert len(deliv) > 0
+    for r in deliv:
+        assert r["within_alloc"], r
+        assert r["tokens_match"], r
+    rep = sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()
+    rep_adm = defaultdict(int)
+    for r in rep:
+        rep_adm[r["source"]] += r["admitted_tokens"]
+    for r in deliv:
+        assert rep_adm[r["source"]] == r["admitted_tokens"], r
+    assert deliv[0]["shard_tokens"] == sum(rep_adm.values())
+
+
+def test_shards_from_gate_rerun_is_byte_identical(spark):
+    """The gate-fed shard set is a pure function of the data: the
+    decision record is batching-independent and the shuffle is
+    seeded, so two independent drain+write runs must produce the
+    same manifest byte for byte."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    a = sorted(
+        map(tuple, sq.streaming_shards_from_gate(spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, sq.streaming_shards_from_gate(spark, SF_DIR).collect())
+    )
+    assert a == b and len(a) > 0
