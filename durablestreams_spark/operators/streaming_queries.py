@@ -3956,13 +3956,13 @@ def _budget_alloc_table(spark, sf_dir):
     )
 
 
-def _budget_gate_drain(spark, sf_dir, run_dir, audit):
-    """Drain the budget-enforcing admission topology: the gate window
-    (the ':ndlive' delta) is replayed _BUDGET_REPLAYS whole epochs
-    (one parquet file per epoch, maxFilesPerTrigger=1 — the
-    multi-epoch firehose), and foreachBatch decides EVERY arrival:
-    the five fused admission signals (1:1 lookups against the
-    persisted hash / near-dup / contamination flag indexes + the
+def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
+    """Drain (or RESUME) the budget-enforcing admission topology: the
+    gate window (the ':ndlive' delta) is replayed _BUDGET_REPLAYS
+    whole epochs (one parquet file per epoch, maxFilesPerTrigger=1 —
+    the multi-epoch firehose), and foreachBatch decides EVERY
+    arrival: the five fused admission signals (1:1 lookups against
+    the persisted hash / near-dup / contamination flag indexes + the
     row-local Gopher gate + the served NB logit), then the SIXTH
     rung — budget_exhausted — from a deterministic cutoff: a
     quality-surviving arrival is admitted iff the cumulative
@@ -3973,7 +3973,17 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
     discipline); the within-batch part is a per-source window cumsum
     in doc_id order.  The (epoch, doc_id) key makes the decision a
     pure function of the data, independent of batching — the
-    batch-order-determinism the oracle replays."""
+    batch-order-determinism the oracle replays.
+
+    Re-invoking on an EXISTING run_dir resumes from its checkpoint:
+    the epoch files are not rewritten (the file source tracks
+    processed files by path, and a rewrite would also scramble the
+    mtime ordering that pins epoch==batch) and committed epochs are
+    not re-executed.  ``kill_epoch`` injects a one-shot crash AFTER
+    the victim epoch's decision AND ledger writes but BEFORE its
+    commit — the worst ordering for the one topology with
+    cross-epoch mutable state: a replay that read its own orphaned
+    ledger epoch would double-count spend and flip admissions."""
     import time as _time
 
     alloc = _budget_alloc_table(spark, sf_dir).collect()
@@ -3984,26 +3994,30 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
         .select("doc_id", "text", "source")
     )
     stream_dir = os.path.join(run_dir, "delta")
+    resume = os.path.isdir(stream_dir)
     os.makedirs(stream_dir, exist_ok=True)
     stage = os.path.join(run_dir, "_stage")
-    for e in range(_BUDGET_REPLAYS):
-        (
-            delta.withColumn("epoch", F.lit(e).cast("long"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = [
-            f for f in os.listdir(stage) if f.endswith(".parquet")
-        ][0]
-        dst = os.path.join(stream_dir, f"epoch{e}.parquet")
-        os.replace(os.path.join(stage, part), dst)
-        # strictly increasing mtimes pin the file-source processing
-        # order to epoch order (the source sorts by timestamp)
-        t = _time.time() + e - _BUDGET_REPLAYS
-        os.utime(dst, (t, t))
+    if not resume:
+        for e in range(_BUDGET_REPLAYS):
+            (
+                delta.withColumn("epoch", F.lit(e).cast("long"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(stream_dir, f"epoch{e}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            # strictly increasing mtimes pin the file-source
+            # processing order to epoch order (the source sorts by
+            # timestamp)
+            t = _time.time() + e - _BUDGET_REPLAYS
+            os.utime(dst, (t, t))
     ledger_path = os.path.join(run_dir, "ledger")
     dec_path = os.path.join(run_dir, "decisions")
+    kill_marker = os.path.join(run_dir, "_killed")
 
     def _decide(batch_df, epoch_id):
         from pyspark.sql import Window as W
@@ -4082,6 +4096,18 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit):
             ledger_path,
             epoch_id,
         )
+        # injected one-shot crash AFTER the decision and ledger
+        # writes, BEFORE the commit — the kill-and-resume proof's
+        # worst case for the spend ledger (an orphaned ledger epoch
+        # a replay must ignore AND overwrite, never double-count).
+        if (
+            kill_epoch is not None
+            and int(epoch_id) >= int(kill_epoch)
+            and not os.path.exists(kill_marker)
+        ):
+            with open(kill_marker, "w") as fh:
+                fh.write(f"killed at epoch {int(epoch_id)}")
+            raise RuntimeError("injected mid-stream kill")
 
     q = (
         spark.readStream.schema(
@@ -4270,6 +4296,87 @@ def _gate_budget_report(dec):
         .orderBy("source", "epoch")
         .localCheckpoint(eager=True)
     )
+
+
+#: Audit facts of the last streaming_ingest_gate_budget_resume run.
+_GATE_BUDGET_RESUME_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_ingest_gate_budget_resume",
+    _GATE_BUDGET_REPORT_SQL,
+    doc="KILL-AND-RESUME exactly-once for the BUDGET gate (VERDICT "
+    "r13 task 2) — the one live topology with cross-epoch MUTABLE "
+    "state (the per-epoch spend ledger), which is exactly where a "
+    "replayed epoch double-counting spend would silently flip "
+    "admissions.  The injected crash takes the worst ordering: the "
+    "victim epoch completes BOTH its side-effect writes (the "
+    "decision rows AND its ledger epoch) and dies before its "
+    "checkpoint commit — leaving an orphaned ledger epoch that the "
+    "replayed batch must IGNORE when reading prior spend "
+    "(_epoch_read's before_epoch guard: epoch k's cutoff joins only "
+    "ledger epochs < k, so its own failed attempt is invisible and "
+    "spend is never double-counted) and OVERWRITE when re-emitting "
+    "(per-epoch OVERWRITE subdirs).  The restart reuses the SAME "
+    "checkpoint and epoch files (tracked by path — never rewritten "
+    "on resume, which also preserves the mtime ordering that pins "
+    "epoch==batch), so committed epochs are not re-executed and the "
+    "victim re-runs with its original epoch_id.  Graded by the SAME "
+    "oracle as the uninterrupted budget gate — the exactly-once "
+    "statement: a mid-stream crash between the ledger write and the "
+    "commit is observationally invisible in every admission "
+    "decision.  Kill evidence is read from the checkpoint commit "
+    "log (committed-before-crash < total proves the first attempt "
+    "was genuinely partial).",
+)
+def streaming_ingest_gate_budget_resume(spark, sf_dir):
+    import shutil as _shutil
+
+    run_dir = tempfile.mkdtemp(prefix="ds_gatebudgetres_")
+    kill_marker = os.path.join(run_dir, "_killed")
+    try:
+        try:
+            _budget_gate_drain(
+                spark,
+                sf_dir,
+                run_dir,
+                _GATE_BUDGET_RESUME_LAST_RUN,
+                kill_epoch=2,
+            )
+            raise AssertionError(
+                "injected kill did not fire — the resume proof is vacuous"
+            )
+        except AssertionError:
+            raise
+        except Exception as ex:  # the injected StreamingQueryException
+            if "injected mid-stream kill" not in str(ex):
+                raise
+        if not os.path.exists(kill_marker):
+            raise RuntimeError("kill marker missing after injected kill")
+        commits_dir = os.path.join(run_dir, "ckpt", "commits")
+        first_committed = (
+            len(
+                [
+                    f
+                    for f in os.listdir(commits_dir)
+                    if not f.startswith(".")
+                ]
+            )
+            if os.path.isdir(commits_dir)
+            else 0
+        )
+        dec_path = _budget_gate_drain(
+            spark, sf_dir, run_dir, _GATE_BUDGET_RESUME_LAST_RUN
+        )
+        _GATE_BUDGET_RESUME_LAST_RUN.update(
+            {
+                "killed": True,
+                "first_run_committed": first_committed,
+            }
+        )
+        return _gate_budget_report(_epoch_read(spark, dec_path))
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
 
 
 #: The admitted-rows → pack → rank → manifest oracle tail over the

@@ -629,3 +629,28 @@ def test_shards_from_gate_rerun_is_byte_identical(spark):
         map(tuple, sq.streaming_shards_from_gate(spark, SF_DIR).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_budget_gate_resume_matches_uninterrupted(spark):
+    """Kill-and-resume for the budget gate (r13 task 2): the crash
+    lands AFTER the victim epoch's decision+ledger writes and BEFORE
+    its commit — the replay must ignore the orphaned ledger epoch
+    (before_epoch guard) instead of double-counting spend.  The
+    resumed run's report must equal an uninterrupted run's row for
+    row, and the commit log must prove the first attempt was
+    genuinely partial."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    resumed = sorted(
+        map(
+            tuple,
+            sq.streaming_ingest_gate_budget_resume(spark, SF_DIR).collect(),
+        )
+    )
+    audit = dict(sq._GATE_BUDGET_RESUME_LAST_RUN)
+    assert audit["killed"] is True
+    assert 0 < audit["first_run_committed"] < sq._BUDGET_REPLAYS, audit
+    clean = sorted(
+        map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect())
+    )
+    assert resumed == clean and len(resumed) > 0
