@@ -654,3 +654,41 @@ def test_live_reader_across_concurrent_guarded_swap(spark, tmp_path):
     for e, v, _n, docs in reads[1:]:
         assert not v.endswith(".v-genesis"), (e, v)
         assert new_id in docs and removed_id not in docs, (e, docs)
+
+
+def test_pixel_refresh_never_redecodes_the_corpus(spark, tmp_path):
+    """The pixel index's O(delta) refresh, pinned structurally: build
+    the base-split pixel band index, DELETE the corpus parquet, then
+    refresh with a delta supplied as bare ids — success is only
+    possible if the refresh touches nothing but the index rows and
+    the delta (historical images never re-decoded)."""
+    from durablestreams_spark.operators.streaming_queries import (
+        _pixel_base_index_path,
+        refresh_pixel_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"pixel base doc {i}") for i in base_ids[:20]],
+    )
+    base_p = _pixel_base_index_path(spark, str(tmp_path))
+    os.remove(corpus)
+
+    idx_p = str(tmp_path / "live_px_index.parquet")
+    shutil.copytree(base_p, idx_p)
+    delta = spark.createDataFrame(
+        [(i,) for i in delta_ids[:5]], "doc_id long"
+    )
+    removed_id = base_ids[0]
+    removed = spark.createDataFrame([(removed_id,)], "doc_id long")
+
+    out = refresh_pixel_index(spark, idx_p, delta, removed)
+    assert out is not None
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert set(delta_ids[:5]) <= ids, "delta band rows not appended"
+    assert removed_id not in ids, "tombstone not applied"
+    assert set(base_ids[1:20]) <= ids, "surviving base rows lost"
+    # 4 bands per doc, exactly once each
+    assert out.count() == 4 * len(ids)
