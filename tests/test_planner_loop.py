@@ -175,3 +175,77 @@ def test_budgeted_writer_repeats_epoch_major(spark):
             assert r["n_copies"] == full[r["source"]], r
     total = rows.agg(F.sum("n_tok")).collect()[0][0]
     assert total == sum(alloc.values())
+
+
+def test_bpe_counts_match_token_ids(spark):
+    """_bpe_doc_counts' separator-count formula must equal the payload
+    path's len(token ids) for every doc — the parity that lets the
+    BPE plan and the BPE payload writer share one token unit."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _bpe_doc_counts,
+        _bpe_token_ids,
+    )
+
+    cnt = {
+        r["doc_id"]: r["n_tok"]
+        for r in _bpe_doc_counts(spark, SF_DIR).collect()
+    }
+    ids = {
+        r["doc_id"]: len(r["ids"])
+        for r in _bpe_token_ids(spark, SF_DIR).collect()
+    }
+    assert cnt == ids and len(cnt) > 0
+
+
+def test_bpe_plan_is_a_different_plan(spark):
+    """The unit is part of the plan's identity: BPE merges compress
+    sources non-uniformly, so the BPE plan's allocations must differ
+    from the whitespace plan's (if they coincided, the 'declared
+    contract made executable' claim would be vacuous)."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        pipeline_epoch_plan,
+        pipeline_epoch_plan_bpe,
+    )
+
+    wp = {
+        r["source"]: r["alloc_tokens"]
+        for r in pipeline_epoch_plan(spark, SF_DIR).collect()
+    }
+    bp = {
+        r["source"]: r["alloc_tokens"]
+        for r in pipeline_epoch_plan_bpe(spark, SF_DIR).collect()
+    }
+    assert set(wp) == set(bp)
+    assert any(wp[s] != bp[s] for s in wp), (wp, bp)
+
+
+def test_bpe_budgeted_payload_delivers_the_plan(spark):
+    """BPE-unit done-criterion (r13 task 4): budget_met TRUE for every
+    source, BOTH plan branches present (constrained rem=0 sources and
+    truncating ones), the written payload shards carry exactly the
+    allocated token total, and the boundary-doc slice is real (some
+    delivered row ships fewer ids than its doc has)."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _bpe_budgeted_rows,
+        _bpe_doc_counts,
+        pipeline_budgeted_delivery_bpe,
+        pipeline_write_shards_budgeted_payload,
+    )
+
+    deliv = pipeline_budgeted_delivery_bpe(spark, SF_DIR).collect()
+    assert len(deliv) > 0
+    assert all(r["budget_met"] for r in deliv), deliv
+    assert any(r["n_frac_docs"] == 0 for r in deliv), "no constrained source"
+    assert any(r["n_frac_docs"] > 0 for r in deliv), "no truncating source"
+    man = pipeline_write_shards_budgeted_payload(spark, SF_DIR).collect()
+    assert sum(r["n_tokens"] for r in man) == sum(
+        r["alloc_tokens"] for r in deliv
+    )
+    full = {
+        r["doc_id"]: r["n_tok"]
+        for r in _bpe_doc_counts(spark, SF_DIR).collect()
+    }
+    rows = _bpe_budgeted_rows(spark, SF_DIR).collect()
+    assert any(r["n_tok"] < full[r["doc_id"]] for r in rows), (
+        "no boundary doc was actually truncated"
+    )
