@@ -310,6 +310,10 @@ def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
     assert audit["n_batches"] >= 2, audit
     assert audit["state_operators"] == [], audit
     assert len(audit["appended_files"]) >= audit["n_batches"]
+    # the single-append shape (r13 task 5): EVERY side effect of a
+    # micro-batch lands in ONE fused kind-discriminated epoch write —
+    # exactly one write job per executed batch, never one per arm
+    assert audit["n_epoch_writes"] == audit["n_batches"], audit
     assert any(r["near_dup"] for r in out), "no near-dup flag at sf0.001"
     assert any(r["contaminated"] for r in out), (
         "no contamination flag at sf0.001 — the fused screen is vacuous"
