@@ -476,3 +476,82 @@ def dhash_bits(width: int, height: int, rgb: bytes) -> int:
             if lums[c] > lums[c + 1]:
                 bits |= 1 << (r * 8 + c)
     return bits
+
+
+def encode_wav_pcm(samples, sample_rate: int) -> bytes:
+    """RIFF/WAVE 16-bit mono PCM from an EXPLICIT sample sequence —
+    the audio analog of encode_bmp_rgb: the audio near-dup fixture
+    builds real files from a deterministic signal and the decoder
+    must earn the samples back from the bytes."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", int(s)) for s in samples)
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_pcm(b: bytes) -> tuple[int, tuple]:
+    """(sample_rate, samples) via the same chunk walk as decode_wav —
+    the full PCM vector, for consumers that fingerprint the signal
+    rather than fold it to aggregates."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = None
+    bits = None
+    channels = None
+    pcm = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from(
+                "<HHI", body, 0
+            )
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"expected 16-bit mono, got {bits}-bit x{channels}")
+    n = len(pcm) // 2
+    return sample_rate, struct.unpack(f"<{n}h", pcm[: 2 * n])
+
+
+def audio_fp_bits(samples, n_frames: int = 65) -> int:
+    """64-bit sign-of-delta audio fingerprint: split the PCM vector
+    into ``n_frames`` equal-position frames (frame f = samples
+    [f*n//F, (f+1)*n//F)), take each frame's integer MEAN amplitude,
+    and set bit j iff mean(j+1) > mean(j).  Relative frame means are
+    invariant to resampling (frames hold more samples, same mean)
+    and to positive volume scaling (c*a > c*b iff a > b) — the two
+    re-encodes the byte-level gate is blind to.  All-integer
+    arithmetic so the SQL oracle replays it exactly."""
+    n = len(samples)
+    means = []
+    for f in range(n_frames):
+        lo = (f * n) // n_frames
+        hi = ((f + 1) * n) // n_frames
+        seg = samples[lo:hi]
+        means.append(sum(seg) // len(seg) if seg else 0)
+    bits = 0
+    for j in range(n_frames - 1):
+        if means[j + 1] > means[j]:
+            bits |= 1 << j
+    return bits

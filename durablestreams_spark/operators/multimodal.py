@@ -1215,3 +1215,271 @@ def gate_pxflag_sql(prefix: str, src: str = "documents") -> str:
             + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
             <= {PHASH_HAM}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Audio-space near-dup (frame-mean sign fingerprint) — VERDICT r13
+# task 6.  Completes the modality triad: text has hash/band dedup,
+# images have the dHash family, audio had decode-only (two re-encoded
+# copies of the same recording both passed).  Fixture and arithmetic
+# mirror the pixel family: deterministic md5-block frame amplitudes
+# (oracle replays ONE md5 per 16 frames per doc), REAL WAV bytes
+# built and parsed in-pipeline, 4x16-bit pigeonhole banding so the
+# hamming<=3 matcher is an exact equi-join.
+# ---------------------------------------------------------------------------
+
+#: 65 frame means -> 64 sign-of-delta bits (the dHash geometry).
+AUDIO_FRAMES = 65
+#: 1-in-AUDIO_MOD docs get audio rows; every AUDIO_NOISY_EVERY-th of
+#: those also gets a perturbed third variant.
+AUDIO_MOD = 5
+AUDIO_NOISY_EVERY = 4
+#: media_id offsets for the resampled and perturbed variants
+#: (distinct from PHASH_OFF so the two fixtures can never alias).
+AUDIO_OFF = 1 << 42
+#: Pigeonhole banding: any pair within hamming <= AUDIO_HAM agrees
+#: exactly on at least one 16-bit band.
+AUDIO_BANDS = 4
+AUDIO_BAND_BITS = 16
+AUDIO_HAM = 3
+#: Frame amplitude formula (shared with the oracle): frame f of doc
+#: d has amplitude md5(d ‖ ':au:' ‖ f//16)[f%16] % AUDIO_AMP_MOD —
+#: one digest per 16 frames, iid across docs (cross-doc fingerprint
+#: distance ~ Binomial(64, ~1/2): zero natural collisions at any
+#: fixture scale, the md5-block lesson from the pixel family).  The
+#: noisy variant DOUBLES the signal (volume re-encode — sign-of-delta
+#: is provably invariant to it) and bumps the last 3 frames by
+#: AUDIO_NOISE (flips at most 3 of the 64 comparisons: hamming 0-3).
+AUDIO_AMP_MOD = 200
+AUDIO_NOISE = 60
+#: Sample rates / samples-per-frame of the base and resampled files:
+#: the SAME 65 frame amplitudes shipped at 8 kHz (2 samples/frame)
+#: and 12 kHz (3 samples/frame) — identical frame MEANS, so the
+#: fingerprint matches at hamming 0 while every byte differs.
+AUDIO_BASE_RATE, AUDIO_BASE_PER = 8000, 2
+AUDIO_ALT_RATE, AUDIO_ALT_PER = 12000, 3
+
+
+def _audio_amp(seed_id: int, f: int, noisy: bool) -> int:
+    import hashlib
+
+    blk = hashlib.md5(f"{seed_id}:au:{f // 16}".encode()).digest()
+    v = blk[f % 16] % AUDIO_AMP_MOD
+    if noisy:
+        v = 2 * v + (AUDIO_NOISE if f >= AUDIO_FRAMES - 3 else 0)
+    return v
+
+
+def build_audio_media_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: sampled doc row → 2-3 REAL WAV files of the
+    same deterministic frame signal: the base 8 kHz file (media_id =
+    doc_id), a 12 kHz RESAMPLE of the IDENTICAL frame amplitudes
+    (doc_id + AUDIO_OFF — every PCM byte differs, the fingerprint
+    must not), and for every AUDIO_NOISY_EVERY-th doc a volume-
+    doubled copy with the last-3-frames bump (doc_id + 2*AUDIO_OFF,
+    hamming 0-3)."""
+    from .media_codec import encode_wav_pcm
+
+    for pdf in batches:
+        ids, blobs = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            amps = [
+                _audio_amp(d, f, False) for f in range(AUDIO_FRAMES)
+            ]
+            base = [a for a in amps for _ in range(AUDIO_BASE_PER)]
+            alt = [a for a in amps for _ in range(AUDIO_ALT_PER)]
+            ids.append(d)
+            blobs.append(encode_wav_pcm(base, AUDIO_BASE_RATE))
+            ids.append(d + AUDIO_OFF)
+            blobs.append(encode_wav_pcm(alt, AUDIO_ALT_RATE))
+            if (d // AUDIO_MOD) % AUDIO_NOISY_EVERY == 0:
+                namps = [
+                    _audio_amp(d, f, True) for f in range(AUDIO_FRAMES)
+                ]
+                noisy = [
+                    a for a in namps for _ in range(AUDIO_BASE_PER)
+                ]
+                ids.append(d + 2 * AUDIO_OFF)
+                blobs.append(encode_wav_pcm(noisy, AUDIO_BASE_RATE))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "blob": pd.Series(blobs, dtype="object"),
+            }
+        )
+
+
+_AUDIO_FP_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [T.StructField(f"k{b}", T.LongType()) for b in range(AUDIO_BANDS)]
+)
+
+
+def audio_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real WAV bytes → frame-mean sign
+    fingerprint band keys.  The samples come back through the REAL
+    chunk-walking parser (media_codec.decode_wav_pcm), then the
+    65-frame sign-of-delta hash (media_codec.audio_fp_bits) splits
+    into AUDIO_BANDS x AUDIO_BAND_BITS keys."""
+    from .media_codec import audio_fp_bits, decode_wav_pcm
+
+    mask = (1 << AUDIO_BAND_BITS) - 1
+    for pdf in batches:
+        out: dict = {"media_id": pdf["media_id"].astype("int64")}
+        cols: list[list[int]] = [[] for _ in range(AUDIO_BANDS)]
+        for blob in pdf["blob"]:
+            _rate, samples = decode_wav_pcm(bytes(blob))
+            bits = audio_fp_bits(samples, n_frames=AUDIO_FRAMES)
+            for b in range(AUDIO_BANDS):
+                cols[b].append((bits >> (AUDIO_BAND_BITS * b)) & mask)
+        for b in range(AUDIO_BANDS):
+            out[f"k{b}"] = pd.Series(cols[b], dtype="int64")
+        yield pd.DataFrame(out)
+
+
+def _audio_fp_keys(spark, sf_dir):
+    """(media_id, k0..k3) over the planted audio corpus — real WAV
+    encode, real chunk-walk decode, real fingerprint, all inside two
+    chained Arrow stages."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % AUDIO_MOD == 0)
+        .select("doc_id")
+    )
+    blobs = docs.mapInPandas(build_audio_media_batch, schema=_MEDIA_SCHEMA)
+    return blobs.mapInPandas(audio_fp_batch, schema=_AUDIO_FP_SCHEMA)
+
+
+@query(
+    "multimodal_audio_dedup",
+    f"""
+    WITH s AS (SELECT doc_id FROM documents WHERE doc_id % {AUDIO_MOD} = 0),
+    var AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id, 0 AS noisy FROM s
+        UNION ALL
+        SELECT doc_id, doc_id + {AUDIO_OFF} AS media_id, 0 AS noisy FROM s
+        UNION ALL
+        SELECT doc_id, doc_id + {2 * AUDIO_OFF} AS media_id, 1 AS noisy
+        FROM s WHERE (doc_id // {AUDIO_MOD}) % {AUDIO_NOISY_EVERY} = 0
+    ),
+    amp AS (
+        SELECT media_id, fr.f,
+               (CASE WHEN noisy = 1 THEN 2 ELSE 1 END)
+               * (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:'
+                                          || CAST(fr.f // 16 AS VARCHAR)),
+                                      (fr.f % 16) * 2 + 1, 2) AS BIGINT)
+                  % {AUDIO_AMP_MOD})
+               + CASE WHEN noisy = 1 AND fr.f >= {AUDIO_FRAMES - 3}
+                      THEN {AUDIO_NOISE} ELSE 0 END AS v
+        FROM var, (SELECT UNNEST(range({AUDIO_FRAMES})) AS f) fr
+    ),
+    bits AS (
+        SELECT a.media_id, a.f AS j,
+               CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        FROM amp a
+        JOIN amp b ON b.media_id = a.media_id AND b.f = a.f + 1
+        WHERE a.f < {AUDIO_FRAMES - 1}
+    ),
+    keys AS (
+        SELECT media_id,
+               CAST(j // {AUDIO_BAND_BITS} AS BIGINT) AS band_id,
+               CAST(sum(bit * (1::BIGINT
+                               << CAST(j % {AUDIO_BAND_BITS} AS INT)))
+                    AS BIGINT) AS band_key
+        FROM bits GROUP BY media_id, j // {AUDIO_BAND_BITS}
+    ),
+    hk AS (
+        SELECT media_id,
+               max(CASE WHEN band_id = 0 THEN band_key END) AS k0,
+               max(CASE WHEN band_id = 1 THEN band_key END) AS k1,
+               max(CASE WHEN band_id = 2 THEN band_key END) AS k2,
+               max(CASE WHEN band_id = 3 THEN band_key END) AS k3
+        FROM keys GROUP BY media_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM keys a
+        JOIN keys b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+              + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+                AS BIGINT) AS hamming
+    FROM cand
+    JOIN hk x ON media_a = x.media_id
+    JOIN hk y ON media_b = y.media_id
+    WHERE bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+        + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+        <= {AUDIO_HAM}
+    ORDER BY media_a, media_b
+    """,
+    doc="AUDIO-space near-dup (VERDICT r13 task 6) — completes the "
+    "modality triad (text bands, pixel dHash, now PCM fingerprints): "
+    "every planted recording (REAL RIFF/WAVE 16-bit mono PCM built "
+    "in-pipeline, parsed back through the real chunk-walking "
+    f"decoder) gets a 64-bit sign-of-delta fingerprint over its "
+    f"{AUDIO_FRAMES} frame MEAN amplitudes, split into {AUDIO_BANDS} "
+    f"x {AUDIO_BAND_BITS}-bit bands; the pigeonhole principle makes "
+    f"hamming<={AUDIO_HAM} matching an exact equi-join on (band_id, "
+    "band_key) — candidates verify by bit_count(xor) on the four "
+    "keys, never an all-pairs scan.  The fixture plants the exact "
+    "gate escapes: the SAME signal RESAMPLED 8 kHz -> 12 kHz (every "
+    "PCM byte differs, frame means identical — hamming 0; sample-"
+    "level or byte-level dedup is blind to it) and volume-doubled "
+    "copies with a 3-frame perturbation (sign-of-delta is provably "
+    "invariant to positive scaling, so only the bump's <=3 bits "
+    "flip).  Distinct docs' signals are md5-block pseudorandom — "
+    "cross-doc distance concentrates at Binomial(64, 1/2), zero "
+    "natural collisions at any fixture scale; the graded truth is "
+    "the matcher's EXACTNESS (banded == all-pairs hamming<=3, also "
+    "pinned vs a Python all-pairs sweep).  The oracle replays the "
+    "frame arithmetic (one md5 per 16 frames per doc); the Spark "
+    "side earns the same numbers from actual encoded bytes.  Scale: "
+    "two chained Arrow stages (no shuffle), then banded equi-joins — "
+    "O(Σ bucket²) per band; the PCM payload never shuffles (keys "
+    "only).",
+)
+def multimodal_audio_dedup(spark, sf_dir):
+    keys = _audio_fp_keys(spark, sf_dir).localCheckpoint(eager=True)
+    bands = keys.select(
+        "media_id",
+        F.posexplode(
+            F.array(*[F.col(f"k{b}") for b in range(AUDIO_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    x = keys.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"k{b}").alias(f"xa{b}") for b in range(AUDIO_BANDS)],
+    )
+    y = keys.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"k{b}").alias(f"yb{b}") for b in range(AUDIO_BANDS)],
+    )
+    ham = None
+    for b in range(AUDIO_BANDS):
+        term = F.bit_count(
+            F.col(f"xa{b}").bitwiseXOR(F.col(f"yb{b}"))
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(x, "media_a")
+        .join(y, "media_b")
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= AUDIO_HAM)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )

@@ -428,3 +428,87 @@ def test_phash_raster_vectorized_matches_scalar():
         for noisy in (False, True):
             want = bytes(_phash_pixel(d, i, noisy) for i in range(n))
             assert _phash_raster(d, noisy) == want, (d, noisy)
+
+
+def test_audio_encoders_roundtrip_and_match_formula():
+    """The WAV PCM encoder/decoder round-trip, and the worker's
+    fingerprint from REAL bytes must equal the direct frame-formula
+    fingerprint — the parity that lets the SQL oracle replay only the
+    65 frame amplitudes per doc."""
+    from durablestreams_spark.operators.media_codec import (
+        audio_fp_bits,
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+    from durablestreams_spark.operators.multimodal import (
+        AUDIO_ALT_PER,
+        AUDIO_ALT_RATE,
+        AUDIO_BASE_PER,
+        AUDIO_BASE_RATE,
+        AUDIO_FRAMES,
+        _audio_amp,
+    )
+
+    for d in (0, 5, 35, 120):
+        amps = [_audio_amp(d, f, False) for f in range(AUDIO_FRAMES)]
+        base = [a for a in amps for _ in range(AUDIO_BASE_PER)]
+        alt = [a for a in amps for _ in range(AUDIO_ALT_PER)]
+        rb, sb = decode_wav_pcm(encode_wav_pcm(base, AUDIO_BASE_RATE))
+        ra, sa = decode_wav_pcm(encode_wav_pcm(alt, AUDIO_ALT_RATE))
+        assert (rb, list(sb)) == (AUDIO_BASE_RATE, base)
+        assert (ra, list(sa)) == (AUDIO_ALT_RATE, alt)
+        # frame-formula fingerprint: bit j iff amp(j+1) > amp(j)
+        want = 0
+        for j in range(AUDIO_FRAMES - 1):
+            if amps[j + 1] > amps[j]:
+                want |= 1 << j
+        assert audio_fp_bits(sb, n_frames=AUDIO_FRAMES) == want
+        # resample invariance: identical fingerprint from the 12 kHz
+        # bytes even though every PCM byte differs
+        assert audio_fp_bits(sa, n_frames=AUDIO_FRAMES) == want
+        # volume invariance: doubling every sample flips nothing
+        assert (
+            audio_fp_bits([2 * s for s in sb], n_frames=AUDIO_FRAMES)
+            == want
+        )
+
+
+def test_audio_pigeonhole_matches_all_pairs_truth(spark):
+    """Pigeonhole exactness for the audio matcher: banded equi-join ==
+    all-pairs hamming<=AUDIO_HAM truth; every resampled pair matches
+    at hamming 0 and at least one perturbed pair at hamming >= 1."""
+    import itertools
+
+    from durablestreams_spark.analytics.core import all_queries
+    from durablestreams_spark.operators.multimodal import (
+        AUDIO_HAM,
+        AUDIO_OFF,
+        _audio_fp_keys,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    keys = {
+        r["media_id"]: (r["k0"], r["k1"], r["k2"], r["k3"])
+        for r in _audio_fp_keys(spark, SF).collect()
+    }
+    truth = set()
+    for a, b in itertools.combinations(sorted(keys), 2):
+        h = sum(bin(x ^ y).count("1") for x, y in zip(keys[a], keys[b]))
+        if h <= AUDIO_HAM:
+            truth.add((a, b, h))
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in all_queries()["multimodal_audio_dedup"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert got == truth
+    base = [m for m in keys if m < AUDIO_OFF]
+    assert base, "no planted audio"
+    for d in base:
+        assert (d, d + AUDIO_OFF, 0) in got, (
+            f"resampled copy of {d} not matched at hamming 0"
+        )
+    assert any(h >= 1 for (_a, _b, h) in got), (
+        "no perturbed pair matched — the hamming>0 path is vacuous"
+    )
