@@ -537,21 +537,28 @@ def decode_wav_pcm(b: bytes) -> tuple[int, tuple]:
 def audio_fp_bits(samples, n_frames: int = 65) -> int:
     """64-bit sign-of-delta audio fingerprint: split the PCM vector
     into ``n_frames`` equal-position frames (frame f = samples
-    [f*n//F, (f+1)*n//F)), take each frame's integer MEAN amplitude,
-    and set bit j iff mean(j+1) > mean(j).  Relative frame means are
-    invariant to resampling (frames hold more samples, same mean)
-    and to positive volume scaling (c*a > c*b iff a > b) — the two
-    re-encodes the byte-level gate is blind to.  All-integer
-    arithmetic so the SQL oracle replays it exactly."""
+    [f*n//F, (f+1)*n//F)), and set bit j iff frame j+1's mean
+    amplitude exceeds frame j's.  The mean comparison is EXACT
+    rational arithmetic — sum(j+1)*len(j) > sum(j)*len(j+1), never a
+    floored mean, so the comparison cannot flip on a rounding edge
+    when frame lengths differ.  Relative frame means are invariant
+    to any resampling that preserves per-frame means (frames hold
+    more samples of the same signal) and to positive volume scaling
+    (c*a > c*b iff a > b, exact under cross-multiplication) — the
+    two re-encodes the byte-level gate is blind to.  All-integer, so
+    the SQL oracle (which replays the fixture's per-frame
+    amplitudes — equal-valued within a frame, making the mean the
+    amplitude itself) matches bit for bit."""
     n = len(samples)
-    means = []
+    sums, lens = [], []
     for f in range(n_frames):
         lo = (f * n) // n_frames
         hi = ((f + 1) * n) // n_frames
         seg = samples[lo:hi]
-        means.append(sum(seg) // len(seg) if seg else 0)
+        sums.append(sum(seg))
+        lens.append(max(len(seg), 1))
     bits = 0
     for j in range(n_frames - 1):
-        if means[j + 1] > means[j]:
+        if sums[j + 1] * lens[j] > sums[j] * lens[j + 1]:
             bits |= 1 << j
     return bits

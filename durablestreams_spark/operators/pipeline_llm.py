@@ -1683,21 +1683,19 @@ EPOCH_BUDGET_MULT = 4
 EPOCH_MAX_REPEATS = 4
 
 
-@query(
-    "pipeline_epoch_plan",
-    f"""
-    WITH per_doc AS (
-        SELECT source,
-               len(list_filter(string_split_regex(text, '\\s+'),
-                               t -> t <> '')) AS n_tok
-        FROM documents
-    ),
+def _epoch_plan_oracle_sql(doc_block: str, doc_cte: str) -> str:
+    """The epoch planner's FULL graded-column oracle over ANY per-doc
+    token CTE (source, n_tok) — ONE SQL definition instantiated for
+    the whitespace and BPE token units (the SQL twin of
+    _epoch_plan_over)."""
+    return f"""
+    WITH {doc_block},
     per_src AS (
         SELECT source,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
                     AS BIGINT) AS s6
-        FROM per_doc GROUP BY source
+        FROM {doc_cte} GROUP BY source
     ),
     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
                    CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src),
@@ -1729,7 +1727,20 @@ EPOCH_MAX_REPEATS = 4
                AS shortfall_tokens
     FROM r
     ORDER BY source
-    """,
+    """
+
+
+@query(
+    "pipeline_epoch_plan",
+    _epoch_plan_oracle_sql(
+        """per_doc AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents
+    )""",
+        "per_doc",
+    ),
     doc="Data-constrained EPOCH planner — the repeat-factor table of "
     "Muennighoff et al. 2023 ('Scaling Data-Constrained Language "
     "Models'): given the tempered mixing shares "
@@ -1960,7 +1971,7 @@ def sample_source_kl(spark, sf_dir):
 # oracle).  With this block after every name text.py needs, the
 # deferred cross-import resolves in either import order.
 
-def _bpe_token_ids(spark, sf_dir):
+def _bpe_token_ids(spark, sf_dir, merges=None):
     """Per-doc BPE token-ID arrays: the text_bpe_tokenize tokenizer
     (same learned merges, same encode/apply expressions) carried one
     step further — the applied symbol stream is split back into
@@ -1981,7 +1992,8 @@ def _bpe_token_ids(spark, sf_dir):
     )
 
     docs = spread(table(spark, sf_dir, "documents"))
-    merges = _learn_bpe_merges(docs)
+    if merges is None:
+        merges = _learn_bpe_merges(docs)
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     applied = docs.select(
         "doc_id",
@@ -2221,57 +2233,56 @@ def _payload_manifest(shards):
 # part of the plan's identity, never silently converted.
 # ---------------------------------------------------------------------------
 
-#: Plan CTEs shared by the budgeted writer's and delivery report's
-#: oracles — the EXACT integer/snapped arithmetic of
-#: pipeline_epoch_plan (same s6 grid, same BIGINT budget, same cap),
-#: reduced to the columns the actuator consumes.  ``reps`` splits the
-#: allocation into whole epochs and a fractional remainder by pure
-#: BIGINT division, so both engines agree exactly.
-_EPOCH_REPS_CTES = f"""per_doc_tok AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                    t -> t <> '')) AS BIGINT) AS n_tok
-        FROM documents
-    ),
-    per_src AS (
+def _epoch_reps_sql(doc_cte: str, p: str = "") -> str:
+    """The s6/snap/cap plan-reps arithmetic as SQL over ANY per-doc
+    token CTE ``doc_cte`` (doc_id, source, n_tok) — ONE definition
+    for the whitespace and BPE token units (``p`` namespaces the CTE
+    names), the SQL twin of _epoch_plan_over.  ``{p}reps`` splits
+    the allocation into whole epochs and a fractional remainder by
+    pure BIGINT division, so both engines agree exactly."""
+    return f"""{p}per_src AS (
         SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
                     AS BIGINT) AS s6
-        FROM per_doc_tok GROUP BY source
+        FROM {doc_cte} GROUP BY source
     ),
-    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
-                   CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src),
-    plan AS (
+    {p}tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+                   CAST(sum(s6) AS BIGINT) AS s6_total FROM {p}per_src),
+    {p}plan AS (
         SELECT source, n_tokens,
                least(CAST(floor(CAST({EPOCH_BUDGET_MULT} * n_total AS BIGINT)
                                 * (floor(CAST(s6 AS DOUBLE) / s6_total
                                          * 1000000 + 0.5) / 1000000)
                                 + 0.5) AS BIGINT),
                      {EPOCH_MAX_REPEATS} * n_tokens) AS alloc_tokens
-        FROM per_src, tot
+        FROM {p}per_src, {p}tot
     ),
-    reps AS (
+    {p}reps AS (
         SELECT source, n_tokens, alloc_tokens,
                alloc_tokens // n_tokens AS full_epochs,
                alloc_tokens % n_tokens AS rem_tokens
-        FROM plan
+        FROM {p}plan
     )"""
 
-#: Delivered-row CTEs shared by both budgeted oracles: every doc of a
-#: source repeated once per whole epoch (epoch-id 0..full_epochs-1,
-#: full n_tok each), plus ONE fractional epoch (epoch-id =
-#: full_epochs) filled in md5-shuffled doc order until exactly
-#: rem_tokens are delivered — the boundary doc is TRUNCATED (delivers
-#: rem - cum_before tokens), so per-source delivered ≡ alloc_tokens
-#: as an integer identity, not an approximation.
-_BUDGETED_ROWS_CTES = f"""{_EPOCH_REPS_CTES},
-    epochs AS (SELECT UNNEST(range({EPOCH_MAX_REPEATS})) AS epoch),
-    full_rows AS (
+
+def _budgeted_rows_sql(doc_cte: str, p: str = "") -> str:
+    """Delivered-row CTEs over ANY per-doc token CTE — the SQL twin
+    of _budgeted_rows_from, shared by every budgeted oracle in both
+    token units: every doc of a source repeated once per whole epoch
+    (epoch-id 0..full_epochs-1, full n_tok each), plus ONE fractional
+    epoch (epoch-id = full_epochs) filled in md5-shuffled doc order
+    until exactly rem_tokens are delivered — the boundary doc is
+    TRUNCATED (delivers rem - cum_before tokens), so per-source
+    delivered ≡ alloc_tokens as an integer identity, not an
+    approximation."""
+    return f"""{_epoch_reps_sql(doc_cte, p)},
+    {p}epochs AS (SELECT UNNEST(range({EPOCH_MAX_REPEATS})) AS epoch),
+    {p}full_rows AS (
         SELECT d.doc_id, d.source, e.epoch, d.n_tok
-        FROM per_doc_tok d JOIN reps r USING (source)
-        JOIN epochs e ON e.epoch < r.full_epochs
+        FROM {doc_cte} d JOIN {p}reps r USING (source)
+        JOIN {p}epochs e ON e.epoch < r.full_epochs
     ),
-    frac_cum AS (
+    {p}frac_cum AS (
         SELECT d.doc_id, d.source, r.full_epochs AS epoch, d.n_tok,
                r.rem_tokens,
                sum(d.n_tok) OVER (
@@ -2281,24 +2292,41 @@ _BUDGETED_ROWS_CTES = f"""{_EPOCH_REPS_CTES},
                                        || ':epoch:{SHARD_SEED}'), 1, 16),
                             d.doc_id
                    ROWS UNBOUNDED PRECEDING) AS cum
-        FROM per_doc_tok d JOIN reps r USING (source)
+        FROM {doc_cte} d JOIN {p}reps r USING (source)
         WHERE r.rem_tokens > 0
     ),
-    frac_rows AS (
+    {p}frac_rows AS (
         SELECT doc_id, source, epoch,
                CASE WHEN cum <= rem_tokens THEN n_tok
                     ELSE rem_tokens - (cum - n_tok) END AS n_tok
-        FROM frac_cum
+        FROM {p}frac_cum
         WHERE cum - n_tok < rem_tokens
           AND (CASE WHEN cum <= rem_tokens THEN n_tok
                     ELSE rem_tokens - (cum - n_tok) END) > 0
     ),
-    delivered AS (
-        SELECT doc_id, source, epoch, n_tok FROM full_rows
+    {p}delivered AS (
+        SELECT doc_id, source, epoch, n_tok FROM {p}full_rows
         UNION ALL
-        SELECT doc_id, source, epoch, n_tok FROM frac_rows
+        SELECT doc_id, source, epoch, n_tok FROM {p}frac_rows
     )"""
 
+
+#: Whitespace-unit per-doc token CTE (pipeline_epoch_plan's n_tok).
+_PER_DOC_TOK_CTE = """per_doc_tok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    )"""
+
+#: Plan CTEs shared by the budgeted writer's and delivery report's
+#: oracles — the template's whitespace instantiation.
+_EPOCH_REPS_CTES = f"""{_PER_DOC_TOK_CTE},
+    {_epoch_reps_sql("per_doc_tok")}"""
+
+#: Delivered-row CTEs shared by both whitespace budgeted oracles.
+_BUDGETED_ROWS_CTES = f"""{_PER_DOC_TOK_CTE},
+    {_budgeted_rows_sql("per_doc_tok")}"""
 
 def _budgeted_doc_rows(spark, sf_dir):
     """(doc_id, source, epoch, n_tok) delivered rows materializing the
@@ -2558,16 +2586,19 @@ def pipeline_budgeted_delivery(spark, sf_dir):
 from .bpe_shared import _BPE_SEP as _BPE_SEP_CH  # noqa: E402
 
 
-def _bpe_doc_counts(spark, sf_dir):
+def _bpe_doc_counts(spark, sf_dir, merges=None):
     """(doc_id, source, n_tok) in BPE token units — text_bpe_tokenize's
     exact tokenizer reduced to the separator-count projection.  The
     count equals len(_bpe_token_ids(...).ids): every symbol is wrapped
     in exactly one U+001F pair and nothing else produces a separator,
-    so sep_count // 2 == the symbol count (parity pinned by test)."""
+    so sep_count // 2 == the symbol count (parity pinned by test).
+    Pass ``merges`` to reuse an already-learned merge table (one
+    trainer collect per query, not one per consumer)."""
     from .text import _bpe_apply, _bpe_encode, _learn_bpe_merges
 
     docs = spread(table(spark, sf_dir, "documents"))
-    merges = _learn_bpe_merges(docs)
+    if merges is None:
+        merges = _learn_bpe_merges(docs)
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     applied = _bpe_apply(_bpe_encode(words), merges)
     sep = F.length(applied) - F.length(
@@ -2593,46 +2624,7 @@ _BPE_DOC_TOK_CTES = f"""{_BPE_CTES},
 
 @query(
     "pipeline_epoch_plan_bpe",
-    f"""
-    WITH {_BPE_DOC_TOK_CTES},
-    per_src AS (
-        SELECT source,
-               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
-                    AS BIGINT) AS s6
-        FROM bpe_doc_tok GROUP BY source
-    ),
-    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
-                   CAST(sum(s6) AS BIGINT) AS s6_total FROM per_src),
-    j AS (
-        SELECT source, n_tokens,
-               floor(CAST(s6 AS DOUBLE) / s6_total * 1000000 + 0.5)
-                   / 1000000 AS target_share,
-               CAST({EPOCH_BUDGET_MULT} * n_total AS BIGINT) AS budget
-        FROM per_src, tot
-    ),
-    r AS (
-        SELECT source, n_tokens, target_share,
-               CAST(floor(budget * target_share + 0.5) AS BIGINT)
-                   AS requested_tokens
-        FROM j
-    )
-    SELECT source, n_tokens, target_share, requested_tokens,
-           floor(CAST(requested_tokens AS DOUBLE) / n_tokens * 10000 + 0.5)
-               / 10000 AS epochs_needed,
-           least(floor(CAST(requested_tokens AS DOUBLE) / n_tokens
-                       * 10000 + 0.5) / 10000,
-                 CAST({EPOCH_MAX_REPEATS} AS DOUBLE)) AS repeat_factor,
-           least(requested_tokens,
-                 {EPOCH_MAX_REPEATS} * n_tokens) AS alloc_tokens,
-           (requested_tokens > {EPOCH_MAX_REPEATS} * n_tokens)
-               AS data_constrained,
-           greatest(CAST(0 AS BIGINT),
-                    requested_tokens - {EPOCH_MAX_REPEATS} * n_tokens)
-               AS shortfall_tokens
-    FROM r
-    ORDER BY source
-    """,
+    _epoch_plan_oracle_sql(_BPE_DOC_TOK_CTES, "bpe_doc_tok"),
     doc="The epoch planner IN BPE UNITS (VERDICT r13 task 4) — the "
     "executable instance of the module's declared token-unit "
     "contract: a run shipping BPE payloads must re-plan in BPE "
@@ -2657,80 +2649,29 @@ def pipeline_epoch_plan_bpe(spark, sf_dir):
     )
 
 
-#: BPE-unit plan reps + delivered rows — the _EPOCH_REPS_CTES /
-#: _BUDGETED_ROWS_CTES pair re-expressed over bpe_doc_tok (same
-#: seeded-md5 fractional order, same boundary-doc truncation).
+#: BPE-unit plan reps + delivered rows — the shared plan/delivery
+#: SQL templates instantiated over bpe_doc_tok (prefix "b": same
+#: seeded-md5 fractional order, same boundary-doc truncation, one
+#: arithmetic definition across both token units).
 _BPE_BUDGETED_ROWS_CTES = f"""{_BPE_DOC_TOK_CTES},
-    bper_src AS (
-        SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5)
-                    AS BIGINT) AS s6
-        FROM bpe_doc_tok GROUP BY source
-    ),
-    btot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
-                    CAST(sum(s6) AS BIGINT) AS s6_total FROM bper_src),
-    bplan AS (
-        SELECT source, n_tokens,
-               least(CAST(floor(CAST({EPOCH_BUDGET_MULT} * n_total AS BIGINT)
-                                * (floor(CAST(s6 AS DOUBLE) / s6_total
-                                         * 1000000 + 0.5) / 1000000)
-                                + 0.5) AS BIGINT),
-                     {EPOCH_MAX_REPEATS} * n_tokens) AS alloc_tokens
-        FROM bper_src, btot
-    ),
-    breps AS (
-        SELECT source, n_tokens, alloc_tokens,
-               alloc_tokens // n_tokens AS full_epochs,
-               alloc_tokens % n_tokens AS rem_tokens
-        FROM bplan
-    ),
-    bepochs AS (SELECT UNNEST(range({EPOCH_MAX_REPEATS})) AS epoch),
-    bfull_rows AS (
-        SELECT d.doc_id, d.source, e.epoch, d.n_tok
-        FROM bpe_doc_tok d JOIN breps r USING (source)
-        JOIN bepochs e ON e.epoch < r.full_epochs
-    ),
-    bfrac_cum AS (
-        SELECT d.doc_id, d.source, r.full_epochs AS epoch, d.n_tok,
-               r.rem_tokens,
-               sum(d.n_tok) OVER (
-                   PARTITION BY d.source
-                   ORDER BY substr(md5(d.source || ':'
-                                       || CAST(d.doc_id AS VARCHAR)
-                                       || ':epoch:{SHARD_SEED}'), 1, 16),
-                            d.doc_id
-                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM bpe_doc_tok d JOIN breps r USING (source)
-        WHERE r.rem_tokens > 0
-    ),
-    bfrac_rows AS (
-        SELECT doc_id, source, epoch,
-               CASE WHEN cum <= rem_tokens THEN n_tok
-                    ELSE rem_tokens - (cum - n_tok) END AS n_tok
-        FROM bfrac_cum
-        WHERE cum - n_tok < rem_tokens
-          AND (CASE WHEN cum <= rem_tokens THEN n_tok
-                    ELSE rem_tokens - (cum - n_tok) END) > 0
-    ),
-    bdelivered AS (
-        SELECT doc_id, source, epoch, n_tok FROM bfull_rows
-        UNION ALL
-        SELECT doc_id, source, epoch, n_tok FROM bfrac_rows
-    )"""
+    {_budgeted_rows_sql("bpe_doc_tok", "b")}"""
 
 
-def _bpe_budgeted_rows(spark, sf_dir):
-    """(doc_id, source, epoch, n_tok) delivered rows materializing the
-    BPE-unit epoch plan — the Spark twin of _BPE_BUDGETED_ROWS_CTES
-    (shared _budgeted_rows_from construction, BPE counts and reps)."""
-    per_doc = _bpe_doc_counts(spark, sf_dir)
-    reps = pipeline_epoch_plan_bpe(spark, sf_dir).select(
+def _bpe_plan_and_rows(spark, sf_dir, merges=None):
+    """(reps, delivered rows) materializing the BPE-unit epoch plan —
+    the Spark twin of _BPE_BUDGETED_ROWS_CTES.  ONE per-doc count
+    lineage feeds both the plan and the delivered-rows construction
+    (the r14 review finding: calling pipeline_epoch_plan_bpe here
+    would re-run the merge-learning collect a second time)."""
+    per_doc = _bpe_doc_counts(spark, sf_dir, merges=merges)
+    plan = _epoch_plan_over(per_doc.select("source", "n_tok"))
+    reps = plan.select(
         "source",
         "alloc_tokens",
         F.expr("alloc_tokens DIV n_tokens").alias("full_epochs"),
         (F.col("alloc_tokens") % F.col("n_tokens")).alias("rem_tokens"),
     )
-    return _budgeted_rows_from(per_doc, reps)
+    return reps, _budgeted_rows_from(per_doc, reps)
 
 
 def _write_shards_budgeted_payload(spark, sf_dir, root: str | None = None):
@@ -2741,8 +2682,13 @@ def _write_shards_budgeted_payload(spark, sf_dir, root: str | None = None):
     from pyspark.sql import Window as W
 
     def seqs():
-        rows = _bpe_budgeted_rows(spark, sf_dir)
-        ids_df = _bpe_token_ids(spark, sf_dir)
+        from .text import _learn_bpe_merges
+
+        merges = _learn_bpe_merges(
+            spread(table(spark, sf_dir, "documents"))
+        )
+        _reps, rows = _bpe_plan_and_rows(spark, sf_dir, merges=merges)
+        ids_df = _bpe_token_ids(spark, sf_dir, merges=merges)
         t = rows.join(ids_df, "doc_id").select(
             "doc_id",
             "epoch",
@@ -2890,12 +2836,8 @@ def pipeline_write_shards_budgeted_payload(spark, sf_dir):
     "aggregated pass over the delivered rows to O(#sources) rows.",
 )
 def pipeline_budgeted_delivery_bpe(spark, sf_dir):
-    rows = _bpe_budgeted_rows(spark, sf_dir)
-    reps = pipeline_epoch_plan_bpe(spark, sf_dir).select(
-        "source",
-        "alloc_tokens",
-        F.expr("alloc_tokens DIV n_tokens").alias("full_epochs"),
-    )
+    reps_full, rows = _bpe_plan_and_rows(spark, sf_dir)
+    reps = reps_full.select("source", "alloc_tokens", "full_epochs")
     return (
         rows.join(F.broadcast(reps), "source")
         .groupBy("source", "alloc_tokens", "full_epochs")

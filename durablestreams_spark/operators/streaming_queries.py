@@ -3043,15 +3043,6 @@ def _fused_tag(df, kind: str):
     return df.select(*cols)
 
 
-def _fused_read(sess, fused_path, kind: str, cols, before_epoch=None):
-    """One arm's rows back out of the fused epoch dirs (None when no
-    epochs are readable — the _epoch_read contract)."""
-    fused = _epoch_read(sess, fused_path, before_epoch=before_epoch)
-    if fused is None:
-        return None
-    return fused.where(F.col("kind") == kind).select(*cols)
-
-
 def _cast_like(df, like):
     """Cast ``df``'s columns to ``like``'s dtypes (by name) so a fused
     superset read unions cleanly with its base parquet artifact."""
@@ -3115,11 +3106,20 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
         hashed = batch_df.select(
             "doc_id", F.md5("text").alias("h"), "text"
         ).localCheckpoint(eager=True)
+        # ONE scan of the prior fused epoch dirs per batch (not one
+        # per consuming arm): the three append arms filter their kind
+        # out of the same materialized frame.
+        prior_all = _epoch_read(sess, fused_path, before_epoch=epoch_id)
+        if prior_all is not None:
+            prior_all = prior_all.localCheckpoint(eager=True)
+
+        def _prior(kind, cols):
+            if prior_all is None:
+                return None
+            return prior_all.where(F.col("kind") == kind).select(*cols)
+
         idx = base_idx
-        prior = _fused_read(
-            sess, fused_path, "hash_app", ["h", "first_id"],
-            before_epoch=epoch_id,
-        )
+        prior = _prior("hash_app", ["h", "first_id"])
         if prior is not None:
             idx = idx.unionByName(_cast_like(prior, idx))
         # (2) batch vs index: flag the LARGER member of every
@@ -3146,10 +3146,7 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
         # per-doc flags (each detected pair's larger member).
         bands = _batch_bands(hashed)
         nd_idx = nd_base
-        nd_prior = _fused_read(
-            sess, fused_path, "nd_app", nd_idx.columns,
-            before_epoch=epoch_id,
-        )
+        nd_prior = _prior("nd_app", nd_idx.columns)
         if nd_prior is not None:
             nd_idx = nd_idx.unionByName(_cast_like(nd_prior, nd_idx))
         nd_flags = _neardup_batch_matches(bands, nd_idx).select("doc_id")
@@ -3163,10 +3160,7 @@ def _gate_live_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
             _gate_phash_keys(hashed)
         ).localCheckpoint(eager=True)
         px_idx = px_base
-        px_prior = _fused_read(
-            sess, fused_path, "px_app", px_idx.columns,
-            before_epoch=epoch_id,
-        )
+        px_prior = _prior("px_app", px_idx.columns)
         if px_prior is not None:
             px_idx = px_idx.unionByName(_cast_like(px_prior, px_idx))
         px_flags = _pixel_batch_matches(px_bands, px_idx)
@@ -4212,7 +4206,17 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
         .select("doc_id", "text", "source")
     )
     stream_dir = os.path.join(run_dir, "delta")
-    resume = os.path.isdir(stream_dir)
+    # Resume only behind the _staged marker (written AFTER the whole
+    # epoch-file loop): a crash mid-staging must re-stage from
+    # scratch, never drain a truncated epoch set as if it were
+    # complete — os.path.isdir(stream_dir) alone cannot tell a fully
+    # staged run from one that died after two of five files.
+    staged_marker = os.path.join(run_dir, "_staged")
+    resume = os.path.exists(staged_marker)
+    if not resume:
+        import shutil as _shutil
+
+        _shutil.rmtree(stream_dir, ignore_errors=True)
     os.makedirs(stream_dir, exist_ok=True)
     stage = os.path.join(run_dir, "_stage")
     if not resume:
@@ -4233,6 +4237,8 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
             # timestamp)
             t = _time.time() + e - _BUDGET_REPLAYS
             os.utime(dst, (t, t))
+        with open(staged_marker, "w") as fh:
+            fh.write(str(_BUDGET_REPLAYS))
     ledger_path = os.path.join(run_dir, "ledger")
     dec_path = os.path.join(run_dir, "decisions")
     kill_marker = os.path.join(run_dir, "_killed")

@@ -226,7 +226,7 @@ def test_bpe_budgeted_payload_delivers_the_plan(spark):
     allocated token total, and the boundary-doc slice is real (some
     delivered row ships fewer ids than its doc has)."""
     from durablestreams_spark.operators.pipeline_llm import (
-        _bpe_budgeted_rows,
+        _bpe_plan_and_rows,
         _bpe_doc_counts,
         pipeline_budgeted_delivery_bpe,
         pipeline_write_shards_budgeted_payload,
@@ -245,7 +245,7 @@ def test_bpe_budgeted_payload_delivers_the_plan(spark):
         r["doc_id"]: r["n_tok"]
         for r in _bpe_doc_counts(spark, SF_DIR).collect()
     }
-    rows = _bpe_budgeted_rows(spark, SF_DIR).collect()
+    rows = _bpe_plan_and_rows(spark, SF_DIR)[1].collect()
     assert any(r["n_tok"] < full[r["doc_id"]] for r in rows), (
         "no boundary doc was actually truncated"
     )
