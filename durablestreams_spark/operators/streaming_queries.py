@@ -4604,8 +4604,7 @@ def streaming_ingest_gate_budget_resume(spark, sf_dir):
 
 
 #: The admitted-rows → pack → rank → manifest oracle tail over the
-#: shared ``dec`` CTE chain — one definition for the gate-fed shard
-#: writer and the admission→delivery audit.
+#: shared ``dec`` CTE chain (the gate-fed shard writer's oracle).
 _GATE_SHARDS_PACK_CTES = f"""gt AS (
         SELECT doc_id, epoch, doc_id % {_PL_PACK_SHARDS} AS shard,
                n_words AS n_tok
@@ -4728,7 +4727,6 @@ def streaming_shards_from_gate(spark, sf_dir):
     "streaming_gate_shard_delivery",
     f"""
     WITH {_GATE_BUDGET_DEC_CTES},
-    {_GATE_SHARDS_PACK_CTES},
     per_src AS (
         SELECT source,
                CAST(coalesce(max(alloc_tokens), 0) AS BIGINT)
@@ -4738,33 +4736,36 @@ def streaming_shards_from_gate(spark, sf_dir):
                CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_admitted
         FROM dec GROUP BY source
-    ),
-    stot AS (
-        SELECT CAST(sum(n_tokens_in) AS BIGINT) AS shard_tokens
-        FROM packed
     )
-    SELECT p.source, p.alloc_tokens, p.admitted_tokens, p.n_admitted,
-           (p.admitted_tokens <= p.alloc_tokens) AS within_alloc,
-           s.shard_tokens,
-           (s.shard_tokens =
-            (SELECT CAST(sum(admitted_tokens) AS BIGINT) FROM per_src))
-               AS tokens_match
-    FROM per_src p CROSS JOIN stot s
-    ORDER BY p.source
+    SELECT source, alloc_tokens, admitted_tokens, n_admitted,
+           (admitted_tokens <= alloc_tokens) AS within_alloc,
+           CAST(sum(admitted_tokens) OVER () AS BIGINT) AS shard_tokens,
+           TRUE AS tokens_match
+    FROM per_src
+    ORDER BY source
     """,
     doc="Delivery audit of the gate-fed shard writer — the graded "
     "end-to-end proof for the admission→delivery seam: per source, "
     "the gate's alloc_tokens next to its actually-admitted token sum "
     "(within_alloc pinned TRUE: enforcement held), and the total "
-    "tokens in the WRITTEN shard files (the manifest read back from "
-    "parquet) next to the decision record's admitted total — "
-    "tokens_match pinned TRUE: the pack/write machinery neither "
-    "dropped nor duplicated one token of what the gate admitted "
-    "(membership and ORDER are covered by streaming_shards_from_"
-    "gate's position-sensitive fingerprint; this pins the per-source "
-    "economics).  One O(#sources) aggregate over the decision record "
-    "plus one over the manifest.  Reference capability: none — "
-    "north star.",
+    "tokens in the WRITTEN shard files (the Spark side reads the "
+    "manifest back from parquet) next to the decision record's "
+    "admitted total — tokens_match pinned TRUE: the pack/write "
+    "machinery neither dropped nor duplicated one token of what the "
+    "gate admitted.  The ORACLE states the expected shard total "
+    "arithmetically (sum of admitted tokens — concat-and-chunk "
+    "partitions the admitted rows, so the pack preserves the sum "
+    "identically; membership and ORDER are streaming_shards_from_"
+    "gate's position-sensitive fingerprint): a Spark writer that "
+    "drops or duplicates one token flips BOTH columns against the "
+    "oracle's expectation.  The oracle deliberately evaluates the "
+    "decision chain ONCE — an earlier draft re-derived the shard "
+    "total through a pack CTE plus a scalar subquery over per_src, "
+    "which made DuckDB re-evaluate the whole six-signal gate replay "
+    "and spill >77 GB at sf1 for zero added verification power "
+    "(the sum is partition-invariant).  One O(#sources) aggregate "
+    "over the decision record plus one over the manifest.  "
+    "Reference capability: none — north star.",
 )
 def streaming_gate_shard_delivery(spark, sf_dir):
     import shutil as _shutil
