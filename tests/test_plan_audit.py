@@ -1190,3 +1190,35 @@ def test_pixel_flag_serving_join_is_one_to_one(spark):
     n = flags.count()
     d = flags.distinct().count()
     assert n == d > 0, (n, d)
+
+
+def test_audio_dedup_has_no_all_pairs_stage(spark):
+    """The audio near-dup's pair phase must be the 100 TB shape:
+    banded equi-joins only — no broadcast nested-loop of the media
+    corpus against itself, no cartesian product.  Python is allowed
+    exactly once (the Arrow WAV encode/decode/fingerprint stages,
+    localCheckpointed before the pair phase); the candidate join and
+    hamming verify stay JVM-side — literally the same matcher code as
+    the pixel family (_banded_hamming_matches)."""
+    df = all_queries()["multimodal_audio_dedup"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not has_python_eval(df), plan
+
+
+def test_bpe_budgeted_rows_fractional_fill_is_bucket_partitioned(spark):
+    """The BPE-unit budgeted delivery must inherit the two-phase
+    bucket-rank shape: the fractional fill's only corpus-sized window
+    is PARTITIONED BY (source, bucket) — never a per-source global
+    sort of the doc stream (the shape that still works when a source
+    has billions of docs)."""
+    from durablestreams_spark.operators.pipeline_llm import (
+        _bpe_plan_and_rows,
+    )
+
+    _reps, rows = _bpe_plan_and_rows(spark, SF_DIR)
+    plan = formatted_plan(rows)
+    low = plan.lower()
+    assert "rangepartitioning" not in low, plan
+    assert "hashpartitioning(source" in low, plan
