@@ -139,6 +139,12 @@ SF1_EXTRA = [
     "multimodal_phash_dedup",         # r13 pixel near-dup: real decode + dHash, 4x16 pigeonhole bands
     "streaming_write_shards_resume",  # r13 delivery-side kill-and-resume: crash + checkpoint restart, manifest parity
     "similarity_pq_remove",           # r13 PQ-code retirement: shared removal set, guarded-swap tombstone, ADC survivor scan
+    "streaming_shards_from_gate",     # r14 admission->delivery seam: shards packed from the budget gate's decision record
+    "streaming_ingest_gate_budget_resume",  # r14 budget-gate kill-and-resume: orphaned ledger epoch ignored, decisions replay-stable
+    "multimodal_pixel_index_refresh", # r14 pixel index maintenance: O(delta) band append + tombstone, guarded swap
+    "pipeline_epoch_plan_bpe",        # r14 BPE-unit epoch planner: same s6/snap/cap arithmetic over BPE counts
+    "pipeline_write_shards_budgeted_payload",  # r14 BPE-budgeted payload shards: boundary-doc ids sliced to the delivered count
+    "multimodal_audio_dedup",         # r14 audio near-dup: real WAV decode + frame-sign fingerprint, 4x16 pigeonhole bands
 ]
 
 
