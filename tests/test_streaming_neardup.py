@@ -658,3 +658,36 @@ def test_budget_gate_resume_matches_uninterrupted(spark):
         map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect())
     )
     assert resumed == clean and len(resumed) > 0
+
+
+def test_budget_gate_restages_after_partial_staging(spark, tmp_path):
+    """The _staged marker guard (r14 review fix): a run_dir whose
+    delta dir exists but holds only a PARTIAL epoch set (a crash
+    mid-staging) must be re-staged from scratch, not drained as-is —
+    the report must equal a clean run's."""
+    import os
+
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    clean = sorted(
+        map(tuple, sq.streaming_ingest_gate_budget(spark, SF_DIR).collect())
+    )
+    run_dir = str(tmp_path / "partial_run")
+    stream_dir = os.path.join(run_dir, "delta")
+    os.makedirs(stream_dir)
+    # a truncated staging attempt: one bogus epoch file, NO marker
+    with open(os.path.join(stream_dir, "epoch0.parquet"), "wb") as fh:
+        fh.write(b"not a real epoch file")
+    audit: dict = {}
+    dec_path = sq._budget_gate_drain(spark, SF_DIR, run_dir, audit)
+    out = sorted(
+        map(
+            tuple,
+            sq._gate_budget_report(
+                sq._epoch_read(spark, dec_path)
+            ).collect(),
+        )
+    )
+    assert out == clean and len(out) > 0
+    assert audit["n_batches"] == sq._BUDGET_REPLAYS, audit
+    assert os.path.exists(os.path.join(run_dir, "_staged"))
