@@ -145,6 +145,7 @@ SF1_EXTRA = [
     "pipeline_epoch_plan_bpe",        # r14 BPE-unit epoch planner: same s6/snap/cap arithmetic over BPE counts
     "pipeline_write_shards_budgeted_payload",  # r14 BPE-budgeted payload shards: boundary-doc ids sliced to the delivered count
     "multimodal_audio_dedup",         # r14 audio near-dup: real WAV decode + frame-sign fingerprint, 4x16 pigeonhole bands
+    "multimodal_audio_index_refresh", # r14 audio index maintenance: O(delta) variant-band append + doc tombstone, guarded swap
 ]
 
 

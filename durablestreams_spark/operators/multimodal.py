@@ -1351,32 +1351,48 @@ def audio_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _audio_fp_keys(spark, sf_dir):
-    """(media_id, k0..k3) over the planted audio corpus — real WAV
-    encode, real chunk-walk decode, real fingerprint, all inside two
-    chained Arrow stages."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % AUDIO_MOD == 0)
-        .select("doc_id")
+def audio_fp_keys_for(docs):
+    """(media_id, k0..k3) for the planted audio variants of an
+    arbitrary doc_id frame (already sampled to doc_id % AUDIO_MOD ==
+    0) — real WAV encode, real chunk-walk decode, real fingerprint,
+    all inside two chained Arrow stages.  Factored so the audio index
+    family (base build + incremental refresh) signs only the docs it
+    is given, never the corpus."""
+    blobs = docs.select("doc_id").mapInPandas(
+        build_audio_media_batch, schema=_MEDIA_SCHEMA
     )
-    blobs = docs.mapInPandas(build_audio_media_batch, schema=_MEDIA_SCHEMA)
     return blobs.mapInPandas(audio_fp_batch, schema=_AUDIO_FP_SCHEMA)
 
 
-@query(
-    "multimodal_audio_dedup",
-    f"""
-    WITH s AS (SELECT doc_id FROM documents WHERE doc_id % {AUDIO_MOD} = 0),
-    var AS (
-        SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id, 0 AS noisy FROM s
+def _audio_fp_keys(spark, sf_dir):
+    """(media_id, k0..k3) over the planted audio corpus."""
+    return audio_fp_keys_for(
+        table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % AUDIO_MOD == 0
+        )
+    )
+
+
+def audio_keys_sql(prefix: str, src: str = "documents") -> str:
+    """DuckDB CTE chain replaying the audio fingerprint band keys for
+    every planted variant of the SAMPLED docs in ``src`` (a CTE of
+    doc_ids already filtered to doc_id % AUDIO_MOD = 0): CTEs
+    {prefix}keys (media_id, band_id, band_key) and {prefix}hk
+    (media_id, k0..k3).  Pure integer arithmetic — one md5 per 16
+    frames per doc — shared by the audio dedup oracle and the audio
+    index-refresh oracle (the gate_phash_sql pattern)."""
+    p = prefix
+    return f"""{p}var AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id, 0 AS noisy
+        FROM {src}
         UNION ALL
-        SELECT doc_id, doc_id + {AUDIO_OFF} AS media_id, 0 AS noisy FROM s
+        SELECT doc_id, doc_id + {AUDIO_OFF} AS media_id, 0 AS noisy
+        FROM {src}
         UNION ALL
         SELECT doc_id, doc_id + {2 * AUDIO_OFF} AS media_id, 1 AS noisy
-        FROM s WHERE (doc_id // {AUDIO_MOD}) % {AUDIO_NOISY_EVERY} = 0
+        FROM {src} WHERE (doc_id // {AUDIO_MOD}) % {AUDIO_NOISY_EVERY} = 0
     ),
-    amp AS (
+    {p}amp AS (
         SELECT media_id, fr.f,
                (CASE WHEN noisy = 1 THEN 2 ELSE 1 END)
                * (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:'
@@ -1385,44 +1401,61 @@ def _audio_fp_keys(spark, sf_dir):
                   % {AUDIO_AMP_MOD})
                + CASE WHEN noisy = 1 AND fr.f >= {AUDIO_FRAMES - 3}
                       THEN {AUDIO_NOISE} ELSE 0 END AS v
-        FROM var, (SELECT UNNEST(range({AUDIO_FRAMES})) AS f) fr
+        FROM {p}var, (SELECT UNNEST(range({AUDIO_FRAMES})) AS f) fr
     ),
-    bits AS (
+    {p}bits AS (
         SELECT a.media_id, a.f AS j,
                CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-        FROM amp a
-        JOIN amp b ON b.media_id = a.media_id AND b.f = a.f + 1
+        FROM {p}amp a
+        JOIN {p}amp b ON b.media_id = a.media_id AND b.f = a.f + 1
         WHERE a.f < {AUDIO_FRAMES - 1}
     ),
-    keys AS (
+    {p}keys AS (
         SELECT media_id,
                CAST(j // {AUDIO_BAND_BITS} AS BIGINT) AS band_id,
                CAST(sum(bit * (1::BIGINT
                                << CAST(j % {AUDIO_BAND_BITS} AS INT)))
                     AS BIGINT) AS band_key
-        FROM bits GROUP BY media_id, j // {AUDIO_BAND_BITS}
+        FROM {p}bits GROUP BY media_id, j // {AUDIO_BAND_BITS}
     ),
-    hk AS (
+    {p}hk AS (
         SELECT media_id,
                max(CASE WHEN band_id = 0 THEN band_key END) AS k0,
                max(CASE WHEN band_id = 1 THEN band_key END) AS k1,
                max(CASE WHEN band_id = 2 THEN band_key END) AS k2,
                max(CASE WHEN band_id = 3 THEN band_key END) AS k3
-        FROM keys GROUP BY media_id
-    ),
+        FROM {p}keys GROUP BY media_id
+    )"""
+
+
+def _audio_params() -> str:
+    """Every constant that shapes persisted audio artifacts, folded
+    into their cache-marker params (the _pixel_params rule)."""
+    return (
+        f"ham{AUDIO_HAM}:b{AUDIO_BANDS}x{AUDIO_BAND_BITS}"
+        f":fr{AUDIO_FRAMES}:amp{AUDIO_AMP_MOD}:n{AUDIO_NOISE}"
+        f":m{AUDIO_MOD}:ne{AUDIO_NOISY_EVERY}"
+    )
+
+
+@query(
+    "multimodal_audio_dedup",
+    f"""
+    WITH s AS (SELECT doc_id FROM documents WHERE doc_id % {AUDIO_MOD} = 0),
+    {audio_keys_sql("a", "s")},
     cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-        FROM keys a
-        JOIN keys b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.media_id < b.media_id
+        FROM akeys a
+        JOIN akeys b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.media_id < b.media_id
     )
     SELECT media_a, media_b,
            CAST(bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
               + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
                 AS BIGINT) AS hamming
     FROM cand
-    JOIN hk x ON media_a = x.media_id
-    JOIN hk y ON media_b = y.media_id
+    JOIN ahk x ON media_a = x.media_id
+    JOIN ahk y ON media_b = y.media_id
     WHERE bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
         + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
         <= {AUDIO_HAM}

@@ -2710,7 +2710,10 @@ from .pipeline_llm import _contam_flag_ctes  # noqa: E402,F401
 
 
 from .multimodal import (  # noqa: E402
+    AUDIO_MOD as _AU_MOD,
+    AUDIO_OFF as _AU_OFF,
     PHASH_HAM as _PX_HAM,
+    audio_keys_sql as _audio_keys_sql,
     gate_phash_keys as _gate_phash_keys,
     gate_phash_sql as _gate_phash_sql,
     gate_pxflag_sql as _gate_pxflag_sql,
@@ -3000,6 +3003,179 @@ def multimodal_pixel_index_refresh(spark, sf_dir):
     return spark.read.parquet(idx_p).select(
         "doc_id",
         *[F.col(f"k{b}").cast("long").alias(f"k{b}") for b in range(PHASH_BANDS)],
+        F.col("band_id").cast("long").alias("band_id"),
+        F.col("band_key").cast("long").alias("band_key"),
+    )
+
+
+def _audio_band_rows(keys):
+    """(doc_id, media_id, k0..k3, band_id, band_key) band rows from
+    audio fingerprint key rows — doc_id derives from the variant
+    offset scheme (media_id % AUDIO_OFF), and the keys ride along so
+    candidate verification stays a row-local bit_count (the
+    _pixel_band_rows protocol applied to the audio family)."""
+    from .multimodal import AUDIO_BANDS
+
+    return keys.select(
+        (F.col("media_id") % _AU_OFF).alias("doc_id"),
+        "media_id",
+        *[f"k{b}" for b in range(AUDIO_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"k{b}") for b in range(AUDIO_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+
+
+def _audio_base_index_path(spark, sf_dir) -> str:
+    """Persisted banded AUDIO-fingerprint index over the BASE split's
+    sampled docs — the audio family's 'historical corpus' artifact
+    (the _pixel_base_index_path protocol): every planted variant's
+    frame-sign band keys, real WAV encode/decode/fingerprint."""
+    import shutil as _shutil
+
+    from .multimodal import _audio_params, audio_fp_keys_for
+
+    root = os.path.join(
+        "/tmp/durablestreams_aulive_base_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(root, "_built")
+    idx_p = os.path.join(root, "index.parquet")
+    params = f"audiofp64:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:{_audio_params()}:v1"
+    if not marker_current(marker, sf_dir, name="documents", params=params):
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = table(spark, sf_dir, "documents").where(
+            _ndlive_base_pred() & (F.col("doc_id") % _AU_MOD == 0)
+        )
+        (
+            _audio_band_rows(audio_fp_keys_for(base))
+            .write.mode("overwrite")
+            .parquet(idx_p)
+        )
+        write_marker(marker, sf_dir, name="documents", params=params)
+    return idx_p
+
+
+def refresh_audio_index(
+    spark,
+    idx_path: str,
+    delta_docs,
+    removed_ids,
+    guard_marker: str | None = None,
+):
+    """Incremental refresh of the persisted AUDIO band index — the
+    refresh_pixel_index contract applied to the audio family: append
+    the DELTA's sampled docs' variant band rows (real WAV
+    encode/decode/fingerprint over the delta only — historical
+    recordings never re-decoded, O(|delta| + |index rows|)),
+    tombstone removed docs (left-anti on doc_id, which retires ALL of
+    a doc's variants at once — the id-derivation the band rows carry
+    doc_id for), behind the shared _guarded_index_swap.  Returns the
+    refreshed index DataFrame, or None on a lost race."""
+    from .multimodal import AUDIO_BANDS, audio_fp_keys_for
+
+    cols = (
+        ["doc_id", "media_id"]
+        + [f"k{b}" for b in range(AUDIO_BANDS)]
+        + ["band_id", "band_key"]
+    )
+
+    def _refresh(cur):
+        kept = cur.join(removed_ids, "doc_id", "left_anti")
+        delta_b = _audio_band_rows(
+            audio_fp_keys_for(
+                delta_docs.select("doc_id")
+                .where(F.col("doc_id") % _AU_MOD == 0)
+                .join(removed_ids, "doc_id", "left_anti")
+            )
+        )
+        return kept.select(*cols).unionByName(delta_b.select(*cols))
+
+    return _guarded_index_swap(spark, idx_path, _refresh, guard_marker)
+
+
+#: Deterministic "deleted docs" subset for the graded audio-refresh
+#: run (a third distinct modulus, so no graded artifact shares a
+#: removal set with another by accident).
+AUDIO_REFRESH_REMOVE_MOD = 83
+
+
+@query(
+    "multimodal_audio_index_refresh",
+    f"""
+    WITH s AS (SELECT doc_id FROM documents
+               WHERE doc_id % {_AU_MOD} = 0
+                 AND doc_id % {AUDIO_REFRESH_REMOVE_MOD} <> 0),
+    {_audio_keys_sql("x", "s")}
+    SELECT CAST(k.media_id % {_AU_OFF} AS BIGINT) AS doc_id,
+           k.media_id, h.k0, h.k1, h.k2, h.k3,
+           CAST(k.band_id AS BIGINT) AS band_id,
+           CAST(k.band_key AS BIGINT) AS band_key
+    FROM xkeys k JOIN xhk h USING (media_id)
+    """,
+    doc="Audio index MAINTENANCE lifecycle, graded end-to-end — the "
+    "SIXTH persisted serving-artifact family gets the same "
+    "refresh/retirement path as the near-dup bands, exact-hash "
+    "postings, NB statistics, bench shingles and pixel bands (so "
+    "when the audio signal joins the admission ladder its artifact "
+    "already has a lifecycle): start from the persisted BASE-split "
+    "audio band index, then run ONE incremental refresh — append "
+    "the delta split's sampled docs' variant band rows (REAL WAV "
+    "encode → chunk-walk decode → frame-sign fingerprint over the "
+    "delta ONLY), tombstone a deterministic 'deleted' subset "
+    f"(doc_id % {AUDIO_REFRESH_REMOVE_MOD} = 0, retiring ALL of a "
+    "doc's variants at once) — through refresh_audio_index "
+    "(O(|delta| + |index rows|), historical recordings never "
+    "re-decoded — pinned by the delete-the-corpus test — behind the "
+    "shared guarded atomic swap).  The graded rows are the "
+    "refreshed artifact read back FROM THE SWAPPED FILES and must "
+    "hash-equal a FULL REBUILD over (sampled corpus minus removed): "
+    "the oracle replays the fingerprint arithmetic (one md5 per 16 "
+    "frames per doc) for every surviving variant.  At 100 TB: "
+    "refresh cost tracks the day's arrivals plus one index-sized "
+    "anti-join — vs a full rebuild's corpus re-DECODE.",
+)
+def multimodal_audio_index_refresh(spark, sf_dir):
+    import shutil as _shutil
+
+    from .multimodal import AUDIO_BANDS, _audio_params
+
+    docs = table(spark, sf_dir, "documents")
+    idx_p = _seeded_refresh_build(
+        spark,
+        sf_dir,
+        root=os.path.join(
+            "/tmp/durablestreams_aurefresh_v1",
+            os.path.basename(os.path.normpath(sf_dir)),
+        ),
+        idx_name="index.parquet",
+        params=(
+            f"audiofp64:base<{_NDLIVE_CUT}{_NDLIVE_TAG}:{_audio_params()}"
+            f":rm{AUDIO_REFRESH_REMOVE_MOD}:v1"
+        ),
+        # seed = a COPY of the shared base artifact (which stays
+        # pristine for its other consumers)
+        seed_fn=lambda v0: _shutil.copytree(
+            _audio_base_index_path(spark, sf_dir), v0
+        ),
+        refresh_fn=lambda p, guard: refresh_audio_index(
+            spark,
+            p,
+            docs.where(~_ndlive_base_pred()).select("doc_id"),
+            docs.where(
+                F.col("doc_id") % AUDIO_REFRESH_REMOVE_MOD == 0
+            ).select("doc_id"),
+            guard_marker=guard,
+        ),
+    )
+    return spark.read.parquet(idx_p).select(
+        "doc_id",
+        "media_id",
+        *[
+            F.col(f"k{b}").cast("long").alias(f"k{b}")
+            for b in range(AUDIO_BANDS)
+        ],
         F.col("band_id").cast("long").alias("band_id"),
         F.col("band_key").cast("long").alias("band_key"),
     )

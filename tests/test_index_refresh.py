@@ -692,3 +692,49 @@ def test_pixel_refresh_never_redecodes_the_corpus(spark, tmp_path):
     assert set(base_ids[1:20]) <= ids, "surviving base rows lost"
     # 4 bands per doc, exactly once each
     assert out.count() == 4 * len(ids)
+
+
+def test_audio_refresh_never_redecodes_the_corpus(spark, tmp_path):
+    """The audio index's O(delta) refresh, pinned structurally: build
+    the base-split audio band index, DELETE the corpus parquet, then
+    refresh with a delta supplied as bare ids — success is only
+    possible if the refresh touches nothing but the index rows and
+    the delta (historical recordings never re-decoded)."""
+    from durablestreams_spark.operators.multimodal import AUDIO_MOD
+    from durablestreams_spark.operators.streaming_queries import (
+        _audio_base_index_path,
+        refresh_audio_index,
+    )
+
+    base_ids, delta_ids = _base_delta_ids()
+    corpus = tmp_path / "documents.parquet"
+    _write_docs(
+        corpus,
+        [(i, f"audio base doc {i}") for i in base_ids[:40]],
+    )
+    base_p = _audio_base_index_path(spark, str(tmp_path))
+    os.remove(corpus)
+
+    idx_p = str(tmp_path / "live_au_index.parquet")
+    shutil.copytree(base_p, idx_p)
+    delta_sampled = [i for i in delta_ids if i % AUDIO_MOD == 0][:4]
+    assert delta_sampled, "fixture has no sampled delta ids"
+    delta = spark.createDataFrame(
+        [(i,) for i in delta_sampled], "doc_id long"
+    )
+    base_sampled = [i for i in base_ids[:40] if i % AUDIO_MOD == 0]
+    assert base_sampled, "fixture has no sampled base ids"
+    removed_id = base_sampled[0]
+    removed = spark.createDataFrame([(removed_id,)], "doc_id long")
+
+    out = refresh_audio_index(spark, idx_p, delta, removed)
+    assert out is not None
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert set(delta_sampled) <= ids, "delta band rows not appended"
+    assert removed_id not in ids, "tombstone did not retire the doc"
+    assert set(base_sampled[1:]) <= ids, "surviving base rows lost"
+    # every doc's 2-3 variants carry 4 band rows each; removal
+    # retired ALL of the removed doc's variants
+    assert (
+        out.where(out.media_id % (1 << 42) == removed_id).count() == 0
+    )
