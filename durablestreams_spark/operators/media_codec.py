@@ -515,8 +515,19 @@ def decode_wav_pcm(b: bytes) -> tuple[int, tuple]:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + clen > len(b):
+            # an over-long declared length must fail loudly, never
+            # silently truncate the chunk body (review finding r14)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {clen} bytes, "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"short fmt chunk: {len(body)} bytes, need >= 16"
+                )
             fmt_tag, channels, sample_rate = struct.unpack_from(
                 "<HHI", body, 0
             )
@@ -524,6 +535,11 @@ def decode_wav_pcm(b: bytes) -> tuple[int, tuple]:
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
         elif cid == b"data":
+            if clen % 2 != 0:
+                # 16-bit PCM can never carry an odd byte count —
+                # dropping the trailing byte would decode a corrupt
+                # file partially instead of rejecting it
+                raise ValueError(f"odd data chunk length {clen}")
             pcm = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
@@ -531,7 +547,7 @@ def decode_wav_pcm(b: bytes) -> tuple[int, tuple]:
     if bits != 16 or channels != 1:
         raise ValueError(f"expected 16-bit mono, got {bits}-bit x{channels}")
     n = len(pcm) // 2
-    return sample_rate, struct.unpack(f"<{n}h", pcm[: 2 * n])
+    return sample_rate, struct.unpack(f"<{n}h", pcm)
 
 
 def audio_fp_bits(samples, n_frames: int = 65) -> int:
@@ -550,13 +566,21 @@ def audio_fp_bits(samples, n_frames: int = 65) -> int:
     amplitudes — equal-valued within a frame, making the mean the
     amplitude itself) matches bit for bit."""
     n = len(samples)
+    if n < n_frames:
+        # every frame must hold >= 1 sample: a shorter vector would
+        # yield deterministic-but-meaningless bits that could mask a
+        # decoder regression returning too few samples (review
+        # finding r14; the fixture always supplies 2-3 per frame)
+        raise ValueError(
+            f"{n} samples cannot fill {n_frames} fingerprint frames"
+        )
     sums, lens = [], []
     for f in range(n_frames):
         lo = (f * n) // n_frames
         hi = ((f + 1) * n) // n_frames
         seg = samples[lo:hi]
         sums.append(sum(seg))
-        lens.append(max(len(seg), 1))
+        lens.append(len(seg))
     bits = 0
     for j in range(n_frames - 1):
         if sums[j + 1] * lens[j] > sums[j] * lens[j + 1]:

@@ -2910,10 +2910,18 @@ def refresh_pixel_index(
 
     def _refresh(cur):
         kept = cur.join(removed_ids, "doc_id", "left_anti")
+        # anti-join the delta against docs ALREADY indexed: a re-run
+        # or overlapping delta must be idempotent, never silently
+        # duplicate band postings (review finding r14) — still
+        # O(|delta| + |index rows|), one doc_id anti-join
         delta_b = _pixel_band_rows(
             _gate_phash_keys(
-                delta_docs.select("doc_id").join(
-                    removed_ids, "doc_id", "left_anti"
+                delta_docs.select("doc_id")
+                .join(removed_ids, "doc_id", "left_anti")
+                .join(
+                    cur.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
                 )
             )
         )
@@ -3083,11 +3091,18 @@ def refresh_audio_index(
 
     def _refresh(cur):
         kept = cur.join(removed_ids, "doc_id", "left_anti")
+        # idempotent on re-run / overlapping delta: docs already in
+        # the index never re-append (review finding r14)
         delta_b = _audio_band_rows(
             audio_fp_keys_for(
                 delta_docs.select("doc_id")
                 .where(F.col("doc_id") % _AU_MOD == 0)
                 .join(removed_ids, "doc_id", "left_anti")
+                .join(
+                    cur.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
             )
         )
         return kept.select(*cols).unionByName(delta_b.select(*cols))
@@ -4344,6 +4359,17 @@ def _budget_alloc_table(spark, sf_dir):
     )
 
 
+#: Schema of the budget gate's drained decision rows (the _decide
+#: select) — the empty-drain close branch builds a typed empty frame
+#: from it rather than crashing on a None epoch read.
+_GATE_DEC_SCHEMA = (
+    "doc_id long, source string, epoch long, n_words long, "
+    "exact_dup boolean, near_dup boolean, pixel_dup boolean, "
+    "contaminated boolean, gopher_keep boolean, nb_logit double, "
+    "quality boolean, admitted boolean, alloc_tokens long"
+)
+
+
 def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
     """Drain (or RESUME) the budget-enforcing admission topology: the
     gate window (the ':ndlive' delta) is replayed _BUDGET_REPLAYS
@@ -4823,7 +4849,20 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec_path):
         _write_shards,
     )
 
-    dec = _epoch_read(spark, dec_path).localCheckpoint(eager=True)
+    dec = _epoch_read(spark, dec_path)
+    if dec is None:
+        # a drain that produced no decision epochs closes to an empty
+        # manifest, not an AttributeError (review finding r14) — the
+        # _gate_live_assemble empty-schema branch applied here
+        return (
+            spark.createDataFrame([], _GATE_DEC_SCHEMA),
+            spark.createDataFrame(
+                [],
+                "shard_id long, n_seqs long, n_tokens long, "
+                "content_fp long",
+            ),
+        )
+    dec = dec.localCheckpoint(eager=True)
     adm = dec.where(F.col("admitted")).select(
         "doc_id",
         "epoch",
@@ -4953,7 +4992,12 @@ def streaming_gate_shard_delivery(spark, sf_dir):
         )
         dec, man = _gate_shards_close(spark, sf_dir, run_dir, dec_path)
         per_src = dec.groupBy("source").agg(
-            F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+            # coalesce to match the oracle's coalesce(max(..), 0):
+            # a source with null alloc must read 0, not null
+            # (review finding r14)
+            F.coalesce(F.max("alloc_tokens"), F.lit(0))
+            .cast("long")
+            .alias("alloc_tokens"),
             F.sum(
                 F.when(F.col("admitted"), F.col("n_words")).otherwise(
                     F.lit(0)

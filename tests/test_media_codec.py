@@ -473,6 +473,50 @@ def test_audio_encoders_roundtrip_and_match_formula():
         )
 
 
+def test_wav_decoder_rejects_corrupt_input_loudly():
+    """Corrupt WAV input must raise ValueError, never decode
+    partially (review findings r14): an over-long declared chunk
+    length, a short fmt body, an odd data-chunk length, and a sample
+    vector shorter than the fingerprint frame count."""
+    import pytest as _pytest
+    import struct
+
+    from durablestreams_spark.operators.media_codec import (
+        audio_fp_bits,
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    good = encode_wav_pcm([1, 2, 3, 4], 8000)
+    # over-long declared data length: body silently truncated before
+    data_at = good.index(b"data")
+    bad_len = (
+        good[: data_at + 4] + struct.pack("<I", 9999) + good[data_at + 8 :]
+    )
+    with _pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav_pcm(bad_len)
+    # short fmt body: previously struct.error, now ValueError
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    with _pytest.raises(ValueError, match="short fmt chunk"):
+        decode_wav_pcm(short_fmt)
+    # odd data-chunk length: previously dropped the trailing byte
+    odd = (
+        good[: data_at + 4]
+        + struct.pack("<I", 3)
+        + good[data_at + 8 : data_at + 11]
+        + b"\x00"  # pad to word alignment so the walk stays in bounds
+    )
+    with _pytest.raises(ValueError, match="odd data chunk"):
+        decode_wav_pcm(odd)
+    # too few samples for the frame count: previously clamped to
+    # deterministic-but-meaningless bits
+    with _pytest.raises(ValueError, match="cannot fill"):
+        audio_fp_bits([1, 2, 3], n_frames=65)
+
+
 def test_audio_pigeonhole_matches_all_pairs_truth(spark):
     """Pigeonhole exactness for the audio matcher: banded equi-join ==
     all-pairs hamming<=AUDIO_HAM truth; every resampled pair matches
