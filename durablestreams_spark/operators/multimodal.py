@@ -1263,6 +1263,18 @@ AUDIO_HAM = 3
 #: AUDIO_NOISE (flips at most 3 of the 64 comparisons: hamming 0-3).
 AUDIO_AMP_MOD = 200
 AUDIO_NOISE = 60
+#: Cross-doc plant for the admission ladder (the GATE_PIX_EVERY
+#: pattern applied to audio): every GATE_AU_EVERY-th SAMPLED doc also
+#: carries a RE-RECORDING of the PREVIOUS sampled doc's signal
+#: (media_id = doc_id + 3*AUDIO_OFF, amplitude seed = doc_id -
+#: AUDIO_MOD, encoded at the alt rate — every byte differs from the
+#: seed doc's files, frame means identical: hamming 0), and every
+#: GATE_AU_NOISY_EVERY-th of those is additionally volume-doubled
+#: with the 3-frame bump (hamming <= 3).  This is what makes the
+#: audio rung non-vacuous: a duplicate recording arriving under a
+#: NEW doc_id is exactly the escape the ladder must catch.
+GATE_AU_EVERY = 7
+GATE_AU_NOISY_EVERY = 3
 #: Sample rates / samples-per-frame of the base and resampled files:
 #: the SAME 65 frame amplitudes shipped at 8 kHz (2 samples/frame)
 #: and 12 kHz (3 samples/frame) — identical frame MEANS, so the
@@ -1281,40 +1293,65 @@ def _audio_amp(seed_id: int, f: int, noisy: bool) -> int:
     return v
 
 
+def _audio_variant_rule(d: int) -> list:
+    """[(media_id, seed, noisy, samples_per_frame, rate)] — ONE
+    definition of which recordings a sampled doc carries, shared by
+    the Spark worker and the tests (the oracle replays the same rule
+    in audio_keys_sql): the base 8 kHz file, the 12 kHz resample,
+    every AUDIO_NOISY_EVERY-th doc's perturbed copy, and the
+    GATE_AU_EVERY cross-doc RE-RECORDING of the previous sampled
+    doc's signal (the admission ladder's planted escape)."""
+    out = [
+        (d, d, False, AUDIO_BASE_PER, AUDIO_BASE_RATE),
+        (d + AUDIO_OFF, d, False, AUDIO_ALT_PER, AUDIO_ALT_RATE),
+    ]
+    if (d // AUDIO_MOD) % AUDIO_NOISY_EVERY == 0:
+        out.append(
+            (d + 2 * AUDIO_OFF, d, True, AUDIO_BASE_PER, AUDIO_BASE_RATE)
+        )
+    if (d // AUDIO_MOD) % GATE_AU_EVERY == 0 and d >= AUDIO_MOD:
+        out.append(
+            (
+                d + 3 * AUDIO_OFF,
+                d - AUDIO_MOD,
+                ((d // AUDIO_MOD) // GATE_AU_EVERY) % GATE_AU_NOISY_EVERY
+                == 0,
+                AUDIO_ALT_PER,
+                AUDIO_ALT_RATE,
+            )
+        )
+    return out
+
+
 def build_audio_media_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: sampled doc row → 2-3 REAL WAV files of the
-    same deterministic frame signal: the base 8 kHz file (media_id =
-    doc_id), a 12 kHz RESAMPLE of the IDENTICAL frame amplitudes
-    (doc_id + AUDIO_OFF — every PCM byte differs, the fingerprint
-    must not), and for every AUDIO_NOISY_EVERY-th doc a volume-
-    doubled copy with the last-3-frames bump (doc_id + 2*AUDIO_OFF,
-    hamming 0-3)."""
+    """mapInPandas worker: sampled doc row → 2-4 REAL WAV files per
+    _audio_variant_rule: the base 8 kHz file (media_id = doc_id), a
+    12 kHz RESAMPLE of the IDENTICAL frame amplitudes (doc_id +
+    AUDIO_OFF — every PCM byte differs, the fingerprint must not),
+    for every AUDIO_NOISY_EVERY-th doc a volume-doubled copy with
+    the last-3-frames bump (doc_id + 2*AUDIO_OFF, hamming 0-3), and
+    for every GATE_AU_EVERY-th doc a RE-RECORDING of the PREVIOUS
+    sampled doc's signal (doc_id + 3*AUDIO_OFF — the cross-doc
+    duplicate the admission ladder exists to catch)."""
     from .media_codec import encode_wav_pcm
 
     for pdf in batches:
         ids, blobs = [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            amps = [
-                _audio_amp(d, f, False) for f in range(AUDIO_FRAMES)
-            ]
-            base = [a for a in amps for _ in range(AUDIO_BASE_PER)]
-            alt = [a for a in amps for _ in range(AUDIO_ALT_PER)]
-            ids.append(d)
-            blobs.append(encode_wav_pcm(base, AUDIO_BASE_RATE))
-            ids.append(d + AUDIO_OFF)
-            blobs.append(encode_wav_pcm(alt, AUDIO_ALT_RATE))
-            if (d // AUDIO_MOD) % AUDIO_NOISY_EVERY == 0:
-                namps = [
-                    _audio_amp(d, f, True) for f in range(AUDIO_FRAMES)
+            for mid, seed, noisy, per, rate in _audio_variant_rule(d):
+                amps = [
+                    _audio_amp(seed, f, noisy)
+                    for f in range(AUDIO_FRAMES)
                 ]
-                noisy = [
-                    a for a in namps for _ in range(AUDIO_BASE_PER)
-                ]
-                ids.append(d + 2 * AUDIO_OFF)
-                blobs.append(encode_wav_pcm(noisy, AUDIO_BASE_RATE))
+                ids.append(mid)
+                blobs.append(
+                    encode_wav_pcm(
+                        [a for a in amps for _ in range(per)], rate
+                    )
+                )
         yield pd.DataFrame(
             {
                 "media_id": pd.Series(ids, dtype="int64"),
@@ -1357,9 +1394,15 @@ def audio_fp_keys_for(docs):
     0) — real WAV encode, real chunk-walk decode, real fingerprint,
     all inside two chained Arrow stages.  Factored so the audio index
     family (base build + incremental refresh) signs only the docs it
-    is given, never the corpus."""
-    blobs = docs.select("doc_id").mapInPandas(
-        build_audio_media_batch, schema=_MEDIA_SCHEMA
+    is given, never the corpus.  The bare-id projection is
+    repartitioned first (the gate_phash_keys rule): a foreachBatch
+    micro-batch is typically ONE file = one partition, which would
+    run the whole WAV encode/decode Arrow stage on one core."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    blobs = (
+        docs.select("doc_id")
+        .repartition(n)
+        .mapInPandas(build_audio_media_batch, schema=_MEDIA_SCHEMA)
     )
     return blobs.mapInPandas(audio_fp_batch, schema=_AUDIO_FP_SCHEMA)
 
@@ -1383,19 +1426,30 @@ def audio_keys_sql(prefix: str, src: str = "documents") -> str:
     index-refresh oracle (the gate_phash_sql pattern)."""
     p = prefix
     return f"""{p}var AS (
-        SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id, 0 AS noisy
+        SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id,
+               CAST(doc_id AS BIGINT) AS seed, 0 AS noisy
         FROM {src}
         UNION ALL
-        SELECT doc_id, doc_id + {AUDIO_OFF} AS media_id, 0 AS noisy
+        SELECT doc_id, doc_id + {AUDIO_OFF} AS media_id,
+               CAST(doc_id AS BIGINT) AS seed, 0 AS noisy
         FROM {src}
         UNION ALL
-        SELECT doc_id, doc_id + {2 * AUDIO_OFF} AS media_id, 1 AS noisy
+        SELECT doc_id, doc_id + {2 * AUDIO_OFF} AS media_id,
+               CAST(doc_id AS BIGINT) AS seed, 1 AS noisy
         FROM {src} WHERE (doc_id // {AUDIO_MOD}) % {AUDIO_NOISY_EVERY} = 0
+        UNION ALL
+        SELECT doc_id, doc_id + {3 * AUDIO_OFF} AS media_id,
+               CAST(doc_id - {AUDIO_MOD} AS BIGINT) AS seed,
+               CASE WHEN ((doc_id // {AUDIO_MOD}) // {GATE_AU_EVERY})
+                         % {GATE_AU_NOISY_EVERY} = 0
+                    THEN 1 ELSE 0 END AS noisy
+        FROM {src} WHERE (doc_id // {AUDIO_MOD}) % {GATE_AU_EVERY} = 0
+                     AND doc_id >= {AUDIO_MOD}
     ),
     {p}amp AS (
         SELECT media_id, fr.f,
                (CASE WHEN noisy = 1 THEN 2 ELSE 1 END)
-               * (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au:'
+               * (CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':au:'
                                           || CAST(fr.f // 16 AS VARCHAR)),
                                       (fr.f % 16) * 2 + 1, 2) AS BIGINT)
                   % {AUDIO_AMP_MOD})
@@ -1435,7 +1489,37 @@ def _audio_params() -> str:
         f"ham{AUDIO_HAM}:b{AUDIO_BANDS}x{AUDIO_BAND_BITS}"
         f":fr{AUDIO_FRAMES}:amp{AUDIO_AMP_MOD}:n{AUDIO_NOISE}"
         f":m{AUDIO_MOD}:ne{AUDIO_NOISY_EVERY}"
+        f":ge{GATE_AU_EVERY}.{GATE_AU_NOISY_EVERY}"
     )
+
+
+def gate_auflag_sql(prefix: str, src: str = "documents") -> str:
+    """DuckDB CTE chain ending in {prefix}flag: the doc_ids whose
+    planted recordings are within hamming <= AUDIO_HAM of a
+    SMALLER-id doc's recording anywhere in ``src`` — the audio analog
+    of gate_pxflag_sql (larger member flagged; order-independent).
+    Only sampled docs (doc_id % AUDIO_MOD = 0) carry recordings, so
+    only they can ever flag; the cross-doc pairs come from the
+    GATE_AU_EVERY re-recording plant in the variant rule."""
+    p = prefix
+    return f"""{p}s AS (
+        SELECT doc_id FROM {src} WHERE doc_id % {AUDIO_MOD} = 0
+    ),
+    {audio_keys_sql(p, f"{p}s")},
+    {p}flag AS (
+        SELECT DISTINCT CAST(a.media_id % {AUDIO_OFF} AS BIGINT)
+                   AS doc_id
+        FROM {p}keys a
+        JOIN {p}keys b ON a.band_id = b.band_id
+                      AND a.band_key = b.band_key
+                      AND (b.media_id % {AUDIO_OFF})
+                          < (a.media_id % {AUDIO_OFF})
+        JOIN {p}hk x ON x.media_id = a.media_id
+        JOIN {p}hk y ON y.media_id = b.media_id
+        WHERE bit_count(xor(x.k0, y.k0)) + bit_count(xor(x.k1, y.k1))
+            + bit_count(xor(x.k2, y.k2)) + bit_count(xor(x.k3, y.k3))
+            <= {AUDIO_HAM}
+    )"""
 
 
 @query(
@@ -1473,10 +1557,13 @@ def _audio_params() -> str:
     "keys, never an all-pairs scan.  The fixture plants the exact "
     "gate escapes: the SAME signal RESAMPLED 8 kHz -> 12 kHz (every "
     "PCM byte differs, frame means identical — hamming 0; sample-"
-    "level or byte-level dedup is blind to it) and volume-doubled "
+    "level or byte-level dedup is blind to it), volume-doubled "
     "copies with a 3-frame perturbation (sign-of-delta is provably "
     "invariant to positive scaling, so only the bump's <=3 bits "
-    "flip).  Distinct docs' signals are md5-block pseudorandom — "
+    "flip), and — the admission ladder's cross-doc escape — every "
+    "GATE_AU_EVERY-th sampled doc RE-RECORDING the previous sampled "
+    "doc's signal under a NEW id.  Distinct docs' signals are "
+    "md5-block pseudorandom — "
     "cross-doc distance concentrates at Binomial(64, 1/2), zero "
     "natural collisions at any fixture scale; the graded truth is "
     "the matcher's EXACTNESS (banded == all-pairs hamming<=3, also "

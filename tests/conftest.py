@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tests/test_ann_cache.py re-enables the persisted-index path
 # explicitly and diffs both branches row-for-row.
 os.environ["SPARK_GRAFT_ANN_CACHE"] = "0"
+# Same rule for the budget gate's cached decision record: the suite
+# always drains the live topology (tests/test_gate_cache.py turns the
+# cache on explicitly and diffs both branches row-for-row).
+os.environ["SPARK_GRAFT_GATE_CACHE"] = "0"
 
 
 @pytest.fixture(scope="session")

@@ -323,6 +323,7 @@ def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
             (not r["exact_dup"])
             and (not r["near_dup"])
             and (not r["pixel_dup"])
+            and (not r["audio_dup"])
             and (not r["contaminated"])
             and r["gopher_keep"]
             and r["nb_logit"] > 0
@@ -330,6 +331,9 @@ def test_gate_live_stateless_multibatch_and_neardup_flags(spark):
     assert any(r["pixel_dup"] for r in out), (
         "no pixel-dup flag at sf0.001 — the binary-modality rung is "
         "vacuous"
+    )
+    assert any(r["audio_dup"] for r in out), (
+        "no audio-dup flag at sf0.001 — the seventh rung is vacuous"
     )
 
 
@@ -411,6 +415,7 @@ def test_ingest_report_reasons_partition_and_state_is_bounded(spark):
             r["n_exact_dup"]
             + r["n_near_dup"]
             + r["n_pixel_dup"]
+            + r["n_audio_dup"]
             + r["n_contaminated"]
             + r["n_gopher_fail"]
             + r["n_nb_fail"]
@@ -554,6 +559,7 @@ def test_budget_gate_enforces_and_partitions(spark):
             r["n_exact_dup"]
             + r["n_near_dup"]
             + r["n_pixel_dup"]
+            + r["n_audio_dup"]
             + r["n_contaminated"]
             + r["n_gopher_fail"]
             + r["n_nb_fail"]
