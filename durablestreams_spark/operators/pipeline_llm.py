@@ -605,6 +605,31 @@ _PACK_CTES = f"""
 """
 
 
+def _doc_seq_assign(t, order_cols=("doc_id",), keep_cols=()):
+    """The doc → training-sequence assignment underlying the
+    concat-and-chunk pack: docs concatenate in ``order_cols`` order
+    within their pack shard and each doc belongs to the sequence its
+    first token lands in.  Factored out of _pack_from_counts so the
+    gate-fed shard close can derive per-sequence SOURCE composition
+    from the SAME assignment rule (one definition, two consumers).
+    ``keep_cols`` ride along unchanged."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.expr(
+            f"CAST((cum - n_tok) DIV {PACK_SEQ_LEN} AS BIGINT)"
+        ).alias("seq_id"),
+        "doc_id",
+        "n_tok",
+        *keep_cols,
+    )
+
+
 def _pack_from_counts(t, order_cols=("doc_id",)):
     """The concat-and-chunk pack over per-doc token-count rows
     ``(doc_id, shard, n_tok)`` — factored so the LIVE epoch writer
@@ -613,21 +638,8 @@ def _pack_from_counts(t, order_cols=("doc_id",)):
     within-shard concatenation order (the budgeted epoch writer packs
     epoch-major: all of epoch 0, then epoch 1, ... — so repeats of a
     doc land in distinct training sequences)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("shard").orderBy(*order_cols).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
     return (
-        c.select(
-            F.col("shard").cast("long").alias("shard"),
-            F.expr(f"CAST((cum - n_tok) DIV {PACK_SEQ_LEN} AS BIGINT)").alias(
-                "seq_id"
-            ),
-            "doc_id",
-            "n_tok",
-        )
+        _doc_seq_assign(t, order_cols=order_cols)
         .groupBy("shard", "seq_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

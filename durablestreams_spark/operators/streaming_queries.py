@@ -5082,11 +5082,17 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec):
     Epoch-major packing + the batch writer's seeded-shuffle /
     two-phase-rank / manifest machinery verbatim.  ``dec`` is the
     drained decision record (cached or live — _gate_budget_
-    decisions).  Returns (decision rows, per-shard manifest), both
-    cut off from run_dir (localCheckpoint) so the caller can tear
-    the run down."""
+    decisions).  Returns (decision rows, written shard rows,
+    per-shard manifest), all cut off from run_dir (localCheckpoint)
+    so the caller can tear the run down.
+
+    The written rows carry ``src_toks`` — each sequence's per-source
+    token composition (VERDICT r14 task 2), derived from the SAME
+    doc→sequence assignment as the pack itself (_doc_seq_assign), so
+    the data card's realized-mixture numbers are provable FROM THE
+    WRITTEN FILES rather than by re-reading the decision record."""
     from .pipeline_llm import (
-        _pack_from_counts,
+        _doc_seq_assign,
         _shards_manifest,
         _write_shards,
     )
@@ -5095,8 +5101,16 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec):
         # a drain that produced no decision epochs closes to an empty
         # manifest, not a crash (review finding r14) — the
         # _gate_live_assemble empty-schema branch applied here
+        empty_shards = spark.createDataFrame(
+            [],
+            "shard_out long, rank long, key string, shard long, "
+            "seq_id long, n_docs long, first_doc long, "
+            "n_tokens_in long, "
+            "src_toks array<struct<source:string,src_tok:bigint>>",
+        )
         return (
             dec,
+            empty_shards,
             spark.createDataFrame(
                 [],
                 "shard_id long, n_seqs long, n_tokens long, "
@@ -5106,23 +5120,53 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec):
     adm = dec.where(F.col("admitted")).select(
         "doc_id",
         "epoch",
+        "source",
         (F.col("doc_id") % _PL_PACK_SHARDS).alias("shard"),
         F.col("n_words").alias("n_tok"),
     )
+
+    def _seqs_with_sources():
+        # the shared assignment rule, then ONE extra grouping level
+        # (shard, seq_id, source) whose rollup reproduces the pack's
+        # per-seq aggregates exactly: n_docs = Σ src_docs, first_doc
+        # = min src_first, n_tokens_in = Σ src_tok — so the manifest
+        # (and its position-sensitive fingerprint) is unchanged while
+        # src_toks rides into the written rows.  Bounded: a sequence
+        # holds at most #sources composition entries.
+        assigned = _doc_seq_assign(
+            adm, order_cols=("epoch", "doc_id"), keep_cols=("source",)
+        )
+        per_src = assigned.groupBy("shard", "seq_id", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("src_docs"),
+            F.min("doc_id").cast("long").alias("src_first"),
+            F.sum("n_tok").cast("long").alias("src_tok"),
+        )
+        return per_src.groupBy("shard", "seq_id").agg(
+            F.sum("src_docs").cast("long").alias("n_docs"),
+            F.min("src_first").cast("long").alias("first_doc"),
+            F.sum("src_tok").cast("long").alias("n_tokens_in"),
+            F.sort_array(
+                F.collect_list(F.struct("source", "src_tok"))
+            ).alias("src_toks"),
+        )
+
     shards = _write_shards(
         spark,
         sf_dir,
         root=os.path.join(run_dir, "shards"),
-        seqs_fn=lambda: _pack_from_counts(
-            adm, order_cols=("epoch", "doc_id")
-        ),
+        seqs_fn=_seqs_with_sources,
         params=(
             f"gate-budget:pack{_PL_SEQ_LEN}x{_PL_PACK_SHARDS}"
             f":ws{_PL_WRITE_SHARDS}:seed{_PL_SEED}"
-            f":b{_TB_BUDGET_MULT}:r{_TB_MAX_REPEATS}:v1"
+            f":b{_TB_BUDGET_MULT}:r{_TB_MAX_REPEATS}:srctoks:v2"
         ),
+        extra_cols=("src_toks",),
+    ).localCheckpoint(eager=True)
+    return (
+        dec,
+        shards,
+        _shards_manifest(shards).localCheckpoint(eager=True),
     )
-    return dec, _shards_manifest(shards).localCheckpoint(eager=True)
 
 
 @query(
@@ -5172,7 +5216,9 @@ def streaming_shards_from_gate(spark, sf_dir):
         dec = _gate_budget_decisions(
             spark, sf_dir, _GATE_SHARDS_LAST_RUN
         )
-        _dec, man = _gate_shards_close(spark, sf_dir, run_dir, dec)
+        _dec, _shards, man = _gate_shards_close(
+            spark, sf_dir, run_dir, dec
+        )
         return man
     finally:
         _shutil.rmtree(run_dir, ignore_errors=True)
@@ -5230,7 +5276,7 @@ def streaming_gate_shard_delivery(spark, sf_dir):
         dec = _gate_budget_decisions(
             spark, sf_dir, _GATE_DELIV_LAST_RUN
         )
-        dec, man = _gate_shards_close(spark, sf_dir, run_dir, dec)
+        dec, _shards, man = _gate_shards_close(spark, sf_dir, run_dir, dec)
         per_src = dec.groupBy("source").agg(
             # coalesce to match the oracle's coalesce(max(..), 0):
             # a source with null alloc must read 0, not null
@@ -5274,6 +5320,273 @@ def streaming_gate_shard_delivery(spark, sf_dir):
             .orderBy("source")
             .localCheckpoint(eager=True)
         )
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+#: Audit facts of the last streaming_gate_shard_mixture run.
+_GATE_MIX_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_gate_shard_mixture",
+    f"""
+    WITH {_GATE_BUDGET_DEC_CTES},
+    gt AS (
+        SELECT doc_id, epoch, source, alloc_tokens,
+               doc_id % {_PL_PACK_SHARDS} AS shard, n_words AS n_tok
+        FROM dec WHERE admitted
+    ),
+    gc AS (
+        SELECT doc_id, epoch, source, alloc_tokens, shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY epoch, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM gt
+    ),
+    gsrc AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tok) // {_PL_SEQ_LEN} AS BIGINT) AS seq_id,
+               source,
+               CAST(sum(n_tok) AS BIGINT) AS src_tok,
+               CAST(max(alloc_tokens) AS BIGINT) AS alloc_tokens
+        FROM gc
+        GROUP BY shard, (cum - n_tok) // {_PL_SEQ_LEN}, source
+    ),
+    keyed AS (
+        SELECT *, substr(md5(CAST(shard AS VARCHAR) || ':'
+                             || CAST(seq_id AS VARCHAR)
+                             || ':shard:{_PL_SEED}'), 1, 16) AS key
+        FROM gsrc
+    ),
+    ranked AS (
+        SELECT *,
+               dense_rank() OVER (ORDER BY key, shard, seq_id) AS rank
+        FROM keyed
+    ),
+    assigned AS (
+        SELECT *, (rank - 1) // ((total + {_PL_WRITE_SHARDS - 1})
+                                 // {_PL_WRITE_SHARDS}) AS shard_out
+        FROM (SELECT *, max(rank) OVER () AS total FROM ranked)
+    )
+    SELECT CAST(shard_out AS BIGINT) AS shard_id, source,
+           CAST(sum(src_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(sum(src_tok)) OVER (PARTITION BY source) AS BIGINT)
+               AS src_total_tokens,
+           CAST(sum(sum(src_tok)) OVER (PARTITION BY source) AS BIGINT)
+               AS admitted_tokens,
+           TRUE AS tokens_match,
+           CAST(coalesce(max(max(alloc_tokens))
+                             OVER (PARTITION BY source), 0)
+                AS BIGINT) AS alloc_tokens,
+           (sum(sum(src_tok)) OVER (PARTITION BY source)
+            <= max(max(alloc_tokens)) OVER (PARTITION BY source))
+               AS within_alloc,
+           floor(CAST(sum(sum(src_tok)) OVER (PARTITION BY source)
+                      AS DOUBLE)
+                 / sum(sum(src_tok)) OVER () * 1000000 + 0.5) / 1000000
+               AS realized_share
+    FROM assigned
+    GROUP BY shard_out, source
+    ORDER BY shard_id, source
+    """,
+    doc="Per-(shard, source) REALIZED-MIXTURE attribution in the "
+    "gate-fed shards (VERDICT r14 task 2) — the number a training "
+    "run's data card reports: the written shard rows carry each "
+    "sequence's per-source token composition (src_toks, derived "
+    "from the SAME doc→sequence assignment as the pack — "
+    "_doc_seq_assign, one rule, two consumers), and the graded "
+    "table reads it back FROM THE WRITTEN FILES: per (shard, "
+    "source) token counts, each source's realized total next to "
+    "the decision record's admitted total (tokens_match pinned "
+    "TRUE — the concat-and-chunk pack partitions the admitted "
+    "rows, so per-source sums are preserved identically), its "
+    "alloc (within_alloc pinned TRUE: enforcement held per "
+    "source), and its snapped share of all delivered tokens.  A "
+    "writer that swaps one doc's source attribution, drops one "
+    "doc, or leaks one rejected doc flips rows against the "
+    "oracle's single-pass replay (admission → plan → cutoff → "
+    "pack → seeded rank → source rollup — the decision chain is "
+    "evaluated ONCE; per-seq ranks come from a dense_rank over "
+    "the per-(seq, source) rows, which enumerates sequences in "
+    "exactly the writer's row_number order).  Scale: the close "
+    "adds ONE bounded grouping level (≤ #sources entries per "
+    "sequence) to the O(admitted-rows) metadata pack; the mixture "
+    "read is O(#shards × #sources).  Reference capability: none — "
+    "north star.",
+)
+def streaming_gate_shard_mixture(spark, sf_dir):
+    import shutil as _shutil
+
+    from pyspark.sql import Window as W
+
+    run_dir = tempfile.mkdtemp(prefix="ds_gatemix_")
+    try:
+        dec = _gate_budget_decisions(
+            spark, sf_dir, _GATE_MIX_LAST_RUN
+        )
+        dec, shards, _man = _gate_shards_close(
+            spark, sf_dir, run_dir, dec
+        )
+        # realized mixture FROM THE WRITTEN FILES
+        mix = (
+            shards.select(
+                "shard_out", F.explode("src_toks").alias("st")
+            )
+            .groupBy(
+                F.col("shard_out").cast("long").alias("shard_id"),
+                F.col("st.source").alias("source"),
+            )
+            .agg(F.sum("st.src_tok").cast("long").alias("n_tokens"))
+        )
+        # the decision record's per-source truth (O(#sources))
+        per_src = dec.groupBy("source").agg(
+            F.sum(
+                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("admitted_tokens"),
+            F.coalesce(F.max("alloc_tokens"), F.lit(0))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        ws = W.partitionBy("source")
+        wall = W.partitionBy()
+        out = (
+            mix.withColumn(
+                "src_total_tokens",
+                F.sum("n_tokens").over(ws).cast("long"),
+            )
+            .withColumn("_tot", F.sum("n_tokens").over(wall))
+            .join(F.broadcast(per_src), "source")
+            .select(
+                "shard_id",
+                "source",
+                "n_tokens",
+                "src_total_tokens",
+                "admitted_tokens",
+                (
+                    F.col("src_total_tokens")
+                    == F.col("admitted_tokens")
+                ).alias("tokens_match"),
+                "alloc_tokens",
+                (
+                    F.col("src_total_tokens") <= F.col("alloc_tokens")
+                ).alias("within_alloc"),
+                (
+                    F.floor(
+                        F.col("src_total_tokens").cast("double")
+                        / F.col("_tot")
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("realized_share"),
+            )
+            .orderBy("shard_id", "source")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+#: Audit facts of the last streaming_shards_from_gate_resume run.
+_GATE_SHARDS_RESUME_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_shards_from_gate_resume",
+    f"""
+    WITH {_GATE_BUDGET_DEC_CTES},
+    {_GATE_SHARDS_PACK_CTES},
+    {_PL_RANK_SQL}
+    SELECT CAST(shard_out AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens_in) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST('0x' || substr(
+               md5(key || ':' || CAST(rank AS VARCHAR)), 1, 8)
+               AS BIGINT)) AS BIGINT) AS content_fp
+    FROM assigned
+    GROUP BY shard_out
+    ORDER BY shard_id
+    """,
+    doc="CRASH-AND-RERUN proof for the gate→shard CLOSE step "
+    "(VERDICT r14 task 5) — the one seam segment that had no resume "
+    "proof: the close is a batch job, and a crash mid-shard-write "
+    "leaves exactly this on-disk state under run_dir/shards — "
+    "committed part-files of a strict SUBSET of the sequences with "
+    "wrong shard assignments, an orphaned _temporary dir, and NO "
+    "_built marker, because the marker is written only AFTER the "
+    "complete write (the _staged-marker discipline applied to the "
+    "writer's output).  This query constructs that worst-case "
+    "wreckage first (a genuinely partial parquet of half the packed "
+    "sequences, all mis-assigned to shard 0), then re-runs the "
+    "UNMODIFIED close on the same run_dir: marker_current is False "
+    "for a marker-less dir no matter how complete the leftover "
+    "files look, so the close discards the wreckage and rebuilds "
+    "from the decision record — never serves partial output.  The "
+    "graded manifest is read back FROM THE REWRITTEN FILES and must "
+    "hash-equal the UNINTERRUPTED close (the SAME oracle as "
+    "streaming_shards_from_gate): a re-run after any mid-write "
+    "crash is observationally invisible in the delivered shards.  "
+    "Audit facts (partial rows present, marker absent before / "
+    "present after) are pinned by test.",
+)
+def streaming_shards_from_gate_resume(spark, sf_dir):
+    import shutil as _shutil
+
+    from .pipeline_llm import _pack_from_counts
+
+    run_dir = tempfile.mkdtemp(prefix="ds_gateshardsres_")
+    try:
+        dec = _gate_budget_decisions(
+            spark, sf_dir, _GATE_SHARDS_RESUME_LAST_RUN
+        )
+        # CRASH INJECTION: materialize the state a close attempt
+        # killed mid-write leaves behind — partial data, no marker.
+        root = os.path.join(run_dir, "shards")
+        data_p = os.path.join(root, "shards.parquet")
+        adm = dec.where(F.col("admitted")).select(
+            "doc_id",
+            "epoch",
+            "source",
+            (F.col("doc_id") % _PL_PACK_SHARDS).alias("shard"),
+            F.col("n_words").alias("n_tok"),
+        )
+        partial = (
+            _pack_from_counts(adm, order_cols=("epoch", "doc_id"))
+            .where(F.col("shard") % 2 == 0)
+            .withColumn("shard_out", F.lit(0).cast("long"))
+        )
+        partial.write.mode("overwrite").parquet(data_p)
+        os.makedirs(os.path.join(data_p, "_temporary"), exist_ok=True)
+        n_partial = spark.read.parquet(data_p).count()
+        marker = os.path.join(root, "_built")
+        _GATE_SHARDS_RESUME_LAST_RUN.update(
+            {
+                "partial_rows": n_partial,
+                "marker_before": os.path.exists(marker),
+            }
+        )
+        if n_partial == 0:
+            raise RuntimeError(
+                "crash injection wrote no rows — the resume proof "
+                "is vacuous"
+            )
+        # re-run the UNMODIFIED close on the wrecked run_dir
+        _dec, shards, man = _gate_shards_close(
+            spark, sf_dir, run_dir, dec
+        )
+        _GATE_SHARDS_RESUME_LAST_RUN.update(
+            {
+                "marker_after": os.path.exists(marker),
+                "final_rows": shards.count(),
+            }
+        )
+        return man
     finally:
         _shutil.rmtree(run_dir, ignore_errors=True)
 

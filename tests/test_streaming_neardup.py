@@ -641,6 +641,31 @@ def test_shards_from_gate_rerun_is_byte_identical(spark):
     assert a == b and len(a) > 0
 
 
+def test_gate_shards_close_rerun_discards_partial_write(spark):
+    """Crash-and-rerun for the gate→shard CLOSE (r14 task 5): a
+    marker-less shards dir holding a genuinely partial write must be
+    discarded and rebuilt — the rerun manifest equals the
+    uninterrupted close, and the audit proves the wreckage existed
+    (partial rows written, no marker before, marker after)."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    man = sorted(
+        map(
+            tuple,
+            sq.streaming_shards_from_gate_resume(spark, SF_DIR).collect(),
+        )
+    )
+    audit = dict(sq._GATE_SHARDS_RESUME_LAST_RUN)
+    assert audit["partial_rows"] > 0, audit
+    assert audit["marker_before"] is False, audit
+    assert audit["marker_after"] is True, audit
+    assert audit["final_rows"] != audit["partial_rows"], audit
+    clean = sorted(
+        map(tuple, sq.streaming_shards_from_gate(spark, SF_DIR).collect())
+    )
+    assert man == clean and len(man) > 0
+
+
 def test_budget_gate_resume_matches_uninterrupted(spark):
     """Kill-and-resume for the budget gate (r13 task 2): the crash
     lands AFTER the victim epoch's decision+ledger writes and BEFORE
