@@ -23,33 +23,37 @@ _BPE_SEP = "\x1f"
 _BPE_N_MERGES = 50
 
 
-#: The merge-learn + encode + apply CTE chain (everything up to the
-#: per-doc applied string ``e2`` in ``ap``) — factored so the payload
-#: shard writer's oracle composes the SAME tokenizer definition.
-_BPE_APPLY_CTES = f"""toks AS (
+def bpe_apply_ctes(prefix: str = "") -> str:
+    """The merge-learn + encode + apply CTE chain with PREFIXED names
+    ({prefix}toks … {prefix}ap) — for composition into statements
+    whose own chains already use the bare names (the gate SQL defines
+    `toks` and `m`; the _pq_kmeans_sql lesson).  prefix='' reproduces
+    _BPE_APPLY_CTES byte-for-byte."""
+    p_ = prefix
+    return f"""{p_}toks AS (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                   x -> x <> '')) AS tok
         FROM documents
     ),
-    p AS (
+    {p_}p AS (
         SELECT unnest(list_transform(range(1, length(tok)),
                                      i -> substr(tok, CAST(i AS INTEGER), 2)))
                AS pair
-        FROM toks
+        FROM {p_}toks
         WHERE length(tok) >= 2
     ),
-    merges AS (
+    {p_}merges AS (
         SELECT list(pair ORDER BY n DESC, pair) AS ms
-        FROM (SELECT pair, count(*) AS n FROM p
+        FROM (SELECT pair, count(*) AS n FROM {p_}p
               GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_N_MERGES})
     ),
-    d AS (
+    {p_}d AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'),
                            x -> x <> '') AS words
         FROM documents
     ),
-    enc AS (
+    {p_}enc AS (
         SELECT doc_id,
                CAST(len(words) AS BIGINT) AS n_words,
                CAST(length(array_to_string(words, '')) AS BIGINT) AS n_chars,
@@ -57,20 +61,26 @@ _BPE_APPLY_CTES = f"""toks AS (
                    w -> regexp_replace(w, '(?s)(.)',
                                        '{_BPE_SEP}\\1{_BPE_SEP}', 'g')),
                    ' ') AS e
-        FROM d
+        FROM {p_}d
     ),
-    ap AS (
+    {p_}ap AS (
         SELECT doc_id, n_words, n_chars,
                list_reduce(
                    -- coalesce: zero learned merges makes list() NULL,
                    -- which would NULL the whole fold; the engine's
                    -- reduce over an empty merge list returns e as-is
-                   list_prepend(e, coalesce((SELECT ms FROM merges),
+                   list_prepend(e, coalesce((SELECT ms FROM {p_}merges),
                                             CAST([] AS VARCHAR[]))),
                    (acc, m) -> replace(acc,
                        '{_BPE_SEP}' || substr(m, 1, 1)
                            || '{_BPE_SEP}{_BPE_SEP}'
                            || substr(m, 2, 1) || '{_BPE_SEP}',
                        '{_BPE_SEP}' || m || '{_BPE_SEP}')) AS e2
-        FROM enc
+        FROM {p_}enc
     )"""
+
+
+#: The merge-learn + encode + apply CTE chain (everything up to the
+#: per-doc applied string ``e2`` in ``ap``) — factored so the payload
+#: shard writer's oracle composes the SAME tokenizer definition.
+_BPE_APPLY_CTES = bpe_apply_ctes("")

@@ -4465,16 +4465,45 @@ _GATE_BUDGET_LAST_RUN: dict = {}
 _BUDGET_REPLAYS = _TB_MAX_REPEATS + 1
 
 
-def _budget_alloc_table(spark, sf_dir):
+def _bpe_ntok_col(merges):
+    """Row-local BPE token count over a ``text`` column under a
+    SERVED merge table — text_bpe_tokenize's exact tokenizer (the
+    bounded merge list folded as chained replace literals: one
+    codegen'd projection, zero shuffle — the streaming_quality_score
+    serving pattern), reduced to the separator-count formula, which
+    equals len(token ids) (parity pinned by the BPE family's
+    tests)."""
+    from .bpe_shared import _BPE_SEP
+    from .text import _bpe_apply, _bpe_encode
+
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    applied = _bpe_apply(_bpe_encode(words), merges)
+    sep = F.length(applied) - F.length(
+        F.replace(applied, F.lit(_BPE_SEP), F.lit(""))
+    )
+    return F.floor(sep / 2).cast("long")
+
+
+def _budget_alloc_table(spark, sf_dir, merges=None):
     """O(#sources) per-source token allocation for the budget gate:
     pipeline_epoch_plan's EXACT arithmetic (s6 integer grid, snapped
     share, BIGINT budget, repeat cap) applied to the gate window's
     QUALITY-SURVIVING tokens — plan over what you will actually train
     on (curate-then-plan), which is also what makes enforcement bite:
     alloc <= _TB_MAX_REPEATS x per-replay quality spend, and the
-    firehose replays one epoch more than that."""
+    firehose replays one epoch more than that.  ``merges`` switches
+    the token unit: None plans in whitespace words; a served BPE
+    merge table plans in BPE tokens (the same row-local projection
+    the drain's per-batch cutoff uses)."""
     delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
     ann = _five_signal_annotate(spark, sf_dir, delta)
+    if merges is None:
+        ann = ann.withColumn("n_tok", F.col("n_words"))
+    else:
+        ann = ann.join(
+            delta.select("doc_id", _bpe_ntok_col(merges).alias("n_tok")),
+            "doc_id",
+        )
     keep = (
         ~F.col("exact_dup")
         & ~F.col("near_dup")
@@ -4487,7 +4516,7 @@ def _budget_alloc_table(spark, sf_dir):
     q = (
         ann.where(keep)
         .groupBy("source")
-        .agg(F.sum("n_words").cast("long").alias("q_tok"))
+        .agg(F.sum("n_tok").cast("long").alias("q_tok"))
         .withColumn(
             "s6",
             F.floor(
@@ -4522,7 +4551,7 @@ def _budget_alloc_table(spark, sf_dir):
 #: select) — the empty-drain close branch builds a typed empty frame
 #: from it rather than crashing on a None epoch read.
 _GATE_DEC_SCHEMA = (
-    "doc_id long, source string, epoch long, n_words long, "
+    "doc_id long, source string, epoch long, n_tok long, "
     "exact_dup boolean, near_dup boolean, pixel_dup boolean, "
     "audio_dup boolean, "
     "contaminated boolean, gopher_keep boolean, nb_logit double, "
@@ -4553,14 +4582,14 @@ def _gate_dec_params() -> str:
     from .multimodal import _audio_params, _pixel_params
 
     return (
-        f"gatedec:v2:replays{_BUDGET_REPLAYS}:b{_TB_BUDGET_MULT}"
+        f"gatedec:v3:replays{_BUDGET_REPLAYS}:b{_TB_BUDGET_MULT}"
         f":r{_TB_MAX_REPEATS}:cut{_NDLIVE_CUT}{_NDLIVE_TAG}"
         f":nd{_ND_BANDS}x{_ND_BITS}.{_ND_HAM}:bench%{_GL_BENCH_MOD}"
         f":px[{_pixel_params()}]:au[{_audio_params()}]"
     )
 
 
-def _gate_budget_decisions(spark, sf_dir, audit):
+def _gate_budget_decisions(spark, sf_dir, audit, tok_unit="words"):
     """The budget gate's drained DECISION RECORD, served from the
     fingerprint-keyed artifact cache: the first graded consumer
     drains the topology live and publishes the record (write tmp dir
@@ -4575,7 +4604,9 @@ def _gate_budget_decisions(spark, sf_dir, audit):
     def _drain_live():
         run_dir = tempfile.mkdtemp(prefix="ds_gatedec_")
         try:
-            dec_path = _budget_gate_drain(spark, sf_dir, run_dir, audit)
+            dec_path = _budget_gate_drain(
+                spark, sf_dir, run_dir, audit, tok_unit=tok_unit
+            )
             dec = _epoch_read(spark, dec_path)
             if dec is None:
                 return spark.createDataFrame([], _GATE_DEC_SCHEMA)
@@ -4588,10 +4619,10 @@ def _gate_budget_decisions(spark, sf_dir, audit):
     from .cache_marker import fixture_fingerprint
 
     fp = fixture_fingerprint(
-        sf_dir, "documents", params=_gate_dec_params()
+        sf_dir, "documents", params=f"{_gate_dec_params()}:tok{tok_unit}"
     )
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
-    path = os.path.join(_GATE_DEC_CACHE_ROOT, f"dec-{key}")
+    path = os.path.join(_GATE_DEC_CACHE_ROOT, f"dec-{tok_unit}-{key}")
     if not os.path.isdir(path):
         import threading as _threading
 
@@ -4605,7 +4636,9 @@ def _gate_budget_decisions(spark, sf_dir, audit):
     return spark.read.parquet(path).localCheckpoint(eager=True)
 
 
-def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
+def _budget_gate_drain(
+    spark, sf_dir, run_dir, audit, kill_epoch=None, tok_unit="words"
+):
     """Drain (or RESUME) the budget-enforcing admission topology: the
     gate window (the ':ndlive' delta) is replayed _BUDGET_REPLAYS
     whole epochs (one parquet file per epoch, maxFilesPerTrigger=1 —
@@ -4635,7 +4668,21 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
     ledger epoch would double-count spend and flip admissions."""
     import time as _time
 
-    alloc = _budget_alloc_table(spark, sf_dir).collect()
+    merges = None
+    if tok_unit == "bpe":
+        from ..analytics.core import spread as _spread_fn
+        from .text import _learn_bpe_merges
+
+        # the served merge table: learned ONCE per drain over the
+        # corpus (bounded O(50) vocabulary state — the trainer's
+        # frozen rank order), then folded into every batch's
+        # row-local projection
+        merges = _learn_bpe_merges(
+            _spread_fn(table(spark, sf_dir, "documents"))
+        )
+    elif tok_unit != "words":
+        raise ValueError(f"unknown gate token unit {tok_unit!r}")
+    alloc = _budget_alloc_table(spark, sf_dir, merges=merges).collect()
     alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
     delta = (
         table(spark, sf_dir, "documents")
@@ -4695,6 +4742,19 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
                 f"budget gate batch {epoch_id} carried epochs {epochs}"
             )
         ann = _five_signal_annotate(sess, sf_dir, batch_df)
+        if merges is None:
+            ann = ann.withColumn("n_tok", F.col("n_words"))
+        else:
+            # the batch's BPE counts, row-locally under the served
+            # merge table — the cutoff decides in the unit the
+            # payload ships (the module's token-unit contract at the
+            # admission edge)
+            ann = ann.join(
+                batch_df.select(
+                    "doc_id", _bpe_ntok_col(merges).alias("n_tok")
+                ),
+                "doc_id",
+            )
         keep = (
             ~F.col("exact_dup")
             & ~F.col("near_dup")
@@ -4718,7 +4778,7 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
         w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
             W.unboundedPreceding, W.currentRow
         )
-        qtok = F.when(keep, F.col("n_words")).otherwise(F.lit(0))
+        qtok = F.when(keep, F.col("n_tok")).otherwise(F.lit(0))
         dec = (
             ann.withColumn("quality", keep)
             .withColumn("wcum", F.sum(qtok).over(w))
@@ -4736,7 +4796,7 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
                 "doc_id",
                 "source",
                 F.lit(int(epoch_id)).cast("long").alias("epoch"),
-                "n_words",
+                "n_tok",
                 "exact_dup",
                 "near_dup",
                 "pixel_dup",
@@ -4755,7 +4815,7 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
         _epoch_write(
             ann.where(keep)
             .groupBy("source")
-            .agg(F.sum("n_words").cast("long").alias("q_tok")),
+            .agg(F.sum("n_tok").cast("long").alias("q_tok")),
             ledger_path,
             epoch_id,
         )
@@ -4787,29 +4847,26 @@ def _budget_gate_drain(spark, sf_dir, run_dir, audit, kill_epoch=None):
     return dec_path
 
 
-#: ONE oracle definition of the budget gate's decision rows (the CTE
-#: chain ending in ``dec``: seven-signal admission + plan arithmetic +
-#: global (epoch, doc_id) cumulative cutoff) — shared by the budget
-#: gate's economics report, its kill-and-resume twin, the gate-fed
-#: shard writer, and the admission→delivery audit, so the four graded
-#: consumers can never drift from each other.
-_GATE_BUDGET_DEC_CTES = f"""gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
-    nw AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                    t -> t <> '')) AS BIGINT) AS n_words
-        FROM documents
-    ),
+def _gate_budget_dec_ctes(nw_block: str) -> str:
+    """The budget gate's decision-row CTE chain (ending in ``dec``:
+    seven-signal admission + plan arithmetic + global (epoch,
+    doc_id) cumulative cutoff), TEMPLATED over the per-doc token
+    definition: ``nw_block`` must end defining a CTE ``nw(doc_id,
+    source, n_tok)``.  One arithmetic definition, two token units —
+    the whitespace gate and the BPE gate (VERDICT r14 task 3) can
+    never drift on what 'cutoff' means."""
+    return f"""gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
+    {nw_block},
     gd AS (
         SELECT g.doc_id, g.exact_dup, g.near_dup, g.pixel_dup,
                g.audio_dup,
                g.contaminated, g.gopher_keep, g.nb_logit, g.keep,
-               n.source, n.n_words
+               n.source, n.n_tok
         FROM gate g JOIN nw n USING (doc_id)
     ),
     qsrc AS (
-        SELECT source, CAST(sum(n_words) AS BIGINT) AS q_tok,
-               CAST(floor(sqrt(CAST(sum(n_words) AS DOUBLE)) * 1000000
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS q_tok,
+               CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000
                           + 0.5) AS BIGINT) AS s6
         FROM gd WHERE keep GROUP BY source
     ),
@@ -4828,7 +4885,7 @@ _GATE_BUDGET_DEC_CTES = f"""gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
     arr AS (SELECT gd.*, e.epoch FROM gd CROSS JOIN ep e),
     cum AS (
         SELECT a.*, qa.alloc_tokens,
-               sum(CASE WHEN a.keep THEN a.n_words ELSE 0 END) OVER (
+               sum(CASE WHEN a.keep THEN a.n_tok ELSE 0 END) OVER (
                    PARTITION BY a.source ORDER BY a.epoch, a.doc_id
                    ROWS UNBOUNDED PRECEDING) AS cumq
         FROM arr a LEFT JOIN qalloc qa USING (source)
@@ -4837,11 +4894,30 @@ _GATE_BUDGET_DEC_CTES = f"""gate AS (SELECT * FROM ({{GATE_LIVE}}) ga),
         SELECT *, (keep AND cumq <= alloc_tokens) AS admitted FROM cum
     )""".replace("{GATE_LIVE}", _GATE_LIVE_SQL)
 
+
+#: ONE oracle definition of the budget gate's decision rows in the
+#: WHITESPACE token unit — shared by the budget gate's economics
+#: report, its kill-and-resume twin, the gate-fed shard writer, the
+#: delivery/mixture audits and the close-resume proof, so the graded
+#: consumers can never drift from each other.
+_GATE_BUDGET_DEC_CTES = _gate_budget_dec_ctes(
+    """nw AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    )"""
+)
+
 #: The budget gate's graded economics-report tail over ``dec`` —
 #: shared verbatim by streaming_ingest_gate_budget and its
 #: kill-and-resume twin (a resumed run must produce the SAME truth).
-_GATE_BUDGET_REPORT_SQL = f"""
-    WITH {_GATE_BUDGET_DEC_CTES}
+def _gate_budget_report_sql(dec_ctes: str) -> str:
+    """The budget gate's graded economics-report tail over ``dec`` —
+    templated over the decision chain so the whitespace-unit and
+    BPE-unit gates grade through ONE aggregation definition."""
+    return f"""
+    WITH {dec_ctes}
     SELECT source, CAST(epoch AS BIGINT) AS epoch,
            CAST(count(*) AS BIGINT) AS n_arrivals,
            CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
@@ -4872,13 +4948,19 @@ _GATE_BUDGET_REPORT_SQL = f"""
                AS n_budget_exhausted,
            CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
                AS n_admitted,
-           CAST(sum(CASE WHEN admitted THEN n_words ELSE 0 END)
+           CAST(sum(CASE WHEN admitted THEN n_tok ELSE 0 END)
                 AS BIGINT) AS admitted_tokens,
            CAST(coalesce(max(alloc_tokens), 0) AS BIGINT) AS alloc_tokens
     FROM dec
     GROUP BY source, epoch
     ORDER BY source, epoch
     """
+
+
+#: The whitespace-unit instantiation — shared verbatim by
+#: streaming_ingest_gate_budget and its kill-and-resume twin (a
+#: resumed run must produce the SAME truth).
+_GATE_BUDGET_REPORT_SQL = _gate_budget_report_sql(_GATE_BUDGET_DEC_CTES)
 
 
 @query(
@@ -4951,7 +5033,7 @@ def _gate_budget_report(dec):
             ),
             cnt(F.col("admitted")).alias("n_admitted"),
             F.sum(
-                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                F.when(F.col("admitted"), F.col("n_tok")).otherwise(
                     F.lit(0)
                 )
             )
@@ -5049,7 +5131,7 @@ def streaming_ingest_gate_budget_resume(spark, sf_dir):
 #: shared ``dec`` CTE chain (the gate-fed shard writer's oracle).
 _GATE_SHARDS_PACK_CTES = f"""gt AS (
         SELECT doc_id, epoch, doc_id % {_PL_PACK_SHARDS} AS shard,
-               n_words AS n_tok
+               n_tok
         FROM dec WHERE admitted
     ),
     gc AS (
@@ -5122,7 +5204,7 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec):
         "epoch",
         "source",
         (F.col("doc_id") % _PL_PACK_SHARDS).alias("shard"),
-        F.col("n_words").alias("n_tok"),
+        "n_tok",
     )
 
     def _seqs_with_sources():
@@ -5224,15 +5306,18 @@ def streaming_shards_from_gate(spark, sf_dir):
         _shutil.rmtree(run_dir, ignore_errors=True)
 
 
-@query(
-    "streaming_gate_shard_delivery",
-    f"""
-    WITH {_GATE_BUDGET_DEC_CTES},
+def _gate_delivery_sql(dec_ctes: str) -> str:
+    """The delivery-audit oracle tail over ``dec`` — templated over
+    the decision chain so the whitespace-unit and BPE-unit delivery
+    audits grade through ONE definition (and both keep the r14
+    single-evaluation discipline: the chain is referenced once)."""
+    return f"""
+    WITH {dec_ctes},
     per_src AS (
         SELECT source,
                CAST(coalesce(max(alloc_tokens), 0) AS BIGINT)
                    AS alloc_tokens,
-               CAST(sum(CASE WHEN admitted THEN n_words ELSE 0 END)
+               CAST(sum(CASE WHEN admitted THEN n_tok ELSE 0 END)
                     AS BIGINT) AS admitted_tokens,
                CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_admitted
@@ -5244,37 +5329,20 @@ def streaming_shards_from_gate(spark, sf_dir):
            TRUE AS tokens_match
     FROM per_src
     ORDER BY source
-    """,
-    doc="Delivery audit of the gate-fed shard writer — the graded "
-    "end-to-end proof for the admission→delivery seam: per source, "
-    "the gate's alloc_tokens next to its actually-admitted token sum "
-    "(within_alloc pinned TRUE: enforcement held), and the total "
-    "tokens in the WRITTEN shard files (the Spark side reads the "
-    "manifest back from parquet) next to the decision record's "
-    "admitted total — tokens_match pinned TRUE: the pack/write "
-    "machinery neither dropped nor duplicated one token of what the "
-    "gate admitted.  The ORACLE states the expected shard total "
-    "arithmetically (sum of admitted tokens — concat-and-chunk "
-    "partitions the admitted rows, so the pack preserves the sum "
-    "identically; membership and ORDER are streaming_shards_from_"
-    "gate's position-sensitive fingerprint): a Spark writer that "
-    "drops or duplicates one token flips BOTH columns against the "
-    "oracle's expectation.  The oracle deliberately evaluates the "
-    "decision chain ONCE — an earlier draft re-derived the shard "
-    "total through a pack CTE plus a scalar subquery over per_src, "
-    "which made DuckDB re-evaluate the whole seven-signal gate replay "
-    "and spill >77 GB at sf1 for zero added verification power "
-    "(the sum is partition-invariant).  One O(#sources) aggregate "
-    "over the decision record plus one over the manifest.  "
-    "Reference capability: none — north star.",
-)
-def streaming_gate_shard_delivery(spark, sf_dir):
+    """
+
+
+def _gate_delivery_audit(spark, sf_dir, audit, tok_unit="words"):
+    """Shared body of the two delivery audits: obtain the decision
+    record in the declared token unit, close the seam (pack + write
+    + manifest read-back), and pin alloc/admitted/shard-token
+    identities per source."""
     import shutil as _shutil
 
     run_dir = tempfile.mkdtemp(prefix="ds_gatedeliv_")
     try:
         dec = _gate_budget_decisions(
-            spark, sf_dir, _GATE_DELIV_LAST_RUN
+            spark, sf_dir, audit, tok_unit=tok_unit
         )
         dec, _shards, man = _gate_shards_close(spark, sf_dir, run_dir, dec)
         per_src = dec.groupBy("source").agg(
@@ -5285,7 +5353,7 @@ def streaming_gate_shard_delivery(spark, sf_dir):
             .cast("long")
             .alias("alloc_tokens"),
             F.sum(
-                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                F.when(F.col("admitted"), F.col("n_tok")).otherwise(
                     F.lit(0)
                 )
             )
@@ -5324,6 +5392,38 @@ def streaming_gate_shard_delivery(spark, sf_dir):
         _shutil.rmtree(run_dir, ignore_errors=True)
 
 
+@query(
+    "streaming_gate_shard_delivery",
+    _gate_delivery_sql(_GATE_BUDGET_DEC_CTES),
+    doc="Delivery audit of the gate-fed shard writer — the graded "
+    "end-to-end proof for the admission→delivery seam: per source, "
+    "the gate's alloc_tokens next to its actually-admitted token sum "
+    "(within_alloc pinned TRUE: enforcement held), and the total "
+    "tokens in the WRITTEN shard files (the Spark side reads the "
+    "manifest back from parquet) next to the decision record's "
+    "admitted total — tokens_match pinned TRUE: the pack/write "
+    "machinery neither dropped nor duplicated one token of what the "
+    "gate admitted.  The ORACLE states the expected shard total "
+    "arithmetically (sum of admitted tokens — concat-and-chunk "
+    "partitions the admitted rows, so the pack preserves the sum "
+    "identically; membership and ORDER are streaming_shards_from_"
+    "gate's position-sensitive fingerprint): a Spark writer that "
+    "drops or duplicates one token flips BOTH columns against the "
+    "oracle's expectation.  The oracle deliberately evaluates the "
+    "decision chain ONCE — an earlier draft re-derived the shard "
+    "total through a pack CTE plus a scalar subquery over per_src, "
+    "which made DuckDB re-evaluate the whole seven-signal gate replay "
+    "and spill >77 GB at sf1 for zero added verification power "
+    "(the sum is partition-invariant).  One O(#sources) aggregate "
+    "over the decision record plus one over the manifest.  "
+    "Reference capability: none — north star.",
+)
+def streaming_gate_shard_delivery(spark, sf_dir):
+    return _gate_delivery_audit(
+        spark, sf_dir, _GATE_DELIV_LAST_RUN, tok_unit="words"
+    )
+
+
 #: Audit facts of the last streaming_gate_shard_mixture run.
 _GATE_MIX_LAST_RUN: dict = {}
 
@@ -5334,7 +5434,7 @@ _GATE_MIX_LAST_RUN: dict = {}
     WITH {_GATE_BUDGET_DEC_CTES},
     gt AS (
         SELECT doc_id, epoch, source, alloc_tokens,
-               doc_id % {_PL_PACK_SHARDS} AS shard, n_words AS n_tok
+               doc_id % {_PL_PACK_SHARDS} AS shard, n_tok
         FROM dec WHERE admitted
     ),
     gc AS (
@@ -5442,7 +5542,7 @@ def streaming_gate_shard_mixture(spark, sf_dir):
         # the decision record's per-source truth (O(#sources))
         per_src = dec.groupBy("source").agg(
             F.sum(
-                F.when(F.col("admitted"), F.col("n_words")).otherwise(
+                F.when(F.col("admitted"), F.col("n_tok")).otherwise(
                     F.lit(0)
                 )
             )
@@ -5554,7 +5654,7 @@ def streaming_shards_from_gate_resume(spark, sf_dir):
             "epoch",
             "source",
             (F.col("doc_id") % _PL_PACK_SHARDS).alias("shard"),
-            F.col("n_words").alias("n_tok"),
+            "n_tok",
         )
         partial = (
             _pack_from_counts(adm, order_cols=("epoch", "doc_id"))
@@ -5589,6 +5689,93 @@ def streaming_shards_from_gate_resume(spark, sf_dir):
         return man
     finally:
         _shutil.rmtree(run_dir, ignore_errors=True)
+
+
+from .bpe_shared import (  # noqa: E402
+    _BPE_SEP as _BPE_SEP_SQ,
+    bpe_apply_ctes as _bpe_apply_ctes,
+)
+
+#: The budget gate's decision chain in BPE UNITS (VERDICT r14 task
+#: 3): the SAME template as the whitespace gate with only the
+#: per-doc token CTE swapped — nw counts tokens under the LEARNED
+#: merge table (the prefixed BPE apply chain, 'z' names, because the
+#: gate SQL already uses `toks` and `m`).
+_GATE_BUDGET_DEC_BPE_CTES = _gate_budget_dec_ctes(
+    f"""{_bpe_apply_ctes("z")},
+    nw AS (
+        SELECT a.doc_id, d0.source,
+               CAST((length(a.e2)
+                     - length(replace(a.e2, '{_BPE_SEP_SQ}', ''))) // 2
+                    AS BIGINT) AS n_tok
+        FROM zap a JOIN documents d0 USING (doc_id)
+    )"""
+)
+
+#: Audit facts of the last BPE-unit gate runs.
+_GATE_BUDGET_BPE_LAST_RUN: dict = {}
+_GATE_DELIV_BPE_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_ingest_gate_budget_bpe",
+    _gate_budget_report_sql(_GATE_BUDGET_DEC_BPE_CTES),
+    doc="The budget gate IN BPE UNITS (VERDICT r14 task 3) — closes "
+    "the admission edge's unit mismatch: the whitespace gate decided "
+    "in n_words while the payload shards ship BPE ids, exactly the "
+    "silent-conversion hazard pipeline_llm's token-unit contract "
+    "forbids.  Same topology (multi-epoch firehose, per-epoch spend "
+    "ledger with the before_epoch guard, global (epoch, doc_id) "
+    "cutoff), same seven-signal ladder, same plan arithmetic — but "
+    "every arrival's token count is computed ROW-LOCALLY under the "
+    "SERVED merge table (text_bpe_tokenize's tokenizer folded as "
+    "chained replace literals — one codegen'd projection, zero "
+    "shuffle, the streaming_quality_score serving pattern; the "
+    "bounded O(50) merge list is learned once per drain), the "
+    "per-source allocation is planned over quality-surviving BPE "
+    "tokens (pipeline_epoch_plan_bpe's unit), and budget_exhausted "
+    "bites on cumulative BPE tokens vs a BPE-unit alloc.  The two "
+    "gates genuinely differ: BPE merges compress sources "
+    "non-uniformly, so allocations and cutoff points shift between "
+    "units — which is why the unit is part of the gate's identity.  "
+    "Graded by the SAME report aggregation as the whitespace gate "
+    "over the SAME templated decision chain with only the per-doc "
+    "token CTE swapped (one arithmetic definition, two units — the "
+    "units cannot drift).  Scale: the added per-batch cost is one "
+    "row-local projection; everything else is unchanged.  Reference "
+    "capability: none — north star.",
+)
+def streaming_ingest_gate_budget_bpe(spark, sf_dir):
+    return _gate_budget_report(
+        _gate_budget_decisions(
+            spark, sf_dir, _GATE_BUDGET_BPE_LAST_RUN, tok_unit="bpe"
+        )
+    )
+
+
+@query(
+    "streaming_gate_shard_delivery_bpe",
+    _gate_delivery_sql(_GATE_BUDGET_DEC_BPE_CTES),
+    doc="Delivery audit of the BPE-unit gate-fed shard writer — the "
+    "admission→delivery seam proven end-to-end IN THE PAYLOAD'S OWN "
+    "UNIT (VERDICT r14 task 3's second half): the BPE gate's "
+    "decision record feeds the same pack/write machinery, and per "
+    "source the BPE alloc sits next to the admitted BPE token sum "
+    "(within_alloc pinned TRUE) while the WRITTEN shard files' "
+    "token total is read back and pinned equal to the decision "
+    "record's admitted BPE total (tokens_match TRUE) — 'what the "
+    "gate admits is what trains', with admission, packing and "
+    "delivery all counting in BPE tokens so no silent unit "
+    "conversion can hide between the gate and the shards.  Same "
+    "single-evaluation oracle discipline as the whitespace delivery "
+    "audit (the decision chain is referenced once; the shard total "
+    "is the partition-invariant sum identity).  Reference "
+    "capability: none — north star.",
+)
+def streaming_gate_shard_delivery_bpe(spark, sf_dir):
+    return _gate_delivery_audit(
+        spark, sf_dir, _GATE_DELIV_BPE_LAST_RUN, tok_unit="bpe"
+    )
 
 
 def _bench_shingle_index_path(spark, sf_dir) -> str:

@@ -666,6 +666,46 @@ def test_gate_shards_close_rerun_discards_partial_write(spark):
     assert man == clean and len(man) > 0
 
 
+def test_bpe_gate_unit_genuinely_differs(spark):
+    """The BPE-unit gate (r14 task 3) must share the whitespace
+    gate's seven-signal ladder exactly (signals are unit-independent)
+    while its plan/allocation genuinely differs — BPE merges compress
+    sources non-uniformly, so identical allocs would mean the unit
+    switch silently didn't happen."""
+    from durablestreams_spark.operators import streaming_queries as sq
+
+    words = {
+        (r["source"], r["epoch"]): r
+        for r in sq.streaming_ingest_gate_budget(spark, SF_DIR).collect()
+    }
+    bpe = {
+        (r["source"], r["epoch"]): r
+        for r in sq.streaming_ingest_gate_budget_bpe(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(words) == set(bpe) and len(words) > 0
+    for k in words:
+        for c in (
+            "n_arrivals",
+            "n_exact_dup",
+            "n_near_dup",
+            "n_pixel_dup",
+            "n_audio_dup",
+            "n_contaminated",
+            "n_gopher_fail",
+            "n_nb_fail",
+        ):
+            assert words[k][c] == bpe[k][c], (k, c)
+    assert any(
+        words[k]["alloc_tokens"] != bpe[k]["alloc_tokens"] for k in words
+    ), "BPE and whitespace allocations are identical — unit vacuous"
+    assert any(
+        words[k]["admitted_tokens"] != bpe[k]["admitted_tokens"]
+        for k in words
+    )
+
+
 def test_budget_gate_resume_matches_uninterrupted(spark):
     """Kill-and-resume for the budget gate (r13 task 2): the crash
     lands AFTER the victim epoch's decision+ledger writes and BEFORE
