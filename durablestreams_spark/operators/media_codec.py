@@ -403,13 +403,26 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int]:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + clen > len(b):
+            # same loud-failure policy as decode_wav_pcm: an
+            # over-long declared length must never silently truncate
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {clen} bytes, "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"short fmt chunk: {len(body)} bytes, need >= 16"
+                )
             fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
         elif cid == b"data":
+            if clen % 2 != 0:
+                raise ValueError(f"odd data chunk length {clen}")
             pcm = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
@@ -417,7 +430,7 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int]:
     if bits != 16 or channels != 1:
         raise ValueError(f"expected 16-bit mono, got {bits}-bit x{channels}")
     n = len(pcm) // 2
-    samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+    samples = struct.unpack(f"<{n}h", pcm)
     total = sum(samples)
     peak = max((abs(s) for s in samples), default=0)
     return n, sample_rate, total, peak

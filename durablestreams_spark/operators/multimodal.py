@@ -1267,10 +1267,10 @@ AUDIO_NOISE = 60
 #: pattern applied to audio): every GATE_AU_EVERY-th SAMPLED doc also
 #: carries a RE-RECORDING of the PREVIOUS sampled doc's signal
 #: (media_id = doc_id + 3*AUDIO_OFF, amplitude seed = doc_id -
-#: AUDIO_MOD, encoded at the alt rate — every byte differs from the
-#: seed doc's files, frame means identical: hamming 0), and every
-#: GATE_AU_NOISY_EVERY-th of those is additionally volume-doubled
-#: with the 3-frame bump (hamming <= 3).  This is what makes the
+#: AUDIO_MOD, encoded at the THIRD rate AUDIO_RE_RATE — every byte
+#: differs from BOTH of the seed doc's files, frame means identical:
+#: hamming 0), and every GATE_AU_NOISY_EVERY-th of those is
+#: additionally volume-doubled with the 3-frame bump (hamming <= 3).  This is what makes the
 #: audio rung non-vacuous: a duplicate recording arriving under a
 #: NEW doc_id is exactly the escape the ladder must catch.
 GATE_AU_EVERY = 7
@@ -1281,6 +1281,14 @@ GATE_AU_NOISY_EVERY = 3
 #: fingerprint matches at hamming 0 while every byte differs.
 AUDIO_BASE_RATE, AUDIO_BASE_PER = 8000, 2
 AUDIO_ALT_RATE, AUDIO_ALT_PER = 12000, 3
+#: The cross-doc RE-RECORDING ships at a THIRD rate (16 kHz,
+#: 4 samples/frame): same frame means as the seed doc's files, but a
+#: different sample count and rate, so its bytes differ from BOTH of
+#: the seed's encodes — a byte-level media dedup can never catch it;
+#: only the fingerprint rung can (review finding r15: at the alt
+#: rate, a non-noisy plant would have been byte-identical to the
+#: seed's own resample, understating what the rung proves).
+AUDIO_RE_RATE, AUDIO_RE_PER = 16000, 4
 
 
 def _audio_amp(seed_id: int, f: int, noisy: bool) -> int:
@@ -1316,8 +1324,8 @@ def _audio_variant_rule(d: int) -> list:
                 d - AUDIO_MOD,
                 ((d // AUDIO_MOD) // GATE_AU_EVERY) % GATE_AU_NOISY_EVERY
                 == 0,
-                AUDIO_ALT_PER,
-                AUDIO_ALT_RATE,
+                AUDIO_RE_PER,
+                AUDIO_RE_RATE,
             )
         )
     return out
@@ -1490,6 +1498,7 @@ def _audio_params() -> str:
         f":fr{AUDIO_FRAMES}:amp{AUDIO_AMP_MOD}:n{AUDIO_NOISE}"
         f":m{AUDIO_MOD}:ne{AUDIO_NOISY_EVERY}"
         f":ge{GATE_AU_EVERY}.{GATE_AU_NOISY_EVERY}"
+        f":re{AUDIO_RE_RATE}.{AUDIO_RE_PER}"
     )
 
 

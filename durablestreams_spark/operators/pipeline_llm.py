@@ -711,15 +711,35 @@ def _shard_sort_key() -> F.Column:
     )
 
 
+def _shard_key_sql() -> str:
+    """The seeded-shuffle sort key as a SQL expression over columns
+    (shard, seq_id) — the SQL twin of _shard_sort_key.  ONE key
+    definition for every oracle that replays the writer's shuffle
+    (_SHARD_RANK_SQL and the gate mixture oracle), so a seed or
+    formula change cannot leave a stale third copy behind."""
+    return (
+        "substr(md5(CAST(shard AS VARCHAR) || ':' "
+        "|| CAST(seq_id AS VARCHAR) "
+        f"|| ':shard:{SHARD_SEED}'), 1, 16)"
+    )
+
+
+def _shard_assign_sql() -> str:
+    """The fixed-size rank-block shard assignment over (rank, total)
+    — the single SQL definition of the writer's block cut."""
+    return (
+        f"(rank - 1) // ((total + {WRITE_SHARDS - 1}) "
+        f"// {WRITE_SHARDS})"
+    )
+
+
 #: The seeded-shuffle rank/assignment CTE fragment over a CTE named
 #: ``packed`` — shared by the pipeline_write_shards oracle and the
 #: payload writer's oracle (one ranking definition, two graded
-#: consumers).
+#: consumers); its key and assignment expressions come from the
+#: shared fragments above.
 _SHARD_RANK_SQL = f"""keyed AS (
-        SELECT *,
-               substr(md5(CAST(shard AS VARCHAR) || ':'
-                          || CAST(seq_id AS VARCHAR)
-                          || ':shard:{SHARD_SEED}'), 1, 16) AS key
+        SELECT *, {_shard_key_sql()} AS key
         FROM packed
     ),
     ranked AS (
@@ -729,9 +749,7 @@ _SHARD_RANK_SQL = f"""keyed AS (
         FROM keyed
     ),
     assigned AS (
-        SELECT *,
-               (rank - 1) // ((total + {WRITE_SHARDS - 1})
-                              // {WRITE_SHARDS}) AS shard_out
+        SELECT *, {_shard_assign_sql()} AS shard_out
         FROM ranked
     )"""
 

@@ -3694,6 +3694,8 @@ def streaming_ingest_gate_resume(spark, sf_dir):
 from .pipeline_llm import (  # noqa: E402
     _PACK_CTES as _PL_PACK_CTES,
     _SHARD_RANK_SQL as _PL_RANK_SQL,
+    _shard_assign_sql as _pl_shard_assign_sql,
+    _shard_key_sql as _pl_shard_key_sql,
     PACK_SEQ_LEN as _PL_SEQ_LEN,
     PACK_SHARDS as _PL_PACK_SHARDS,
     SHARD_SEED as _PL_SEED,
@@ -4618,8 +4620,16 @@ def _gate_budget_decisions(spark, sf_dir, audit, tok_unit="words"):
         return _drain_live()
     from .cache_marker import fixture_fingerprint
 
+    from .bpe_shared import _BPE_N_MERGES as _BPE_M
+
+    # the BPE unit's decisions are shaped by the tokenizer too —
+    # fold its vocabulary constant into the key (review finding r15:
+    # a merge-count bump must re-drain, never serve stale decisions)
+    unit_tag = f"tok{tok_unit}" + (
+        f".m{_BPE_M}" if tok_unit == "bpe" else ""
+    )
     fp = fixture_fingerprint(
-        sf_dir, "documents", params=f"{_gate_dec_params()}:tok{tok_unit}"
+        sf_dir, "documents", params=f"{_gate_dec_params()}:{unit_tag}"
     )
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     path = os.path.join(_GATE_DEC_CACHE_ROOT, f"dec-{tok_unit}-{key}")
@@ -5179,10 +5189,11 @@ def _gate_shards_close(spark, sf_dir, run_dir, dec):
         _write_shards,
     )
 
-    if not dec.take(1):
-        # a drain that produced no decision epochs closes to an empty
-        # manifest, not a crash (review finding r14) — the
-        # _gate_live_assemble empty-schema branch applied here
+    if not dec.where(F.col("admitted")).take(1):
+        # a drain with no decision epochs OR no admitted rows closes
+        # to an empty manifest, not a crash (review findings r14/r15:
+        # an all-rejected window would otherwise die in the writer's
+        # read-back — an empty partitionBy write emits no part files)
         empty_shards = spark.createDataFrame(
             [],
             "shard_out long, rank long, key string, shard long, "
@@ -5454,9 +5465,7 @@ _GATE_MIX_LAST_RUN: dict = {}
         GROUP BY shard, (cum - n_tok) // {_PL_SEQ_LEN}, source
     ),
     keyed AS (
-        SELECT *, substr(md5(CAST(shard AS VARCHAR) || ':'
-                             || CAST(seq_id AS VARCHAR)
-                             || ':shard:{_PL_SEED}'), 1, 16) AS key
+        SELECT *, {_pl_shard_key_sql()} AS key
         FROM gsrc
     ),
     ranked AS (
@@ -5465,8 +5474,7 @@ _GATE_MIX_LAST_RUN: dict = {}
         FROM keyed
     ),
     assigned AS (
-        SELECT *, (rank - 1) // ((total + {_PL_WRITE_SHARDS - 1})
-                                 // {_PL_WRITE_SHARDS}) AS shard_out
+        SELECT *, {_pl_shard_assign_sql()} AS shard_out
         FROM (SELECT *, max(rank) OVER () AS total FROM ranked)
     )
     SELECT CAST(shard_out AS BIGINT) AS shard_id, source,

@@ -473,6 +473,45 @@ def test_audio_encoders_roundtrip_and_match_formula():
         )
 
 
+def test_audio_replant_bytes_differ_from_seed_files():
+    """The cross-doc re-recording plant must be byte-distinct from
+    BOTH of its seed doc's encodes (review finding r15): it ships at
+    a third rate, so a byte-level media dedup can never catch it —
+    only the fingerprint rung can."""
+    from durablestreams_spark.operators.media_codec import (
+        encode_wav_pcm,
+    )
+    from durablestreams_spark.operators.multimodal import (
+        AUDIO_FRAMES,
+        AUDIO_MOD,
+        AUDIO_OFF,
+        _audio_amp,
+        _audio_variant_rule,
+    )
+
+    found = 0
+    for d in range(AUDIO_MOD, 500, AUDIO_MOD):
+        variants = {m: (seed, noisy, per, rate)
+                    for m, seed, noisy, per, rate in _audio_variant_rule(d)}
+        re_id = d + 3 * AUDIO_OFF
+        if re_id not in variants:
+            continue
+        found += 1
+        seed, noisy, per, rate = variants[re_id]
+        assert seed == d - AUDIO_MOD
+
+        def _bytes(sd, ny, p, r):
+            amps = [_audio_amp(sd, f, ny) for f in range(AUDIO_FRAMES)]
+            return encode_wav_pcm(
+                [a for a in amps for _ in range(p)], r
+            )
+
+        plant = _bytes(seed, noisy, per, rate)
+        for m2, s2, n2, p2, r2 in _audio_variant_rule(seed):
+            assert plant != _bytes(s2, n2, p2, r2), (d, m2)
+    assert found > 0
+
+
 def test_wav_decoder_rejects_corrupt_input_loudly():
     """Corrupt WAV input must raise ValueError, never decode
     partially (review findings r14): an over-long declared chunk
