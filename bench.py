@@ -146,6 +146,11 @@ SF1_EXTRA = [
     "pipeline_write_shards_budgeted_payload",  # r14 BPE-budgeted payload shards: boundary-doc ids sliced to the delivered count
     "multimodal_audio_dedup",         # r14 audio near-dup: real WAV decode + frame-sign fingerprint, 4x16 pigeonhole bands
     "multimodal_audio_index_refresh", # r14 audio index maintenance: O(delta) variant-band append + doc tombstone, guarded swap
+    "streaming_gate_shard_mixture",   # r15 per-(shard, source) realized mixture read back from the written files
+    "streaming_shards_from_gate_resume",  # r15 close-step crash proof: marker-less partial write discarded, manifest parity
+    "streaming_ingest_gate_budget_bpe",   # r15 BPE-unit budget gate: served merge table row-local, cutoff in BPE tokens
+    "streaming_gate_shard_delivery_bpe",  # r15 BPE-unit delivery audit: within_alloc + tokens_match in the payload's unit
+    "streaming_gate_shard_mixture_bpe",   # r15 BPE-unit data-card mixture: written-file composition in served tokens
 ]
 
 

@@ -5439,10 +5439,12 @@ def streaming_gate_shard_delivery(spark, sf_dir):
 _GATE_MIX_LAST_RUN: dict = {}
 
 
-@query(
-    "streaming_gate_shard_mixture",
-    f"""
-    WITH {_GATE_BUDGET_DEC_CTES},
+def _gate_mixture_sql(dec_ctes: str) -> str:
+    """The mixture-audit oracle tail over ``dec`` — templated over
+    the decision chain (whitespace and BPE units share ONE
+    definition; the chain is evaluated once, the §5b9 house rule)."""
+    return f"""
+    WITH {dec_ctes},
     gt AS (
         SELECT doc_id, epoch, source, alloc_tokens,
                doc_id % {_PL_PACK_SHARDS} AS shard, n_tok
@@ -5497,7 +5499,12 @@ _GATE_MIX_LAST_RUN: dict = {}
     FROM assigned
     GROUP BY shard_out, source
     ORDER BY shard_id, source
-    """,
+    """
+
+
+@query(
+    "streaming_gate_shard_mixture",
+    _gate_mixture_sql(_GATE_BUDGET_DEC_CTES),
     doc="Per-(shard, source) REALIZED-MIXTURE attribution in the "
     "gate-fed shards (VERDICT r14 task 2) — the number a training "
     "run's data card reports: the written shard rows carry each "
@@ -5524,6 +5531,17 @@ _GATE_MIX_LAST_RUN: dict = {}
     "north star.",
 )
 def streaming_gate_shard_mixture(spark, sf_dir):
+    return _gate_mixture_audit(
+        spark, sf_dir, _GATE_MIX_LAST_RUN, tok_unit="words"
+    )
+
+
+def _gate_mixture_audit(spark, sf_dir, audit, tok_unit="words"):
+    """Shared body of the two mixture audits (one definition, two
+    token units): close the seam from the unit's decision record,
+    read the realized per-(shard, source) composition back FROM THE
+    WRITTEN FILES, and pin it against the record's admitted totals
+    and allocs."""
     import shutil as _shutil
 
     from pyspark.sql import Window as W
@@ -5531,7 +5549,7 @@ def streaming_gate_shard_mixture(spark, sf_dir):
     run_dir = tempfile.mkdtemp(prefix="ds_gatemix_")
     try:
         dec = _gate_budget_decisions(
-            spark, sf_dir, _GATE_MIX_LAST_RUN
+            spark, sf_dir, audit, tok_unit=tok_unit
         )
         dec, shards, _man = _gate_shards_close(
             spark, sf_dir, run_dir, dec
@@ -5783,6 +5801,33 @@ def streaming_ingest_gate_budget_bpe(spark, sf_dir):
 def streaming_gate_shard_delivery_bpe(spark, sf_dir):
     return _gate_delivery_audit(
         spark, sf_dir, _GATE_DELIV_BPE_LAST_RUN, tok_unit="bpe"
+    )
+
+
+#: Audit facts of the last BPE-unit mixture run.
+_GATE_MIX_BPE_LAST_RUN: dict = {}
+
+
+@query(
+    "streaming_gate_shard_mixture_bpe",
+    _gate_mixture_sql(_GATE_BUDGET_DEC_BPE_CTES),
+    doc="Per-(shard, source) realized-mixture attribution IN BPE "
+    "UNITS — the data-card number in the unit a training run "
+    "actually counts: the BPE gate's decision record closes through "
+    "the same pack/write machinery, the written shard rows carry "
+    "per-sequence source composition in BPE tokens, and the graded "
+    "table reads the realized mixture back FROM THE WRITTEN FILES "
+    "against the record's admitted BPE totals (tokens_match), its "
+    "BPE allocs (within_alloc) and snapped shares.  One mixture "
+    "definition, two token units (_gate_mixture_sql over the "
+    "templated decision chain; _gate_mixture_audit on the Spark "
+    "side), so the served-token data card cannot drift from the "
+    "whitespace one's semantics.  Reference capability: none — "
+    "north star.",
+)
+def streaming_gate_shard_mixture_bpe(spark, sf_dir):
+    return _gate_mixture_audit(
+        spark, sf_dir, _GATE_MIX_BPE_LAST_RUN, tok_unit="bpe"
     )
 
 
