@@ -4571,7 +4571,26 @@ _GATE_DEC_SCHEMA = (
 #: drain topology and kill-and-resume proofs keep exercising the
 #: real stream; tests/test_gate_cache.py diffs both branches
 #: row-for-row.
-_GATE_DEC_CACHE_ROOT = "/tmp/spark_graft_gatedec"
+#:
+#: PROCESS-scoped (r15 optimization round): the root carries the PID
+#: and is removed at interpreter exit, so every bench / oracle
+#: INVOCATION drains the topology live from the parquet inputs at
+#: least once — the cache only deduplicates the four graded consumers
+#: of the same window WITHIN one run (production semantics: one drain,
+#: many readers), never across runs.  A cross-run persistent record
+#: would let a later bench serve decisions it never computed.
+_GATE_DEC_CACHE_ROOT = f"/tmp/spark_graft_gatedec-{os.getpid()}"
+
+
+def _gate_dec_cache_cleanup() -> None:
+    import shutil as _sh
+
+    _sh.rmtree(_GATE_DEC_CACHE_ROOT, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_gate_dec_cache_cleanup)
 
 
 def _gate_dec_params() -> str:
