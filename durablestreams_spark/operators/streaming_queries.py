@@ -4486,26 +4486,19 @@ def _bpe_ntok_col(merges):
     return F.floor(sep / 2).cast("long")
 
 
-def _budget_alloc_table(spark, sf_dir, merges=None):
+def _budget_alloc_from_ann(ann):
     """O(#sources) per-source token allocation for the budget gate:
     pipeline_epoch_plan's EXACT arithmetic (s6 integer grid, snapped
     share, BIGINT budget, repeat cap) applied to the gate window's
     QUALITY-SURVIVING tokens — plan over what you will actually train
     on (curate-then-plan), which is also what makes enforcement bite:
     alloc <= _TB_MAX_REPEATS x per-replay quality spend, and the
-    firehose replays one epoch more than that.  ``merges`` switches
-    the token unit: None plans in whitespace words; a served BPE
-    merge table plans in BPE tokens (the same row-local projection
-    the drain's per-batch cutoff uses)."""
-    delta = table(spark, sf_dir, "documents").where(~_ndlive_base_pred())
-    ann = _five_signal_annotate(spark, sf_dir, delta)
-    if merges is None:
-        ann = ann.withColumn("n_tok", F.col("n_words"))
-    else:
-        ann = ann.join(
-            delta.select("doc_id", _bpe_ntok_col(merges).alias("n_tok")),
-            "doc_id",
-        )
+    firehose replays one epoch more than that.  ``ann`` is the
+    window's seven-signal annotation WITH an ``n_tok`` column in the
+    gate's token unit — the drain computes it once and shares it
+    between this planner pass and every replayed epoch's decisions
+    (r15: the annotation is a pure per-doc function, so the planner
+    re-annotating the window was a redundant full corpus pass)."""
     keep = (
         ~F.col("exact_dup")
         & ~F.col("near_dup")
@@ -4711,13 +4704,30 @@ def _budget_gate_drain(
         )
     elif tok_unit != "words":
         raise ValueError(f"unknown gate token unit {tok_unit!r}")
-    alloc = _budget_alloc_table(spark, sf_dir, merges=merges).collect()
-    alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
     delta = (
         table(spark, sf_dir, "documents")
         .where(~_ndlive_base_pred())
         .select("doc_id", "text", "source")
     )
+    # ONE seven-signal annotation pass over the window (r15, guide
+    # §2.4/§8): every replayed epoch carries the IDENTICAL delta and
+    # every signal is a pure per-doc function (row-local expression
+    # or 1:1 persisted-index lookup), so the per-epoch re-annotation
+    # — previously 1 planner pass + _BUDGET_REPLAYS per-batch passes
+    # over the same rows, the drain's dominant cost — collapses to
+    # one materialized table the batches join by doc_id.  This is
+    # the oracle's own structure (gd computed once, CROSS JOIN ep).
+    ann0 = _five_signal_annotate(spark, sf_dir, delta)
+    if merges is None:
+        ann0 = ann0.withColumn("n_tok", F.col("n_words"))
+    else:
+        ann0 = ann0.join(
+            delta.select("doc_id", _bpe_ntok_col(merges).alias("n_tok")),
+            "doc_id",
+        )
+    ann0 = ann0.localCheckpoint(eager=True)
+    alloc = _budget_alloc_from_ann(ann0).collect()
+    alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
     stream_dir = os.path.join(run_dir, "delta")
     # Resume only behind the _staged marker (written AFTER the whole
     # epoch-file loop): a crash mid-staging must re-stage from
@@ -4733,9 +4743,16 @@ def _budget_gate_drain(
     os.makedirs(stream_dir, exist_ok=True)
     stage = os.path.join(run_dir, "_stage")
     if not resume:
+        # stage the arrival METADATA only (doc_id, epoch): the text
+        # payload was previously written to disk once per epoch and
+        # re-scanned by the stream, yet every decision derives from
+        # the precomputed annotation — move heavy bytes zero times,
+        # ship the 8-byte key (guide §2.3 "shuffle keys and metadata
+        # instead of payloads", §8).
+        ids = delta.select("doc_id")
         for e in range(_BUDGET_REPLAYS):
             (
-                delta.withColumn("epoch", F.lit(e).cast("long"))
+                ids.withColumn("epoch", F.lit(e).cast("long"))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(stage)
@@ -4770,20 +4787,13 @@ def _budget_gate_drain(
             raise RuntimeError(
                 f"budget gate batch {epoch_id} carried epochs {epochs}"
             )
-        ann = _five_signal_annotate(sess, sf_dir, batch_df)
-        if merges is None:
-            ann = ann.withColumn("n_tok", F.col("n_words"))
-        else:
-            # the batch's BPE counts, row-locally under the served
-            # merge table — the cutoff decides in the unit the
-            # payload ships (the module's token-unit contract at the
-            # admission edge)
-            ann = ann.join(
-                batch_df.select(
-                    "doc_id", _bpe_ntok_col(merges).alias("n_tok")
-                ),
-                "doc_id",
-            )
+        # the batch's annotation = the precomputed per-doc table,
+        # restricted to this batch's arrivals (1:1 inner join on the
+        # key; the n_tok column already carries the gate's token
+        # unit — whitespace words or the served-merge-table BPE
+        # count — so the cutoff still decides in the unit the
+        # payload ships)
+        ann = batch_df.select("doc_id").join(ann0, "doc_id")
         keep = (
             ~F.col("exact_dup")
             & ~F.col("near_dup")
@@ -4862,9 +4872,7 @@ def _budget_gate_drain(
             raise RuntimeError("injected mid-stream kill")
 
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, source string, epoch long"
-        )
+        spark.readStream.schema("doc_id long, epoch long")
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
         .writeStream.foreachBatch(_decide)
