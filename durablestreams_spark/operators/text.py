@@ -1616,8 +1616,91 @@ def _nb_training(spark, sf_dir):
     "none — BASELINE.json north-star operator.",
 )
 def text_quality_classifier_nb(spark, sf_dir):
-    f, llr, prior = _nb_training(spark, sf_dir)
-    return _nb_score(f, llr, prior)
+    return _nb_scored_hist(spark, sf_dir)
+
+
+def _nb_scored_hist(spark, sf_dir):
+    """One-pass NB train + score (r15 optimization, guide §2.3/§2.4):
+    the tokenize + Gopher-label + md5-hash feature scan — the dominant
+    cost — previously ran TWICE per scored query (once under the
+    training counts, once under the scoring join; no exchange reuse
+    across an aggregation boundary).  Instead, ONE scan builds the
+    per-(doc, pos, bkt) occurrence HISTOGRAM (map-side combined: a
+    doc's token repeats collapse before the exchange, so shuffle bytes
+    are O(docs x distinct buckets) instead of O(tokens)) plus a
+    bkt = -1 sentinel row per labeled doc (the _nb_counts idiom) that
+    carries the prior's doc counts.  The histogram is
+    localCheckpointed (it is read by the training rollup AND the
+    scoring rollup) and is strictly smaller than the raw token stream.
+
+    Scoring equivalence is an exact-decimal identity: the oracle sums
+    cnt copies of CAST(lam AS DECIMAL(38,18)); here the same decimal
+    value (|lam| < 100 — each smoothed log term is bounded by
+    ln(corpus tokens) — so the (22,18) cast preserves it bit-for-bit)
+    is multiplied by cnt as DECIMAL(22,18) x DECIMAL(10,0) ->
+    DECIMAL(33,18), no precision overflow, exact, and decimal addition
+    is associative — identical sums, identical round(., 4) grid."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    lbl, f = _nb_feature_stream(docs)
+    sent = lbl.select(
+        "doc_id", "pos", F.lit(-1).cast("long").alias("bkt")
+    )
+    hist = (
+        f.select("doc_id", "pos", F.col("bkt").cast("long").alias("bkt"))
+        .unionByName(sent)
+        .groupBy("doc_id", "pos", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    feat = hist.where(F.col("bkt") >= 0)
+    c = feat.groupBy("bkt").agg(
+        F.sum(F.when(F.col("pos"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("pc"),
+        F.sum(F.when(~F.col("pos"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("nc"),
+    )
+    t = c.agg(F.sum("pc").alias("pn"), F.sum("nc").alias("nn"))
+    llr = c.crossJoin(F.broadcast(t)).select(
+        "bkt",
+        (
+            F.log((F.col("pc") + 1.0) / (F.col("pn") + NB_BUCKETS))
+            - F.log((F.col("nc") + 1.0) / (F.col("nn") + NB_BUCKETS))
+        ).alias("lam"),
+    )
+    prior = (
+        hist.where(F.col("bkt") == -1)
+        .agg(
+            F.log(
+                (F.sum(F.col("pos").cast("long")) + 1.0)
+                / (F.sum((~F.col("pos")).cast("long")) + 1.0)
+            ).alias("pri")
+        )
+    )
+    logit = F.round(
+        F.max(F.col("pri").cast("decimal(38,18)"))
+        + F.sum(
+            F.col("lam").cast("decimal(22,18)")
+            * F.col("cnt").cast("decimal(10,0)")
+        ),
+        4,
+    ).cast("double")
+    return (
+        feat.join(F.broadcast(llr), "bkt")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            logit.alias("nb_logit"),
+            (logit > 0).alias("pred_keep"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("gopher_keep"),
+            "n_feats",
+            "nb_logit",
+            "pred_keep",
+        )
+    )
 
 
 def _nb_score(f, llr, prior):
