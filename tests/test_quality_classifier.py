@@ -438,3 +438,60 @@ def test_streaming_ingest_gate_matches_batch_composition(spark):
         assert r.exact_dup == dup[r.doc_id], r.doc_id
         assert (r.gopher_keep, r.nb_logit) == (gk, logit), r.doc_id
         assert r.keep == ((not r.exact_dup) and gk and logit > 0), r.doc_id
+
+
+def test_nb_serving_exactness(spark):
+    """The Arrow serving path (r15: fixed-point int64 accumulation in
+    a vectorized pandas UDF) must be BIT-IDENTICAL to the decimal
+    HOF fold it replaced, over the full fixture corpus — the
+    equality that lets every streaming consumer keep its oracle
+    hash.  The reference fold is inlined here verbatim so the pin
+    survives any future serving-path change."""
+    from pyspark.sql import functions as F
+
+    from durablestreams_spark.analytics.core import spread, table
+    from durablestreams_spark.operators.streaming_queries import (
+        _nb_logit_col,
+        _nb_serving_model,
+    )
+    from durablestreams_spark.operators.text import (
+        NB_BUCKETS,
+        _gopher_metrics,
+        _nb_bucket,
+        _nb_feats_array,
+    )
+
+    lam, pri = _nb_serving_model(spark, SF_DIR)
+    docs = spread(table(spark, SF_DIR, "documents"))
+    m = _gopher_metrics(docs, keep_words=True)
+    feats = m.select(
+        "doc_id", _nb_feats_array(F.col("wrds")).alias("feats")
+    ).where(F.size("feats") > 0)
+
+    # the pre-r15 decimal fold, verbatim
+    lam_arr = F.array(*[F.lit(lam.get(b, 0.0)) for b in range(NB_BUCKETS)])
+    dec = "decimal(28,18)"
+    ref = F.round(
+        F.lit(float(pri)).cast(dec)
+        + F.aggregate(
+            F.transform(
+                F.col("feats"),
+                lambda t: F.element_at(
+                    lam_arr, (_nb_bucket(t) + 1).cast("int")
+                ),
+            ),
+            F.lit(0).cast(dec),
+            lambda a, x: (a + x.cast(dec)).cast(dec),
+        ),
+        4,
+    ).cast("double")
+
+    both = feats.select(
+        "doc_id",
+        ref.alias("want"),
+        _nb_logit_col(F.col("feats"), lam, pri).alias("got"),
+    )
+    rows = both.collect()
+    assert rows, "fixture corpus must score at least one doc"
+    for r in rows:
+        assert r.got == r.want, (r.doc_id, r.got, r.want)
