@@ -25,6 +25,8 @@ the standard mitigation.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from ..analytics.core import query, spread as _spread, table
@@ -383,22 +385,35 @@ def simhash_expr(text_col: str = "text"):
     no-subexpression-reuse landmine, core.py).  Rows with zero tokens
     get simhash 0 — callers must pre-filter them to match the batch
     form, which emits no row for a token-less doc."""
-    hs = (
+    hs = F.expr(
         f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''), "
         "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-    return F.expr(
-        f"""
-        aggregate(
-          {hs},
-          array_repeat(0L, 32),
-          (acc, h) -> zip_with(acc, sequence(0, 31),
-              (a, i) -> a + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)),
-          acc -> aggregate(zip_with(acc, sequence(0, 31),
-              (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)),
-              0L, (x, y) -> x + y))
-        """
-    )
+
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _sim(harrs: pd.Series) -> pd.Series:
+        # Vectorized bit voting (r15, guide §4.2): the former
+        # higher-order fold allocated a fresh 32-slot array per token
+        # and evaluated 32 interpreted lambdas per element; here the
+        # JVM still computes the md5 token hashes (the oracle's
+        # definition) and only the int64 hash array crosses the Arrow
+        # boundary.  All-integer arithmetic — bit-identical to the
+        # batch aggregate (pinned by the stream-equals-batch parity
+        # test).  Zero-token rows keep simhash 0.
+        shifts = np.arange(32, dtype=np.int64)
+        out = np.zeros(len(harrs), dtype=np.int64)
+        for i, arr in enumerate(harrs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            ones = ((h[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+            votes = 2 * ones - len(h)
+            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return _sim(hs)
 
 
 def band_structs_expr(sig_col: str = "simhash"):
