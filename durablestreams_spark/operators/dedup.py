@@ -1047,26 +1047,21 @@ def _tight_bands_sql() -> str:
 
 def _tight_sig_expr():
     """Spark column: the 256-bit SRP signature as a 256-char string.
-    Plane signs decode from the packed literals row-locally; the
-    256x64 multiply-add runs inside one whole-stage-codegen fold.
-    The oracle restates the same banding from the same packed plane
-    literals (_tight_sig_sql), so both engines derive identical
-    signatures."""
-    planes_arr = (
-        "array(" + ", ".join(f"'{p}'" for p in _tight_planes()) + ")"
-    )
-    n = COSINE_TIGHT_BANDS * COSINE_TIGHT_BAND_BITS
-    return F.expr(
-        f"""
-        concat_ws('', transform(sequence(0, {n - 1}), i ->
-          IF(aggregate(sequence(0, {DIM_T - 1}), CAST(0.0 AS DOUBLE),
-               (acc, j) -> acc + emb[j] *
-                 IF(substring(element_at({planes_arr}, i + 1),
-                              j + 1, 1) = '1',
-                    CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))
-             >= 0, '1', '0')))
-        """
-    )
+    One vectorized Arrow stage (similarity.srp_sig_arrow — r15: the
+    nested higher-order fold this replaces evaluated 256x64
+    interpreted lambda steps per vector, each with a substring
+    decode, and measured 161 s executor-CPU for one sf1 query); the
+    plane signs decode from the same packed literals ONCE on the
+    driver and the accumulation order per (row, plane) is the fold's
+    exact IEEE sequence.  The oracle restates the same banding from
+    the same packed plane literals (_tight_sig_sql), so both engines
+    derive identical signatures."""
+    from .similarity import srp_sig_arrow
+
+    signs = [
+        [1.0 if c == "1" else -1.0 for c in p] for p in _tight_planes()
+    ]
+    return srp_sig_arrow(F.col("emb"), signs)
 
 
 def _twin_sql(mod: int) -> str:
@@ -1227,11 +1222,12 @@ def _tight_verify(with_norm, cand):
         F.col("emb").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    from .similarity import seq_pair_dot_arrow
+
+    # Vectorized Arrow pair-dot (r15): same sequential accumulation
+    # order as the interpreted fold it replaces, one stage for the
+    # whole candidate batch.
+    dot = seq_pair_dot_arrow(F.col("va"), F.col("vb"))
     cos = dot / (F.col("na") * F.col("nb"))
     return cand.join(va, "vec_a").join(vb, "vec_b").withColumn("cos", cos)
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+import pandas as pd
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -124,6 +126,65 @@ def _dot(vec_col: str, other: str) -> F.Column:
     )
 
 
+def srp_sig_arrow(emb_col, signs) -> F.Column:
+    """SRP signature string ('1'/'0' per plane) of an embedding
+    column, computed in ONE vectorized Arrow stage (r15, guide §4.2).
+    The higher-order form it replaces evaluated n_planes x DIM
+    interpreted lambdas per VECTOR (16,384 for the tight 256-plane
+    geometry — measured 161 s executor-CPU for one sf1 query);
+    here the batch's vectors stack into an (n, DIM) matrix and the
+    plane sums accumulate dimension-by-dimension, vectorized across
+    (rows x planes).  BIT-IDENTICAL to the fold by construction: per
+    (row, plane) the op sequence is exactly the fold's
+    ``acc = acc + emb[j] * (+/-1.0)`` in ascending j — numpy does the
+    same IEEE multiply-then-add elementwise, and only the loop ORDER
+    over j is shared, never a reassociated reduction (np.sum's
+    pairwise summation would NOT be).  Exactness is pinned by
+    test_srp_sig_arrow_matches_fold.
+
+    ``signs`` is a list of per-plane ±1 sequences (ints or floats).
+    """
+    import numpy as np
+
+    S = np.asarray(signs, dtype=np.float64)  # (P, D)
+
+    @F.pandas_udf("string")
+    def _sig(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        acc = np.zeros((E.shape[0], S.shape[0]), dtype=np.float64)
+        for j in range(S.shape[1]):
+            acc += E[:, j, None] * S[None, :, j]
+        bits = np.where(acc >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return _sig(emb_col)
+
+
+def seq_pair_dot_arrow(a_col, b_col) -> F.Column:
+    """Dot product of two embedding columns with the sequential-fold
+    accumulation order (the ``_dot`` semantics), vectorized across
+    rows in one Arrow stage: per row the accumulator adds
+    ``a[j] * b[j]`` in ascending j — the identical IEEE op sequence
+    to the interpreted fold, executed as 64 vectorized column steps.
+    Exactness pinned by test_srp_sig_arrow_matches_fold."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc += A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return _pdot(a_col, b_col)
+
+
 @query(
     "similarity_knn_brute",
     f"""
@@ -195,14 +256,10 @@ def _bucket_sql() -> str:
 
 
 def _bucket_spark():
-    bits = [
-        F.when(
-            _dot("emb", f"array({', '.join(f'CAST({w} AS DOUBLE)' for w in _PLANES[i])})") >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for i in range(N_PLANES)
-    ]
-    return F.concat(*bits)
+    # One vectorized Arrow stage instead of 16 interpreted 64-dim
+    # folds per row (srp_sig_arrow docstring) — same plane rows, same
+    # accumulation order, identical signature string.
+    return srp_sig_arrow(F.col("emb"), _PLANES)
 
 
 @query(

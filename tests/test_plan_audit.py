@@ -461,8 +461,10 @@ def test_embedding_cosine_has_no_all_pairs_stage(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # cosine math stays JVM-side — no Python eval in the pair loop
-    assert not has_python_eval(df), plan
+    # vector math is a VECTORIZED Arrow stage (r15: the SRP signature
+    # and the sequential pair-dot, exactness pinned by
+    # test_srp_arrow.py) — the row-at-a-time path stays forbidden
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_embedding_cosine_matches_all_pairs_exactly(spark):
@@ -1148,7 +1150,11 @@ def test_amplified_candidates_stay_equi_join(spark):
     plan = formatted_plan(cand)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert not has_python_eval(cand), plan
+    # the 256-plane signature is a vectorized Arrow stage (r15,
+    # exactness pinned by test_srp_arrow.py); the variant expansion
+    # itself must stay a row-local generate, and the row-at-a-time
+    # Python path stays forbidden
+    assert "BatchEvalPython" not in plan, plan
     # the expansion derives from the knob: r=1 -> 1 + C(16,1) variants
     import math
 
