@@ -1222,12 +1222,19 @@ def _tight_verify(with_norm, cand):
         F.col("emb").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    from .similarity import seq_pair_dot_arrow
-
-    # Vectorized Arrow pair-dot (r15): same sequential accumulation
-    # order as the interpreted fold it replaces, one stage for the
-    # whole candidate batch.
-    dot = seq_pair_dot_arrow(F.col("va"), F.col("vb"))
+    # Deliberately the interpreted fold, NOT the Arrow pair-dot (r15
+    # A/B): a 64-step fold costs about what its Arrow transfer does,
+    # and on the loose point's ~7M candidate pairs the Arrow stage
+    # REGRESSED wall 3.5 s -> 6.0 s at sf1 (two 64-double vectors per
+    # pair through the Python boundary) while CPU stayed flat.  See
+    # similarity._dot for the rule; the Arrow kernels stay where the
+    # per-row op count dwarfs the transfer (signatures, K-centroid
+    # assignment).
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     cos = dot / (F.col("na") * F.col("nb"))
     return cand.join(va, "vec_a").join(vb, "vec_b").withColumn("cos", cos)
 

@@ -119,7 +119,15 @@ _PLANES = _srp_planes()
 
 def _dot(vec_col: str, other: str) -> F.Column:
     """Sequential-fold dot product (same accumulation order as the
-    oracle's list_reduce/list_cosine path)."""
+    oracle's list_reduce/list_cosine path).  Deliberately NOT routed
+    through the Arrow kernel (r15 A/B): a 64-step fold's interpreted
+    cost roughly equals its Arrow transfer cost, so the swap saved
+    ~25% executor-CPU but LOST wall at full cores on the headline
+    knn (1.86 s -> 2.59 s) by breaking the codegen pipeline around
+    the join.  The Arrow kernels earn their stage only where the
+    per-row op count is far above the transfer cost: signatures
+    (srp_sig_arrow, 1k-16k steps/row) and the K-centroid assignment
+    (seq_multi_dot_arrow)."""
     return F.expr(
         f"aggregate(zip_with({vec_col}, {other}, (x, y) -> x * y), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -150,14 +158,20 @@ def srp_sig_arrow(emb_col, signs) -> F.Column:
 
     @F.pandas_udf("string")
     def _sig(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="object")
-        E = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        acc = np.zeros((E.shape[0], S.shape[0]), dtype=np.float64)
-        for j in range(S.shape[1]):
-            acc += E[:, j, None] * S[None, :, j]
-        bits = np.where(acc >= 0, "1", "0")
-        return pd.Series(["".join(row) for row in bits])
+        vals = list(embs)
+        live = [i for i, e in enumerate(vals) if e is not None]
+        out = [None] * len(vals)  # NULL emb -> NULL, like the fold
+        if live:
+            E = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            acc = np.zeros((E.shape[0], S.shape[0]), dtype=np.float64)
+            for j in range(S.shape[1]):
+                acc += E[:, j, None] * S[None, :, j]
+            bits = np.where(acc >= 0, "1", "0")
+            for k, i in enumerate(live):
+                out[i] = "".join(bits[k])
+        return pd.Series(out, dtype="object")
 
     return _sig(emb_col)
 
@@ -173,16 +187,59 @@ def seq_pair_dot_arrow(a_col, b_col) -> F.Column:
 
     @F.pandas_udf("double")
     def _pdot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        acc = np.zeros(A.shape[0], dtype=np.float64)
-        for j in range(A.shape[1]):
-            acc += A[:, j] * B[:, j]
-        return pd.Series(acc)
+        va, vb = list(a), list(b)
+        live = [
+            i for i in range(len(va))
+            if va[i] is not None and vb[i] is not None
+        ]
+        out = np.full(len(va), np.nan)
+        mask = np.ones(len(va), dtype=bool)  # True = NULL result
+        if live:
+            A = np.stack([np.asarray(va[i], dtype=np.float64) for i in live])
+            B = np.stack([np.asarray(vb[i], dtype=np.float64) for i in live])
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            out[live] = acc
+            mask[live] = False
+        s = pd.Series(out)
+        s[mask] = None
+        return s
 
     return _pdot(a_col, b_col)
+
+
+def seq_multi_dot_arrow(emb_col, vectors) -> F.Column:
+    """Per-row dots of an embedding column against a FIXED list of
+    vectors (centroids), returned as array<double> in list order —
+    the vectorized form of K per-centroid sequential folds (each
+    previously K x DIM interpreted lambda steps per row).  Same
+    exact-order guarantee as srp_sig_arrow: per (row, centroid) the
+    accumulation is ``acc + emb[j] * c[j]`` in ascending j, never a
+    reassociated reduction.  ``vectors`` is a list of float
+    sequences, all the same length as the embeddings."""
+    import numpy as np
+
+    C = np.asarray([[float(x) for x in v] for v in vectors],
+                   dtype=np.float64)  # (K, D)
+
+    @F.pandas_udf("array<double>")
+    def _mdot(embs: pd.Series) -> pd.Series:
+        vals = list(embs)
+        live = [i for i, e in enumerate(vals) if e is not None]
+        out = [None] * len(vals)  # NULL emb -> NULL, like the fold
+        if live:
+            E = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            acc = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[1]):
+                acc += E[:, j, None] * C[None, :, j]
+            for k, i in enumerate(live):
+                out[i] = acc[k]
+        return pd.Series(out, dtype="object")
+
+    return _mdot(emb_col)
 
 
 @query(
@@ -1055,16 +1112,6 @@ def _rank_centroids_inrow(v, cn_rows, keep_negsim=False):
     −negsim IS the cosine bit-for-bit) — opt-in so the persisted
     index artifact's schema/width stays unchanged."""
 
-    def _litvec(xs):
-        return F.array(*[F.lit(float(x)) for x in xs])
-
-    def _dot_lit(col, xs):
-        return F.aggregate(
-            F.zip_with(F.col(col), _litvec(xs), lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
     # NULL-cosine guard: a NULL embedding propagates NULL through the
     # fold, and a zero norm would THROW under ANSI mode's plain ``/``
     # (Spark 4 default) — ``try_divide`` maps it to NULL instead.  NULL
@@ -1073,22 +1120,29 @@ def _rank_centroids_inrow(v, cn_rows, keep_negsim=False):
     # replaced (csim DESC ⇒ NULLS LAST) and the DuckDB oracle both rank
     # it last.  Coalescing negsim to +∞ restores the NULLS-LAST ranking
     # bit-for-bit.
+    # All K centroid dots in ONE vectorized Arrow stage (r15,
+    # seq_multi_dot_arrow — identical fold order per centroid, so
+    # negsim and the tie-breaking sort are bit-identical to the K
+    # per-centroid interpreted folds this replaces).
+    cdots = seq_multi_dot_arrow(
+        F.col("emb"), [list(r["cemb"]) for r in cn_rows]
+    )
     pairs = F.array(
         *[
             F.struct(
                 F.coalesce(
                     -F.try_divide(
-                        _dot_lit("emb", r["cemb"]),
+                        F.element_at(F.col("_cdots"), i + 1),
                         F.col("norm") * F.lit(float(r["cnorm"])),
                     ),
                     F.lit(float("inf")),
                 ).alias("negsim"),
                 F.lit(int(r["cent_id"])).alias("cent_id"),
             )
-            for r in cn_rows
+            for i, r in enumerate(cn_rows)
         ]
     )
-    return v.select(
+    return v.withColumn("_cdots", cdots).select(
         "vec_id",
         "label",
         "emb",

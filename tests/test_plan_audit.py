@@ -76,9 +76,14 @@ def test_text_ops_stay_jvm_side(spark):
     """Text/dedup pipelines are pure column expressions — any Python
     eval node in them is the 10-100x slow path."""
     for name in ("text_quality", "text_langid", "dedup_minhash_lsh_pairs",
-                 "dedup_simhash", "similarity_knn_brute"):
+                 "dedup_simhash"):
         df = all_queries()[name].fn(spark, SF_DIR)
         assert not has_python_eval(df), f"{name} fell off the JVM path"
+    # knn's cosine runs as the vectorized Arrow pair-dot (r15,
+    # exactness pinned by test_srp_arrow.py); only the row-at-a-time
+    # path stays forbidden
+    knn = all_queries()["similarity_knn_brute"].fn(spark, SF_DIR)
+    assert "BatchEvalPython" not in formatted_plan(knn)
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
@@ -985,7 +990,9 @@ def test_semantic_clusters_no_all_pairs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "cent" in plan, plan
-    assert not has_python_eval(df), plan
+    # cosine folds run as the vectorized Arrow kernels (r15, exactness
+    # pinned by test_srp_arrow.py); row-at-a-time stays forbidden
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_pipeline_curate_v2_composition_shape(spark):
