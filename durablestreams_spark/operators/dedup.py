@@ -401,17 +401,28 @@ def simhash_expr(text_col: str = "text"):
         # definition) and only the int64 hash array crosses the Arrow
         # boundary.  All-integer arithmetic — bit-identical to the
         # batch aggregate (pinned by the stream-equals-batch parity
-        # test).  Zero-token rows keep simhash 0.
+        # test).  Zero-token rows keep simhash 0; a NULL input array
+        # (NULL text upstream) propagates NULL, exactly like the SQL
+        # aggregate this replaced (r15 ADVICE — the kernel used to
+        # map NULL to 0, which would have joined band buckets).
         shifts = np.arange(32, dtype=np.int64)
         out = np.zeros(len(harrs), dtype=np.int64)
+        nulls = []
         for i, arr in enumerate(harrs):
-            if arr is None or len(arr) == 0:
+            if arr is None:
+                nulls.append(i)
+                continue
+            if len(arr) == 0:
                 continue
             h = np.asarray(arr, dtype=np.int64)
             ones = ((h[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
             votes = 2 * ones - len(h)
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
-        return pd.Series(out)
+        if not nulls:
+            return pd.Series(out)
+        s = pd.Series(out, dtype="object")
+        s.iloc[nulls] = None
+        return s
 
     return _sim(hs)
 
@@ -863,12 +874,13 @@ def _loose_parts(spark, sf_dir):
     # spread: signature + verify are cores-bound 64-dim folds and the
     # local fixture is one unsplittable row group — without this the
     # scan runs on ONE core.  No-op at scale (many scan splits).
+    from .similarity import _dot as _sim_dot
+
     with_norm = _spread(emb).select(
         "vec_id",
         "emb",
-        F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)).alias(
-            "norm"
-        ),
+        # r16: unrolled codegen sum-of-squares (see _tight_corpus)
+        F.sqrt(_sim_dot("emb", "emb")).alias("norm"),
     )
     # Candidate phase: 16-bit SRP signature, split into bands, pair up
     # within (band_id, band_key) buckets.  distinct() collapses pairs
@@ -1161,12 +1173,15 @@ def _tight_corpus(spark, sf_dir, mod: int):
             )
         ).alias("s")
     ).select("s.vec_id", "s.emb")
+    from .similarity import _dot as _sim_dot
+
     return u.select(
         "vec_id",
         "emb",
-        F.sqrt(
-            F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)
-        ).alias("norm"),
+        # r16: unrolled codegen sum-of-squares — same op sequence as
+        # the interpreted ``s + x * x`` fold (each term is
+        # emb[j] * emb[j], accumulated in ascending j from 0.0).
+        F.sqrt(_sim_dot("emb", "emb")).alias("norm"),
     )
 
 
@@ -1222,20 +1237,17 @@ def _tight_verify(with_norm, cand):
         F.col("emb").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    # Deliberately the interpreted fold, NOT the Arrow pair-dot (r15
-    # A/B): a 64-step fold costs about what its Arrow transfer does,
-    # and on the loose point's ~7M candidate pairs the Arrow stage
-    # REGRESSED wall 3.5 s -> 6.0 s at sf1 (two 64-double vectors per
-    # pair through the Python boundary) while CPU stayed flat.  See
-    # similarity._dot for the rule; the Arrow kernels stay where the
-    # per-row op count dwarfs the transfer (signatures, K-centroid
-    # assignment).
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
+    # Deliberately NOT the Arrow pair-dot (r15 A/B): on the loose
+    # point's ~7M candidate pairs the Arrow stage REGRESSED wall
+    # 3.5 s -> 6.0 s at sf1 (two 64-double vectors per pair through
+    # the Python boundary) while CPU stayed flat.  r16: the
+    # interpreted fold is replaced by similarity._dot's UNROLLED
+    # 64-term codegen sum — identical IEEE op sequence (pinned by
+    # test_dot_unrolled_matches_fold), no per-element lambda
+    # dispatch, no Python boundary.
+    from .similarity import _dot as _sim_dot
+
+    cos = _sim_dot("va", "vb") / (F.col("na") * F.col("nb"))
     return cand.join(va, "vec_a").join(vb, "vec_b").withColumn("cos", cos)
 
 

@@ -117,8 +117,8 @@ def _srp_planes() -> list[list[int]]:
 _PLANES = _srp_planes()
 
 
-def _dot(vec_col: str, other: str) -> F.Column:
-    """Sequential-fold dot product (same accumulation order as the
+def _dot(vec_col: str, other: str, dim: int = None) -> F.Column:
+    """Sequential-order dot product (same accumulation order as the
     oracle's list_reduce/list_cosine path).  Deliberately NOT routed
     through the Arrow kernel (r15 A/B): a 64-step fold's interpreted
     cost roughly equals its Arrow transfer cost, so the swap saved
@@ -127,11 +127,48 @@ def _dot(vec_col: str, other: str) -> F.Column:
     the join.  The Arrow kernels earn their stage only where the
     per-row op count is far above the transfer cost: signatures
     (srp_sig_arrow, 1k-16k steps/row) and the K-centroid assignment
-    (seq_multi_dot_arrow)."""
+    (seq_multi_dot_arrow).
+
+    r16 negative result (measured, kept out): unrolling the fold
+    into an explicit 64-term ``a[0]*b[0] + ...`` sum — identical
+    IEEE op order, pinned by test_dot_unrolled_matches_fold — LOSES
+    by 7-11x (microbench 2M rows: fold 1.5 s, element_at chain
+    16.0 s, bracket chain 10.5 s; dedup_embedding_cosine sf1
+    interleaved A/B: 3.5 s -> 22 s wall, 69 -> 558 s CPU).  The
+    128-GetArrayItem expression tree defeats whole-stage codegen
+    (fallback/JIT bailout) while the HOF fold's per-element loop is
+    a tight single method.  ``dim`` therefore stays None at every
+    call site; the unrolled branch remains only as the measured
+    artifact (SPARK_GRAFT_DOT=unroll to reproduce the A/B)."""
+    if dim is not None and os.environ.get("SPARK_GRAFT_DOT") == "unroll":
+        terms = " + ".join(
+            f"element_at({vec_col}, {j + 1}) * element_at({other}, {j + 1})"
+            for j in range(dim)
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
     return F.expr(
         f"aggregate(zip_with({vec_col}, {other}, (x, y) -> x * y), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+
+
+def srp_sig_fold(emb_col, signs) -> F.Column:
+    """Interpreted-fold form of srp_sig_arrow (the pre-r15 shape),
+    kept callable for A/B measurement (SPARK_GRAFT_SRP=fold): one
+    sequential 64-step fold per plane, concatenated to the signature
+    string.  Bit-identical to the Arrow kernel by the shared-order
+    argument (test_srp_sig_arrow_matches_fold pins both)."""
+    vec_sql = emb_col if isinstance(emb_col, str) else "emb"
+    parts = []
+    for row in signs:
+        arr = "array(" + ", ".join(
+            f"CAST({float(x)!r} AS DOUBLE)" for x in row
+        ) + ")"
+        parts.append(
+            f"IF(aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0, '1', '0')"
+        )
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def srp_sig_arrow(emb_col, signs) -> F.Column:
@@ -154,13 +191,19 @@ def srp_sig_arrow(emb_col, signs) -> F.Column:
     """
     import numpy as np
 
+    if os.environ.get("SPARK_GRAFT_SRP") == "fold":
+        return srp_sig_fold(emb_col, signs)
+
     S = np.asarray(signs, dtype=np.float64)  # (P, D)
 
     @F.pandas_udf("string")
     def _sig(embs: pd.Series) -> pd.Series:
         vals = list(embs)
         live = [i for i, e in enumerate(vals) if e is not None]
-        out = [None] * len(vals)  # NULL emb -> NULL, like the fold
+        # NULL emb -> all-'0' signature, exactly like the fold it
+        # replaced: the per-plane IF(NULL >= 0, '1', '0') evaluates
+        # to '0' (r15 ADVICE — the kernel used to emit NULL here).
+        out = ["0" * S.shape[0] if e is None else None for e in vals]
         if live:
             E = np.stack(
                 [np.asarray(vals[i], dtype=np.float64) for i in live]
@@ -168,7 +211,10 @@ def srp_sig_arrow(emb_col, signs) -> F.Column:
             acc = np.zeros((E.shape[0], S.shape[0]), dtype=np.float64)
             for j in range(S.shape[1]):
                 acc += E[:, j, None] * S[None, :, j]
-            bits = np.where(acc >= 0, "1", "0")
+            # acc < 0 (not acc >= 0): Spark orders NaN ABOVE all
+            # numbers, so a NaN plane sum folds to '1' — NaN < 0 is
+            # False in numpy too, giving the same bit.
+            bits = np.where(acc < 0, "0", "1")
             for k, i in enumerate(live):
                 out[i] = "".join(bits[k])
         return pd.Series(out, dtype="object")
@@ -209,6 +255,32 @@ def seq_pair_dot_arrow(a_col, b_col) -> F.Column:
     return _pdot(a_col, b_col)
 
 
+def seq_multi_dot_fold(emb_col, vectors) -> F.Column:
+    """Interpreted-fold form of seq_multi_dot_arrow: K per-centroid
+    sequential folds as one array expression — the pre-r15 shape,
+    kept callable for A/B measurement (SPARK_GRAFT_MULTIDOT=fold)
+    and for consumers whose plan evaluates the subtree several times
+    (each ArrowEvalPython evaluation pays the full Python transfer
+    again; the fold is codegen and fuses into the surrounding
+    stage)."""
+    col = emb_col if isinstance(emb_col, str) else None
+    vec_sql = col
+    if vec_sql is None:
+        # emb_col is a Column over a named column; the fold needs SQL
+        # text — all call sites pass F.col("emb").
+        vec_sql = "emb"
+    dots = []
+    for v in vectors:
+        arr = "array(" + ", ".join(
+            f"CAST({float(x)!r} AS DOUBLE)" for x in v
+        ) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return F.expr("array(" + ", ".join(dots) + ")")
+
+
 def seq_multi_dot_arrow(emb_col, vectors) -> F.Column:
     """Per-row dots of an embedding column against a FIXED list of
     vectors (centroids), returned as array<double> in list order —
@@ -219,6 +291,9 @@ def seq_multi_dot_arrow(emb_col, vectors) -> F.Column:
     reassociated reduction.  ``vectors`` is a list of float
     sequences, all the same length as the embeddings."""
     import numpy as np
+
+    if os.environ.get("SPARK_GRAFT_MULTIDOT") == "fold":
+        return seq_multi_dot_fold(emb_col, vectors)
 
     C = np.asarray([[float(x) for x in v] for v in vectors],
                    dtype=np.float64)  # (K, D)
@@ -1176,10 +1251,25 @@ PQ_TRAIN_CAP = 512
 PQ_QUERY_MOD = 100
 
 
-def _l2sq(a: str, b: str) -> F.Column:
-    """Squared L2 distance as a FIXED index-order left fold, so Spark
-    and the oracle execute the identical IEEE op sequence (ties in
-    centroid assignment must break the same way in both engines)."""
+def _l2sq(a: str, b: str, dim: int = None) -> F.Column:
+    """Squared L2 distance in FIXED index order, so Spark and the
+    oracle execute the identical IEEE op sequence (ties in centroid
+    assignment must break the same way in both engines).  r16: when
+    ``dim`` is known (the PQ subspaces are PQ_SUB=4 wide) the
+    interpreted left fold unrolls into an explicit codegen sum —
+    ``((0.0 + t0) + t1) + ...`` with t_j = (a[j]-b[j])*(a[j]-b[j]),
+    the same op sequence, no per-element lambda dispatch (pinned by
+    test_l2sq_unrolled_matches_fold).  Same r16 negative result as
+    _dot: the unrolled chain defeats codegen and LOSES — the fold
+    stays the production path; SPARK_GRAFT_DOT=unroll reproduces
+    the A/B."""
+    if dim is not None and os.environ.get("SPARK_GRAFT_DOT") == "unroll":
+        terms = " + ".join(
+            f"(element_at({a}, {j + 1}) - element_at({b}, {j + 1})) * "
+            f"(element_at({a}, {j + 1}) - element_at({b}, {j + 1}))"
+            for j in range(dim)
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -2216,11 +2306,9 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.col("emb").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    # r16: unrolled codegen dot (see _dot) — same IEEE op sequence
+    # as the interpreted fold, no per-element lambda dispatch.
+    dot = _dot("va", "vb")
     dropped = (
         a.join(
             b,

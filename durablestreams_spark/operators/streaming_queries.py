@@ -1077,12 +1077,18 @@ def _nb_serving_model(spark, sf_dir):
 def _nb_logit_fixed_model(lam, pri):
     """(hi, lo, pri_fixed) fixed-point form of a collected NB model:
     each lam double CAST exactly to 18 decimal places (the decimal
-    fold's semantics — round-half-up of the double's binary
-    expansion, what ``CAST(lam AS DECIMAL(28,18))`` does) and split
-    into int64-safe halves (hi = units of 1e-9, lo = remainder
-    < 1e9), so per-doc sums stay exact in two int64 accumulators:
-    over <= 1e6 features/doc, |sum_hi| <= 1e6 * 4e10 and
-    sum_lo <= 1e6 * 1e9 — both far inside int64."""
+    fold's semantics) and split into int64-safe halves (hi = units of
+    1e-9, lo = remainder < 1e9), so per-doc sums stay exact in two
+    int64 accumulators: over <= 1e6 features/doc, |sum_hi| <=
+    1e6 * 4e10 and sum_lo <= 1e6 * 1e9 — both far inside int64.
+
+    The quantization goes through ``repr(float)`` — the SHORTEST
+    decimal representation — because that is what Spark's
+    ``CAST(double AS DECIMAL(28,18))`` quantizes (Double.toString),
+    NOT the double's exact binary expansion: e.g. 2.302585092994046
+    casts to ...046000000 in Spark while Decimal(float) would give
+    ...045901... (r15 ADVICE high).  Pinned against the live Spark
+    cast by test_nb_fixed_model_matches_spark_cast."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -1094,13 +1100,15 @@ def _nb_logit_fixed_model(lam, pri):
     lo = np.zeros(NB_BUCKETS, dtype=np.int64)
     for b in range(NB_BUCKETS):
         iv = int(
-            Decimal(lam.get(b, 0.0))
+            Decimal(repr(float(lam.get(b, 0.0))))
             .quantize(q18, rounding=ROUND_HALF_UP)
             .scaleb(18)
         )
         hi[b], lo[b] = iv // 10**9, iv % 10**9
     pri_fixed = int(
-        Decimal(float(pri)).quantize(q18, rounding=ROUND_HALF_UP).scaleb(18)
+        Decimal(repr(float(pri)))
+        .quantize(q18, rounding=ROUND_HALF_UP)
+        .scaleb(18)
     )
     return hi, lo, pri_fixed
 
@@ -1121,7 +1129,10 @@ def _nb_logit_col(feats_col, lam, pri):
     div/mod — bit-identical to the decimal fold (pinned by
     test_nb_serving_exactness) and to the _NB_SCORED_CTES oracle.
     Buckets absent from training default to 0.0 (no evidence) —
-    unreachable when serving the training corpus.  Stateless and
+    unreachable when serving the training corpus.  A NULL features
+    array scores NULL (the decimal fold this replaced propagated
+    NULL through transform/aggregate — r15 ADVICE); the prior-only
+    score is reserved for genuinely empty arrays.  Stateless and
     row-local, so legal in every streaming consumer."""
     import numpy as np
 
@@ -1135,7 +1146,10 @@ def _nb_logit_col(feats_col, lam, pri):
         P = 10**9
         G = 10**14  # 1e-18 units per 1e-4 grid step
         for i, arr in enumerate(bkts):
-            if arr is None or len(arr) == 0:
+            if arr is None:
+                out[i] = np.nan  # -> NULL (fold parity)
+                continue
+            if len(arr) == 0:
                 tot = pri_fixed
             else:
                 a = np.asarray(arr)
@@ -2553,6 +2567,7 @@ def _emblive_run(spark, bands_path: str, vecs_path: str, delta_vecs):
         _tight_band_rows,
         _tight_verify,
     )
+    from .similarity import _dot as _sim_dot
 
     run_dir = tempfile.mkdtemp(prefix="ds_emblive_")
     band_app = os.path.join(run_dir, "band_appended")
@@ -2564,9 +2579,8 @@ def _emblive_run(spark, bands_path: str, vecs_path: str, delta_vecs):
         bv = batch_df.select(
             "vec_id",
             "emb",
-            F.sqrt(
-                F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x)
-            ).alias("norm"),
+            # r16: unrolled codegen sum-of-squares (similarity._dot)
+            F.sqrt(_sim_dot("emb", "emb")).alias("norm"),
         ).localCheckpoint(eager=True)
         bands = _tight_band_rows(bv).localCheckpoint(eager=True)
         idx_b = sess.read.parquet(bands_path)

@@ -48,7 +48,13 @@ def get_spark(app_name: str = "durablestreams_spark", shuffle_partitions: int | 
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves driver memory in the bench/driver
+        # runs); SPARK_GRAFT_UI=1 turns it on for profiling sessions
+        # that read per-stage metrics from the status API.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -495,3 +495,42 @@ def test_nb_serving_exactness(spark):
     assert rows, "fixture corpus must score at least one doc"
     for r in rows:
         assert r.got == r.want, (r.doc_id, r.got, r.want)
+
+
+def test_nb_fixed_model_matches_spark_cast(spark):
+    """The fixed-point quantization in _nb_logit_fixed_model must
+    agree with Spark's CAST(double AS DECIMAL(28,18)) — which
+    quantizes the SHORTEST decimal repr (Double.toString), not the
+    double's exact binary expansion (r16 fix of the r15 ADVICE high
+    item: e.g. 2.302585092994046 casts to ...046000000 in Spark but
+    Decimal(float) expands to ...045901...).  Adversarial values
+    chosen so the two quantizations differ at the 1e-18 grid."""
+    from decimal import Decimal
+
+    from durablestreams_spark.operators.streaming_queries import (
+        _nb_logit_fixed_model,
+    )
+    from durablestreams_spark.operators.text import NB_BUCKETS
+
+    vals = [
+        2.302585092994046,   # ln(10): binary expansion ends ...045901
+        -2.302585092994046,
+        0.1,                 # classic non-terminating binary fraction
+        -0.3,
+        1e-19,               # rounds to 0 at 18 dp either way
+        4.605170185988091,
+        0.0001,
+        -7.477304223594182,
+    ]
+    lam = {b: vals[b % len(vals)] for b in range(NB_BUCKETS)}
+    pri = vals[0]
+    hi, lo, pri_fixed = _nb_logit_fixed_model(lam, pri)
+
+    df = spark.createDataFrame(
+        [(b, float(lam[b])) for b in range(len(vals))], "b int, v double"
+    ).selectExpr("b", "CAST(CAST(v AS DECIMAL(28,18)) AS STRING) AS s")
+    for r in df.collect():
+        want = int(Decimal(r.s).scaleb(18))
+        got = int(hi[r.b]) * 10**9 + int(lo[r.b])
+        assert got == want, (r.b, got, want)
+    assert pri_fixed == int(hi[0]) * 10**9 + int(lo[0])
