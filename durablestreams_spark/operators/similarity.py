@@ -1427,7 +1427,19 @@ def _pq_removed_codes(spark, sf_dir):
     (one dedup decision retires a vector from EVERY serving artifact
     — IVF cells AND PQ codes) through refresh_ivf_remove's guarded
     swap (the tombstone is vec_id-keyed, artifact-agnostic), serve
-    the swapped artifact."""
+    the swapped artifact.
+
+    r16: the removal SET itself is persisted next to the refreshed
+    codes (``removed.parquet``) and served from parquet by
+    similarity_pq_remove's query-side filter.  It was previously
+    recomputed LIVE on every query build — and computing it IS the
+    full loose embedding-dedup verify (~165 s executor-CPU at sf1 in
+    4 broadcast stages; measured with tools_jobprof).  The set is a
+    pure function of the fixture + removal constants, all folded into
+    the marker key — the same index-maintenance decision-record
+    doctrine as the refreshed artifact it rides with (dedup decides
+    ONCE; every serving artifact retires those ids).  Returns
+    (codes_df, removed_ids_df)."""
     import shutil as _shutil
 
     from .cache_marker import marker_current, write_marker
@@ -1437,9 +1449,10 @@ def _pq_removed_codes(spark, sf_dir):
     )
     marker = os.path.join(root, "_built")
     idx_p = os.path.join(root, "codes.parquet")
+    rm_p = os.path.join(root, "removed.parquet")
     params = (
         f"{_ann_params()}:rm{_RM_THRESHOLD}"
-        f":mod{_RM_MOD}:b{_RM_BANDS}x{_RM_BAND_BITS}:pq:v1"
+        f":mod{_RM_MOD}:b{_RM_BANDS}x{_RM_BAND_BITS}:pq:v2"
     )
     if not marker_current(marker, sf_dir, name="embeddings", params=params):
         _shutil.rmtree(root, ignore_errors=True)
@@ -1449,6 +1462,7 @@ def _pq_removed_codes(spark, sf_dir):
         removed = _ivf_removed_ids(spark, sf_dir).localCheckpoint(
             eager=True
         )
+        removed.write.mode("overwrite").parquet(rm_p)
         out = refresh_ivf_remove(spark, idx_p, removed)
         if out is None:
             raise RuntimeError(
@@ -1457,7 +1471,10 @@ def _pq_removed_codes(spark, sf_dir):
         write_marker(marker, sf_dir, name="embeddings", params=params)
     from ..analytics.core import spread as _spread_fn
 
-    return _spread_fn(spark.read.parquet(idx_p))
+    return (
+        _spread_fn(spark.read.parquet(idx_p)),
+        spark.read.parquet(rm_p),
+    )
 
 
 @query(
@@ -1516,11 +1533,13 @@ def _pq_removed_codes(spark, sf_dir):
     "a hash mismatch.",
 )
 def similarity_pq_remove(spark, sf_dir):
-    codes = _pq_removed_codes(spark, sf_dir)
+    codes, removed = _pq_removed_codes(spark, sf_dir)
     _codes, qdt = _pq_artifacts(spark, sf_dir)
-    removed_q = _ivf_removed_ids(spark, sf_dir).select(
-        F.col("vec_id").alias("query_id")
-    )
+    # Retired queries stop querying: filter the ADC tables by the
+    # SAME persisted removal set the code tombstones came from (r16 —
+    # this was a live recompute of the whole loose-dedup verify per
+    # query build; see _pq_removed_codes).
+    removed_q = removed.select(F.col("vec_id").alias("query_id"))
     return _pq_adc_search(codes, qdt.join(removed_q, "query_id", "left_anti"))
 
 
