@@ -593,6 +593,33 @@ def main() -> None:
                 )
 
                 _sh_g.rmtree(_sq._GATE_DEC_CACHE_ROOT, ignore_errors=True)
+                # r16 (VERDICT r15 task 8): the WORDS drain previously
+                # also paid the one-time first-build of the persisted
+                # serving artifacts its annotation reads (NB model,
+                # exact-hash index, nd/pixel/audio/contamination flag
+                # indexes) whenever the box's /tmp was fresh, which
+                # made op_gate_drain_words_sf1 incomparable with the
+                # artifact-reusing bpe drain (r15: 14.2 s vs 20.1 s
+                # with the bpe drain also learning its merge table).
+                # Build them FIRST under their own aux key so drain
+                # cost is attributable round-over-round.  All six are
+                # marker-cached (fingerprint-keyed): on a warm box
+                # this probe reads six markers and reports ~0.
+                t0 = time.perf_counter()
+                _sq._nb_serving_model(spark, sf1_dir)
+                _sq._exact_hash_index(spark, sf1_dir)
+                _sq._neardup_flag_index(spark, sf1_dir)
+                _sq._pixel_flag_index(spark, sf1_dir)
+                _sq._audio_flag_index(spark, sf1_dir)
+                _sq._contamination_flag_index(spark, sf1_dir)
+                aux["op_gate_index_build_sf1"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                print(
+                    f"# op_gate_index_build_sf1: "
+                    f"{aux['op_gate_index_build_sf1']}s",
+                    file=sys.stderr,
+                )
                 for unit in ("words", "bpe"):
                     t0 = time.perf_counter()
                     _sq._gate_budget_decisions(spark, sf1_dir, {}, unit)

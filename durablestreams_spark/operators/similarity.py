@@ -28,6 +28,7 @@ import hashlib
 import os
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1277,6 +1278,114 @@ def _l2sq(a: str, b: str, dim: int = None) -> F.Column:
     )
 
 
+def pq_codes_arrow(emb_col, codebook) -> F.Column:
+    """PQ code array (one code per subspace, sub_id order) of a full
+    embedding column, computed in ONE vectorized Arrow stage — the
+    r16 replacement for the explode(×M) → broadcast-join(×K) →
+    row_number window → collect_list chain, which pushed M×K rows per
+    vector through join+window machinery (~10M rows at sf1) to pick
+    M argmins (guide §1.2: fix the distributed algorithm first).
+
+    BIT-IDENTICAL to the replaced chain by construction:
+
+    - per (row, sub, cent) the distance is the _l2sq fold's exact IEEE
+      sequence ``acc = acc + (x_j - c_j) * (x_j - c_j)`` in ascending
+      j, vectorized across (rows × cents) — never a reassociated
+      reduction;
+    - code selection replays ``row_number() OVER (ORDER BY d2 ASC,
+      cent_id ASC) = 1``: np.argmin returns the FIRST index of the
+      minimum, which IS the lowest cent_id on exact ties; NaN
+      distances are mapped to +inf first because Spark orders NaN
+      above every number (all-NaN ties fall to cent 0 in both);
+    - a NULL embedding yields [0]*M exactly like the chain (NULL d2
+      for every centroid → ascending NULLS FIRST tie → cent_id 0 per
+      subspace).
+
+    Pinned by tests/test_pq_arrow.py; SPARK_GRAFT_PQENC=join restores
+    the replaced chain for A/B (read at query-construction time).
+    arrow_udf (not pandas_udf): the pandas edge coerces NaN inside
+    returned lists to NULL, which would diverge from the fold's NaN
+    doubles — pyarrow round-trips them bit-exactly.
+
+    ``codebook``: list over sub_id of per-centroid coordinate lists
+    (dense cent_id order; subspaces may hold different counts after
+    the dense re-key)."""
+    import numpy as np
+
+    CB = [np.asarray(cm, dtype=np.float64) for cm in codebook]
+    n_sub = len(CB)
+    width = CB[0].shape[1] if n_sub else 0
+
+    @F.arrow_udf("array<int>")
+    def _enc(embs: pa.Array) -> pa.Array:
+        vals = embs.to_pylist()
+        live = [i for i, e in enumerate(vals) if e is not None]
+        out = [[0] * n_sub if e is None else None for e in vals]
+        if live:
+            E = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            codes = np.empty((E.shape[0], n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                Sv = E[:, m * width:(m + 1) * width]
+                Cm = CB[m]
+                acc = np.zeros((E.shape[0], Cm.shape[0]), dtype=np.float64)
+                for j in range(width):
+                    d = Sv[:, j, None] - Cm[None, :, j]
+                    acc += d * d
+                np.copyto(acc, np.inf, where=np.isnan(acc))
+                codes[:, m] = np.argmin(acc, axis=1)
+            for k, i in enumerate(live):
+                out[i] = codes[k].tolist()
+        return pa.array(out, type=pa.list_(pa.int32()))
+
+    return _enc(emb_col)
+
+
+def pq_dtable_arrow(emb_col, codebook) -> F.Column:
+    """Per-query ADC lookup table (array over sub_id of per-centroid
+    d2 arrays in dense cent_id order) from the full embedding column,
+    one Arrow stage — same replaced chain, same exact-order guarantee
+    as pq_codes_arrow (the d2 VALUES feed the graded adist sums, so
+    the fold order is load-bearing — and NaN d2 must stay NaN, hence
+    arrow_udf).  NULL embedding → per-subspace arrays of NULLs,
+    exactly like the join chain's NULL d2 rows."""
+    import numpy as np
+
+    CB = [np.asarray(cm, dtype=np.float64) for cm in codebook]
+    n_sub = len(CB)
+    width = CB[0].shape[1] if n_sub else 0
+
+    @F.arrow_udf("array<array<double>>")
+    def _dt(embs: pa.Array) -> pa.Array:
+        vals = embs.to_pylist()
+        live = [i for i, e in enumerate(vals) if e is not None]
+        out = [
+            None
+            if e is not None
+            else [[None] * CB[m].shape[0] for m in range(n_sub)]
+            for e in vals
+        ]
+        if live:
+            E = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in live]
+            )
+            per_sub = []
+            for m in range(n_sub):
+                Sv = E[:, m * width:(m + 1) * width]
+                Cm = CB[m]
+                acc = np.zeros((E.shape[0], Cm.shape[0]), dtype=np.float64)
+                for j in range(width):
+                    d = Sv[:, j, None] - Cm[None, :, j]
+                    acc += d * d
+                per_sub.append(acc)
+            for k, i in enumerate(live):
+                out[i] = [per_sub[m][k].tolist() for m in range(n_sub)]
+        return pa.array(out, type=pa.list_(pa.list_(pa.float64())))
+
+    return _dt(emb_col)
+
+
 def _pq_duck_l2(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
@@ -1398,22 +1507,221 @@ def similarity_pq_topk(spark, sf_dir):
 def _pq_adc_search(codes, qdt):
     """The ONE whole-corpus ADC scoring pass — shared by
     similarity_pq_topk and the post-removal PQ search so the two
-    graded consumers cannot drift on scoring or tie-break rules."""
+    graded consumers cannot drift on scoring or tie-break rules.
+
+    r16 (guide §1.2/§4.2, measured): the crossJoin × broadcast(qdt)
+    scoring stage was 49.5 s executor-CPU at sf1 for ~4M pairs — the
+    BroadcastNestedLoopJoin materializes every pair row CARRYING the
+    full 16×32-double lookup table, then a 4M-row local Sort feeds
+    the partial WindowGroupLimit.  The default path now scores inside
+    ONE mapInArrow stage over the codes scan (the lookup tables ride
+    in the plan closure — the same bytes the BroadcastExchange
+    shipped) and emits only each batch's per-query top-K candidate
+    rows under the EXACT final ordering (adist ASC NULLS FIRST with
+    Spark's NaN-above-all, neighbor_id ASC tie-break), a guaranteed
+    superset of the global top-K; the unchanged final window then
+    ranks ~1000 rows per partition instead of sorting 4M.  Scoring is
+    the identical IEEE left fold (term m added in ascending m);
+    NULL-code rows and NULL-bearing lookup tables take an exact
+    per-row Python fold replaying the join path's NULL semantics.
+    Bit-identity pinned by tests/test_pq_arrow.py;
+    SPARK_GRAFT_PQADC=join restores the replaced join for A/B."""
     w_rank = W.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
-    return (
-        codes.crossJoin(F.broadcast(qdt))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
+    if os.environ.get("SPARK_GRAFT_PQADC") == "join":
+        cand = (
+            codes.crossJoin(F.broadcast(qdt))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(_PQ_ADC_SUM_SPARK).alias("adist"),
+            )
         )
-        .withColumn("rank", F.row_number().over(w_rank))
+    else:
+        cand = _pq_adc_topk_arrow(codes, qdt)
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist"))
     )
+
+
+def _pq_adc_fold_py(dt, cds):
+    """Exact Python replay of the join path's adist expression
+    ``dt[0][codes[0]] + ... + dt[M-1][codes[M-1]]`` for rows/queries
+    carrying NULLs: a NULL code, NULL table, NULL sub-table or NULL
+    cell → NULL sum, exactly like Spark's GetArrayItem chain; a short
+    array or out-of-range index is an ANSI INVALID_ARRAY_INDEX error
+    in the join — raised here too."""
+    if cds is None or dt is None:
+        return None
+    if len(cds) < PQ_M or len(dt) < PQ_M:
+        raise ValueError(
+            f"short codes ({len(cds)}) or lookup table ({len(dt)}) row"
+        )
+    acc = None
+    for m in range(PQ_M):
+        c, sub = cds[m], dt[m]
+        if c is None or sub is None:
+            return None
+        if not 0 <= c < len(sub):
+            raise ValueError(
+                f"sub {m}: code {c} out of range [0, {len(sub)})"
+            )
+        v = sub[c]
+        if v is None:
+            return None
+        acc = v if m == 0 else acc + v
+    return acc
+
+
+def _pq_adc_topk_arrow(codes, qdt):
+    """(query_id, neighbor_id, adist) candidate rows: per input batch,
+    the top-TOP_K candidates of EVERY query under the final ordering —
+    see _pq_adc_search.  ``qdt`` is driver-collected (bounded
+    O(#queries × M × K) — the identical bytes the replaced
+    BroadcastExchange moved through the driver)."""
+    import numpy as np
+
+    qrows = qdt.collect()
+
+    def _clean_dt(dt):
+        return dt is not None and all(
+            sub is not None and all(x is not None for x in sub)
+            for sub in dt
+        )
+
+    clean_q = [(r.query_id, r.dt) for r in qrows if _clean_dt(r.dt)]
+    dirty_q = [(r.query_id, r.dt) for r in qrows if not _clean_dt(r.dt)]
+    QID = np.array([q for q, _ in clean_q], dtype=np.int64)
+    # per-subspace (Q, Km) lookup matrices (Km may differ per sub)
+    DTM = [
+        np.asarray([dt[m] for _, dt in clean_q], dtype=np.float64)
+        for m in range(PQ_M)
+    ] if clean_q else []
+
+    def _emit_topk(qid, null_nids, nids, col, out_rows):
+        """Top-K for one query under (adist ASC NULLS FIRST /
+        NaN-last, neighbor_id ASC): NULL-adist candidates first in
+        neighbor order, then the clean rows in lexsort order
+        (np.lexsort puts NaN last and keeps the neighbor_id key for
+        ties — Spark's exact comparator)."""
+        k = 0
+        for nid in null_nids:
+            if nid == qid:
+                continue
+            out_rows.append((qid, nid, None))
+            k += 1
+            if k == TOP_K:
+                return
+        if len(nids):
+            for idx in np.lexsort((nids, col)):
+                nid = int(nids[idx])
+                if nid == qid:
+                    continue
+                out_rows.append((qid, nid, float(col[idx])))
+                k += 1
+                if k == TOP_K:
+                    return
+
+    KS = [dtm.shape[1] for dtm in DTM]
+
+    def _score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vids = b.column("vid").to_pylist()
+            cds = b.column("cds").to_pylist()
+            # Rows whose 16 referenced lookups are all live take the
+            # vectorized path.  A NULL codes row or NULL code element
+            # makes the join path's GetArrayItem chain NULL — those
+            # rows are NULLS-FIRST candidates for every clean query.
+            # A short codes array or an out-of-range code is an ANSI
+            # INVALID_ARRAY_INDEX error in the replaced join — raise
+            # the same way instead of silently nulling (cannot happen
+            # from real artifacts; defensive parity only).  NULL
+            # vec_id rows are dropped like the join condition drops
+            # them (NOT(NULL = q) is NULL).
+            for i in range(n):
+                c = cds[i]
+                if c is None:
+                    continue
+                if len(c) < PQ_M:
+                    raise ValueError(
+                        f"codes row {vids[i]} has {len(c)} < {PQ_M} codes"
+                    )
+                for m in range(PQ_M) if KS else ():
+                    if c[m] is not None and not 0 <= c[m] < KS[m]:
+                        raise ValueError(
+                            f"codes row {vids[i]} sub {m}: code {c[m]} "
+                            f"out of range [0, {KS[m]})"
+                        )
+            clean_i = [
+                i
+                for i in range(n)
+                if vids[i] is not None
+                and cds[i] is not None
+                and all(cds[i][m] is not None for m in range(PQ_M))
+            ]
+            cset = set(clean_i)
+            null_nids = sorted(
+                vids[i]
+                for i in range(n)
+                if i not in cset and vids[i] is not None
+            )
+            nids = np.array([vids[i] for i in clean_i], dtype=np.int64)
+            out_rows: list = []
+            if len(QID):
+                if len(clean_i):
+                    C = np.asarray(
+                        [cds[i][:PQ_M] for i in clean_i], dtype=np.int64
+                    )
+                    # (Km, Q) indexed by the batch's m-th codes →
+                    # (n, Q); term 0 seeds the accumulator (the
+                    # join expr starts at dt[0][codes[0]], not 0.0)
+                    # and += in ascending m replays the exact IEEE
+                    # left-fold order
+                    acc = DTM[0].T[C[:, 0], :].copy()
+                    for m in range(1, PQ_M):
+                        acc += DTM[m].T[C[:, m], :]
+                    for qi in range(len(QID)):
+                        _emit_topk(
+                            int(QID[qi]), null_nids, nids,
+                            acc[:, qi], out_rows,
+                        )
+                else:
+                    for qi in range(len(QID)):
+                        _emit_topk(
+                            int(QID[qi]), null_nids, nids,
+                            np.empty(0, dtype=np.float64), out_rows,
+                        )
+            # NULL-bearing lookup tables: exact per-row Python fold
+            for qid, dt in dirty_q:
+                scored = [
+                    (vids[i], _pq_adc_fold_py(dt, cds[i]))
+                    for i in range(n)
+                    if vids[i] is not None
+                ]
+                nn = sorted(v for v, a in scored if a is None)
+                fin = [(v, a) for v, a in scored if a is not None]
+                fv = np.array([v for v, _ in fin], dtype=np.int64)
+                fa = np.array([a for _, a in fin], dtype=np.float64)
+                _emit_topk(qid, nn, fv, fa, out_rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in out_rows], type=pa.int64()),
+                    pa.array([r[1] for r in out_rows], type=pa.int64()),
+                    pa.array([r[2] for r in out_rows], type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adist"],
+            )
+
+    return codes.select(
+        F.col("vec_id").alias("vid"), F.col("codes").alias("cds")
+    ).mapInArrow(_score, "query_id long, neighbor_id long, adist double")
 
 
 #: Own artifact root for the removal-refreshed PQ codes (the same
@@ -1560,15 +1868,11 @@ def _pq_artifacts(spark, sf_dir):
     return codes, qdt
 
 
-def _pq_artifacts_build(spark, sf_dir):
-    """(codes, qdt): per-vector PQ code arrays and per-query ADC
-    distance lookup tables, from deterministically-learned per-subspace
-    codebooks.  Shared by the whole-corpus PQ searcher and the IVFPQ
-    composite."""
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    sub = spread(
+def _pq_sub_rows(v):
+    """(vec_id, sub_id, svec): the PQ subspace explosion of a
+    (vec_id, emb) frame — the row shape the Lloyd trainer (and the
+    SPARK_GRAFT_PQENC=join A/B encoder) consumes."""
+    return spread(
         v.select(
             "vec_id",
             F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub_id"),
@@ -1578,6 +1882,28 @@ def _pq_artifacts_build(spark, sf_dir):
             "sub_id",
             F.expr(f"slice(emb, sub_id * {PQ_SUB} + 1, {PQ_SUB})").alias("svec"),
         )
+    )
+
+
+def _pq_artifacts_build(spark, sf_dir):
+    """(codes, qdt): per-vector PQ code arrays and per-query ADC
+    distance lookup tables, from deterministically-learned per-subspace
+    codebooks.  Shared by the whole-corpus PQ searcher and the IVFPQ
+    composite.
+
+    r16 (guide §1.2/§4.2): encoding and the query lookup tables run
+    through ONE Arrow stage each over the raw (vec_id, emb) rows
+    (pq_codes_arrow / pq_dtable_arrow) instead of exploding every
+    vector ×PQ_M, joining ×PQ_K broadcast centroids, window-ranking
+    and re-collecting — M×K joined rows per vector (~10M at sf1)
+    replaced by M×K×SUB vectorized flops per row.  Lloyd training
+    keeps the fold/join chain (bounded: PQ_TRAIN_CAP rows) but now
+    explodes only the sample instead of the whole corpus.
+    SPARK_GRAFT_PQENC=join restores the full replaced chain for A/B;
+    bit-identity pinned by tests/test_pq_arrow.py."""
+    use_join = os.environ.get("SPARK_GRAFT_PQENC") == "join"
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     # FIXED-capacity training sample, same contract as the IVF coarse
     # quantizer: the PQ_TRAIN_CAP lowest-sample-hash vec_ids via
@@ -1590,7 +1916,13 @@ def _pq_artifacts_build(spark, sf_dir):
         .limit(PQ_TRAIN_CAP)
         .localCheckpoint(eager=True)
     )
-    trainsub = sub.join(F.broadcast(train_ids.select("vec_id")), "vec_id")
+    if use_join:
+        sub = _pq_sub_rows(v)
+        trainsub = sub.join(F.broadcast(train_ids.select("vec_id")), "vec_id")
+    else:
+        trainsub = _pq_sub_rows(
+            v.join(F.broadcast(train_ids.select("vec_id")), "vec_id")
+        )
     # Init = the first PQ_K sample vectors in sample order.  The
     # bounded PQ_K-row collect replaces a global single-partition sort
     # window — O(K) driver memory at any corpus size.
@@ -1601,7 +1933,10 @@ def _pq_artifacts_build(spark, sf_dir):
     init_ids = spark.createDataFrame(
         [(int(i), c) for c, i in enumerate(seed_ids)], "vec_id long, cent_id int"
     )
-    cents = sub.join(F.broadcast(init_ids), "vec_id").select(
+    # init ids are sample members, so the bounded trainsub rows carry
+    # every seed sub-slice (identical rows to the old full-corpus sub
+    # join — init_ids ⊆ train_ids).
+    cents = trainsub.join(F.broadcast(init_ids), "vec_id").select(
         "sub_id", "cent_id", F.col("svec").alias("cemb")
     )
     w_asg = W.partitionBy("vec_id", "sub_id").orderBy(
@@ -1645,44 +1980,59 @@ def _pq_artifacts_build(spark, sf_dir):
         cents.withColumn("cent_id", F.row_number().over(w_rekey) - 1)
         .localCheckpoint(eager=True)
     )
-    enc = (
-        sub.join(F.broadcast(cents), "sub_id")
-        .withColumn("d2", _l2sq("svec", "cemb"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub_id", F.col("cent_id").alias("code"))
-    )
-    codes = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("sub_id", "code"))),
-            lambda x: x["code"],
-        ).alias("codes")
-    )
-    qd = (
-        sub.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
-        .join(F.broadcast(cents), "sub_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub_id",
-            "cent_id",
-            _l2sq("svec", "cemb").alias("d2"),
+    if use_join:
+        enc = (
+            sub.join(F.broadcast(cents), "sub_id")
+            .withColumn("d2", _l2sq("svec", "cemb"))
+            .withColumn("rn", F.row_number().over(w_asg))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub_id", F.col("cent_id").alias("code"))
         )
-    )
-    qdt = (
-        qd.groupBy("query_id", "sub_id")
-        .agg(
+        codes = enc.groupBy("vec_id").agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("cent_id", "d2"))),
-                lambda x: x["d2"],
-            ).alias("arr")
+                F.sort_array(F.collect_list(F.struct("sub_id", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
         )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("sub_id", "arr"))),
-                lambda x: x["arr"],
-            ).alias("dt")
+        qd = (
+            sub.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+            .join(F.broadcast(cents), "sub_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "sub_id",
+                "cent_id",
+                _l2sq("svec", "cemb").alias("d2"),
+            )
         )
+        qdt = (
+            qd.groupBy("query_id", "sub_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("cent_id", "d2"))),
+                    lambda x: x["d2"],
+                ).alias("arr")
+            )
+            .groupBy("query_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("sub_id", "arr"))),
+                    lambda x: x["arr"],
+                ).alias("dt")
+            )
+        )
+        return codes, qdt
+    # Bounded O(M×K)-row collect of the learned codebook (the same
+    # bounded-collect contract as the PQ_K seed collect above), handed
+    # to the Arrow kernels as literals.
+    codebook: list[list[list[float]]] = [[] for _ in range(PQ_M)]
+    for r in cents.orderBy("sub_id", "cent_id").collect():
+        codebook[r.sub_id].append([float(x) for x in r.cemb])
+    codes = spread(v).select(
+        "vec_id", pq_codes_arrow(F.col("emb"), codebook).alias("codes")
+    )
+    qdt = spread(v.where(F.col("vec_id") % PQ_QUERY_MOD == 0)).select(
+        F.col("vec_id").alias("query_id"),
+        pq_dtable_arrow(F.col("emb"), codebook).alias("dt"),
     )
     return codes, qdt
 

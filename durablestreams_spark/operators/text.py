@@ -2254,23 +2254,42 @@ from .pipeline_llm import _contam_flag_ctes as _v4_contam_ctes  # noqa: E402
     "datasheet).  Each stage drops data before the next shuffle.",
 )
 def pipeline_curate_v4(spark, sf_dir):
+    import os as _os
+
     from pyspark.sql import Window as W
 
-    from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
-
     docs = table(spark, sf_dir, "documents")
-    bench_sh = (
-        _shingle5_arrays(docs.where(F.col("doc_id") % _BENCH_MOD == 0))
-        .select(F.explode("shs").alias("sh"))
-        .distinct()
-    )
-    cflag = (
-        _shingle5_arrays(docs)
-        .select("doc_id", F.explode("shs").alias("sh"))
-        .join(F.broadcast(bench_sh), "sh")
-        .select("doc_id")
-        .distinct()
-    )
+    # r16 (guide §1.2, the one-drain-many-readers doctrine): the
+    # contamination flag set is EXACTLY the persisted
+    # _contamination_flag_index artifact — the same _shingle5_arrays
+    # over the same % _BENCH_MOD bench split, joined and distinct'd
+    # identically (pinned row-for-row by
+    # test_curate_v4_flag_index_parity) — which the fused live gate
+    # and the economics report already serve.  Recomputing it live
+    # re-tokenized the whole corpus into exploded 5-gram strings on
+    # every run (~2/3 of this query's sf1 cost); batch curation now
+    # reads the same decision record the streaming side does, which
+    # is also what makes the two surfaces agree BY CONSTRUCTION.
+    # SPARK_GRAFT_V4FLAG=live restores the in-plan recompute for A/B.
+    if _os.environ.get("SPARK_GRAFT_V4FLAG") == "live":
+        from .pipeline_llm import _BENCH_MOD, _shingle5_arrays
+
+        bench_sh = (
+            _shingle5_arrays(docs.where(F.col("doc_id") % _BENCH_MOD == 0))
+            .select(F.explode("shs").alias("sh"))
+            .distinct()
+        )
+        cflag = (
+            _shingle5_arrays(docs)
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(bench_sh), "sh")
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        from .streaming_queries import _contamination_flag_index
+
+        cflag = _contamination_flag_index(spark, sf_dir)
     scored = text_quality_classifier_nb(spark, sf_dir).select(
         "doc_id", "nb_logit"
     )
