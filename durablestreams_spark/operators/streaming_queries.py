@@ -4748,25 +4748,20 @@ def _budget_gate_drain(
     ledger epoch would double-count spend and flip admissions."""
     import time as _time
 
-    merges = None
-    if tok_unit == "bpe":
-        from ..analytics.core import spread as _spread_fn
-        from .text import _learn_bpe_merges
-
-        # the served merge table: learned ONCE per drain over the
-        # corpus (bounded O(50) vocabulary state — the trainer's
-        # frozen rank order), then folded into every batch's
-        # row-local projection
-        merges = _learn_bpe_merges(
-            _spread_fn(table(spark, sf_dir, "documents"))
-        )
-    elif tok_unit != "words":
+    if tok_unit not in ("words", "bpe"):
         raise ValueError(f"unknown gate token unit {tok_unit!r}")
     delta = (
         table(spark, sf_dir, "documents")
         .where(~_ndlive_base_pred())
         .select("doc_id", "text", "source")
     )
+    # Resume only behind the _staged marker (written AFTER the whole
+    # epoch-file loop): a crash mid-staging must re-stage from
+    # scratch, never drain a truncated epoch set as if it were
+    # complete — os.path.isdir(stream_dir) alone cannot tell a fully
+    # staged run from one that died after two of five files.
+    staged_marker = os.path.join(run_dir, "_staged")
+    resume = os.path.exists(staged_marker)
     # ONE seven-signal annotation pass over the window (r15, guide
     # §2.4/§8): every replayed epoch carries the IDENTICAL delta and
     # every signal is a pure per-doc function (row-local expression
@@ -4775,25 +4770,48 @@ def _budget_gate_drain(
     # over the same rows, the drain's dominant cost — collapses to
     # one materialized table the batches join by doc_id.  This is
     # the oracle's own structure (gd computed once, CROSS JOIN ep).
-    ann0 = _five_signal_annotate(spark, sf_dir, delta)
-    if merges is None:
-        ann0 = ann0.withColumn("n_tok", F.col("n_words"))
+    #
+    # r16: the annotation is PERSISTED in the run_dir next to the
+    # staged epoch files (written before the _staged marker, so its
+    # presence is implied by resume) and a RESUMED drain reads it
+    # back instead of recomputing it — the same reuse discipline as
+    # the epoch files and the checkpoint (the table is the drain's
+    # own durable input, a pure function of fixture + serving
+    # indexes; parquet round-trips its doubles exactly, so resumed
+    # decisions replay bit-identically — pinned by the kill/resume
+    # parity oracle itself).  The bpe merge learn rides inside the
+    # build branch: its only consumer is the persisted n_tok column.
+    ann_path = os.path.join(run_dir, "ann0")
+    if resume and os.path.isdir(ann_path):
+        ann0 = spark.read.parquet(ann_path).localCheckpoint(eager=True)
     else:
-        ann0 = ann0.join(
-            delta.select("doc_id", _bpe_ntok_col(merges).alias("n_tok")),
-            "doc_id",
-        )
-    ann0 = ann0.localCheckpoint(eager=True)
+        merges = None
+        if tok_unit == "bpe":
+            from ..analytics.core import spread as _spread_fn
+            from .text import _learn_bpe_merges
+
+            # the served merge table: learned ONCE per drain over the
+            # corpus (bounded O(50) vocabulary state — the trainer's
+            # frozen rank order), then folded into every batch's
+            # row-local projection
+            merges = _learn_bpe_merges(
+                _spread_fn(table(spark, sf_dir, "documents"))
+            )
+        ann0 = _five_signal_annotate(spark, sf_dir, delta)
+        if merges is None:
+            ann0 = ann0.withColumn("n_tok", F.col("n_words"))
+        else:
+            ann0 = ann0.join(
+                delta.select(
+                    "doc_id", _bpe_ntok_col(merges).alias("n_tok")
+                ),
+                "doc_id",
+            )
+        ann0 = ann0.localCheckpoint(eager=True)
+        ann0.write.mode("overwrite").parquet(ann_path)
     alloc = _budget_alloc_from_ann(ann0).collect()
     alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
     stream_dir = os.path.join(run_dir, "delta")
-    # Resume only behind the _staged marker (written AFTER the whole
-    # epoch-file loop): a crash mid-staging must re-stage from
-    # scratch, never drain a truncated epoch set as if it were
-    # complete — os.path.isdir(stream_dir) alone cannot tell a fully
-    # staged run from one that died after two of five files.
-    staged_marker = os.path.join(run_dir, "_staged")
-    resume = os.path.exists(staged_marker)
     if not resume:
         import shutil as _shutil
 
