@@ -4717,7 +4717,8 @@ def _gate_budget_decisions(spark, sf_dir, audit, tok_unit="words"):
 
 
 def _budget_gate_drain(
-    spark, sf_dir, run_dir, audit, kill_epoch=None, tok_unit="words"
+    spark, sf_dir, run_dir, audit, kill_epoch=None, tok_unit="words",
+    persist_ann=False,
 ):
     """Drain (or RESUME) the budget-enforcing admission topology: the
     gate window (the ':ndlive' delta) is replayed _BUDGET_REPLAYS
@@ -4808,7 +4809,11 @@ def _budget_gate_drain(
                 "doc_id",
             )
         ann0 = ann0.localCheckpoint(eager=True)
-        ann0.write.mode("overwrite").parquet(ann_path)
+        if persist_ann:
+            # only resumable run_dirs pay the write — the decision-
+            # record drains land in a throwaway tempdir and never
+            # resume, so the parquet would be pure overhead there
+            ann0.write.mode("overwrite").parquet(ann_path)
     alloc = _budget_alloc_from_ann(ann0).collect()
     alloc_rows = [(r["source"], r["alloc_tokens"]) for r in alloc]
     stream_dir = os.path.join(run_dir, "delta")
@@ -5203,6 +5208,7 @@ def streaming_ingest_gate_budget_resume(spark, sf_dir):
                 run_dir,
                 _GATE_BUDGET_RESUME_LAST_RUN,
                 kill_epoch=2,
+                persist_ann=True,
             )
             raise AssertionError(
                 "injected kill did not fire — the resume proof is vacuous"
@@ -5227,7 +5233,8 @@ def streaming_ingest_gate_budget_resume(spark, sf_dir):
             else 0
         )
         dec_path = _budget_gate_drain(
-            spark, sf_dir, run_dir, _GATE_BUDGET_RESUME_LAST_RUN
+            spark, sf_dir, run_dir, _GATE_BUDGET_RESUME_LAST_RUN,
+            persist_ann=True,
         )
         _GATE_BUDGET_RESUME_LAST_RUN.update(
             {
